@@ -1,0 +1,296 @@
+"""Encoder towers ("heads") composed from MetaHead stages, plus registries.
+
+Registry parity with the reference's head layer
+(`/root/reference/cvap/module/encoder/__init__.py:1-10`): ``IMAGE_HEADS``,
+``AUDIO_HEADS``, ``TEXT_HEADS`` select a tower class by config name; a
+``DummyHead`` registered everywhere lets any tower be disabled by config
+(`/root/reference/cvap/module/__init__.py:21-36`).
+
+Towers are pure flax modules; cross-tower parameter sharing (siamese mode)
+is expressed at the parameter-pytree level via :mod:`vipant_tpu.nn.tying`
+rather than object aliasing — the JAX-native equivalent of the reference's
+``replace_modules``/``keep_hp`` machinery
+(`/root/reference/cvap/module/encoder/clip_head.py:71-96`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..utils import Registry
+from .resnet import ResNetBackbone, ResNetPostEncoder, ResNetPreEncoder, resnet_grid
+from .stages import (
+    AddonEncoder,
+    CLIPMisc,
+    GPTPostEncoder,
+    GPTPreEncoder,
+    TransformerBackbone,
+    ViTPostEncoder,
+    ViTPreEncoder,
+    to_2tuple,
+    vit_grid,
+)
+
+Dtype = Any
+
+IMAGE_HEADS = Registry("IMAGE_HEADS")
+AUDIO_HEADS = Registry("AUDIO_HEADS")
+TEXT_HEADS = Registry("TEXT_HEADS")
+
+
+def normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+class VisionTower(nn.Module):
+    """ViT- or ResNet-backboned image/audio tower.
+
+    The audio tower is this same module run over the [1, T, M] log-mel
+    "image" with a rectangular grid and overlapping stride — the core
+    visual-transfer design of the reference
+    (`/root/reference/cvap/module/encoder/audio_head.py:136-212`).
+
+    ``misc_stored_grid``: grid at which positional embeddings are stored.
+    Defaults to the tower's own grid; set to another tower's grid when the
+    pos-emb params are tied to it (siamese), in which case the forward
+    re-grids on the fly.
+    """
+
+    width: int
+    embed_dim: int
+    resolution: Any  # int or (H, W)
+    heads: int
+    layers: Any  # int (transformer depth) or sequence (resnet stage depths)
+    patch_size: Any = 32
+    stride: Any = None
+    in_channels: int = 3
+    backbone: str = "transformer"  # "transformer" | "resnet"
+    misc_stored_grid: Optional[Tuple[int, int]] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        if self.backbone == "resnet":
+            return resnet_grid(self.resolution)
+        g, _, _ = vit_grid(self.resolution, self.patch_size, self.stride)
+        return g
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        require_feature: bool = False,
+        normalized: bool = False,
+    ):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.backbone == "resnet":
+            h = ResNetPreEncoder(
+                width=self.width, in_channels=self.in_channels, name="pre", **kw
+            )(x, train=train)
+            h = AddonEncoder(name="pre_addon")(h)
+            h = ResNetBackbone(
+                layers=tuple(self.layers), width=self.width, name="encoder", **kw
+            )(h, train=train)
+            h = AddonEncoder(name="post_addon")(h)
+            emb = ResNetPostEncoder(
+                embed_dim=self.width * 32,
+                output_dim=self.embed_dim,
+                heads=self.heads,
+                stored_grid=self.misc_stored_grid or self.grid,
+                name="post",
+                **kw,
+            )(h, train=train)
+            if require_feature:
+                raise NotImplementedError("require_feature is ViT-only")
+            return normalize(emb) if normalized else emb
+
+        grid, patch_hw, stride_hw = vit_grid(self.resolution, self.patch_size, self.stride)
+        pos, cls = CLIPMisc(
+            width=self.width,
+            stored_grid=self.misc_stored_grid or grid,
+            target_grid=grid,
+            param_dtype=self.param_dtype,
+            name="misc",
+        )()
+        h = ViTPreEncoder(
+            width=self.width,
+            patch_size=patch_hw,
+            stride=stride_hw,
+            in_channels=self.in_channels,
+            name="pre",
+            **kw,
+        )(x, pos, cls)
+        h = AddonEncoder(name="pre_addon")(h)
+        h = TransformerBackbone(
+            layers=int(self.layers),
+            width=self.width,
+            heads=self.heads,
+            use_attn_mask=False,
+            remat=self.remat,
+            name="encoder",
+            **kw,
+        )(h)
+        h = AddonEncoder(name="post_addon")(h)
+        out = ViTPostEncoder(
+            width=self.width, embed_dim=self.embed_dim, name="post", **kw
+        )(h, require_feature=require_feature, grid=grid)
+        if require_feature:
+            emb, feat = out
+            return (normalize(emb) if normalized else emb), feat
+        return normalize(out) if normalized else out
+
+
+class TextTower(nn.Module):
+    """GPT-style causal text tower with EOT pooling
+    (parity: `/root/reference/cvap/module/encoder/text_head.py:22-45` +
+    `/root/reference/cvap/module/txt.py`)."""
+
+    width: int
+    embed_dim: int
+    vocab_size: int = 49408
+    ctx_len: int = 77
+    heads: int = 8
+    layers: int = 12
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, ids: jnp.ndarray, train: bool = False, normalized: bool = False
+    ) -> jnp.ndarray:
+        pos, _ = CLIPMisc(
+            width=self.width,
+            stored_grid=None,
+            seq_len=self.ctx_len,
+            param_dtype=self.param_dtype,
+            name="misc",
+        )()
+        h, eot_idx = GPTPreEncoder(
+            vocab_size=self.vocab_size,
+            width=self.width,
+            name="pre",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(ids, pos)
+        h = AddonEncoder(name="pre_addon")(h)
+        h = TransformerBackbone(
+            layers=self.layers,
+            width=self.width,
+            heads=self.heads,
+            use_attn_mask=True,
+            remat=self.remat,
+            name="encoder",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(h)
+        h = AddonEncoder(name="post_addon")(h)
+        emb = GPTPostEncoder(
+            width=self.width,
+            embed_dim=self.embed_dim,
+            name="post",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(h, eot_idx)
+        return normalize(emb) if normalized else emb
+
+
+class DummyHead(nn.Module):
+    """Disabled tower: passes features through unchanged
+    (parity: `/root/reference/cvap/module/__init__.py:21-36`)."""
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        return x
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+
+def _common(cfg, dtype, param_dtype, remat):
+    return dict(dtype=dtype, param_dtype=param_dtype, remat=remat)
+
+
+def _vision_from_cfg(cfg, dtype, param_dtype, remat) -> VisionTower:
+    enc_name = cfg.encoder.name
+    backbone = "resnet" if enc_name == "ResNetBackbone" else "transformer"
+    resolution = cfg.resolution
+    if isinstance(resolution, list):
+        resolution = tuple(int(v) for v in resolution)
+    pre = cfg.pre_encoder
+    return VisionTower(
+        width=int(cfg.width),
+        embed_dim=int(cfg.embed_dim),
+        resolution=resolution,
+        heads=int(cfg.get("heads", 12)),
+        layers=(
+            tuple(cfg.encoder.layers)
+            if isinstance(cfg.encoder.layers, list)
+            else int(cfg.encoder.layers)
+        ),
+        patch_size=pre.get("patch_size", 32),
+        stride=pre.get("stride", None),
+        in_channels=int(pre.get("in_channels", 3)),
+        backbone=backbone,
+        **_common(cfg, dtype, param_dtype, remat),
+    )
+
+
+@IMAGE_HEADS.register(name="CLIPImageHead")
+def build_clip_image_head(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=False):
+    return _vision_from_cfg(cfg, dtype, param_dtype, remat)
+
+
+@AUDIO_HEADS.register(name="CLIPAudioHead")
+def build_clip_audio_head(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=False):
+    return _vision_from_cfg(cfg, dtype, param_dtype, remat)
+
+
+@AUDIO_HEADS.register(name="NaiveCLIPAudioHead")
+def build_naive_clip_audio_head(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=False):
+    # the legacy non-MetaHead audio tower is architecturally identical here
+    return _vision_from_cfg(cfg, dtype, param_dtype, remat)
+
+
+@TEXT_HEADS.register(name="CLIPTextHead")
+def build_clip_text_head(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=False):
+    return TextTower(
+        width=int(cfg.width),
+        embed_dim=int(cfg.embed_dim),
+        vocab_size=int(cfg.pre_encoder.get("vocab_size", 49408)),
+        ctx_len=int(cfg.get("ctx_len", 77)),
+        heads=int(cfg.get("heads", 8)),
+        layers=int(cfg.encoder.layers),
+        dtype=dtype,
+        param_dtype=param_dtype,
+        remat=remat,
+    )
+
+
+def _build_dummy(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=False):
+    return DummyHead()
+
+
+IMAGE_HEADS.register(_build_dummy, name="DummyHead")
+AUDIO_HEADS.register(_build_dummy, name="DummyHead")
+TEXT_HEADS.register(_build_dummy, name="DummyHead")
+
+
+def build_image_head(cfg, **kw):
+    return IMAGE_HEADS.get(cfg.name)(cfg, **kw)
+
+
+def build_audio_head(cfg, **kw):
+    return AUDIO_HEADS.get(cfg.name)(cfg, **kw)
+
+
+def build_text_head(cfg, **kw):
+    return TEXT_HEADS.get(cfg.name)(cfg, **kw)

@@ -1,0 +1,193 @@
+"""Primitive layers: fp32-island LayerNorm, QuickGELU, packed-QKV attention,
+pre-LN residual attention blocks, and the Transformer backbone.
+
+Capability parity with the CLIP primitives the reference builds everything
+from (`/root/reference/clip/model.py:154-200`), designed for TPU: bf16
+activations with fp32 LayerNorm statistics, one fused QKV matmul feeding
+``jax.nn.dot_product_attention`` (XLA's fused attention path), and static
+shapes throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x·σ(1.702x) — CLIP's GELU approximation (`/root/reference/clip/model.py:163-165`)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics, output cast back to the input dtype
+    (the reference keeps LN in fp32 inside fp16 models,
+    `/root/reference/clip/model.py:154-160`)."""
+
+    epsilon: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), self.param_dtype)
+        y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Packed-QKV multi-head attention (torch ``nn.MultiheadAttention``
+    semantics: one [D, 3D] input projection, one [D, D] output projection),
+    so ported CLIP checkpoints drop in without weight splitting."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """x: [B, T, D]; kv: optional [B, S, D] for cross-attention;
+        mask: optional additive [T, S] or boolean [..., T, S] (True = keep)."""
+        d = x.shape[-1]
+        assert d % self.num_heads == 0
+        head_dim = d // self.num_heads
+
+        if kv is None:
+            qkv = nn.DenseGeneral(
+                3 * d, dtype=self.dtype, param_dtype=self.param_dtype, name="qkv"
+            )(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            # cross-attention: q from x, k/v from memory — still packed
+            # layout per-projection for porting symmetry
+            q = nn.DenseGeneral(d, dtype=self.dtype, param_dtype=self.param_dtype, name="q")(x)
+            k = nn.DenseGeneral(d, dtype=self.dtype, param_dtype=self.param_dtype, name="k")(kv)
+            v = nn.DenseGeneral(d, dtype=self.dtype, param_dtype=self.param_dtype, name="v")(kv)
+
+        B, T, _ = q.shape
+        S = k.shape[1]
+        q = q.reshape(B, T, self.num_heads, head_dim)
+        k = k.reshape(B, S, self.num_heads, head_dim)
+        v = v.reshape(B, S, self.num_heads, head_dim)
+
+        bias = None
+        bool_mask = None
+        if mask is not None:
+            if mask.dtype == jnp.bool_:
+                bool_mask = mask
+                while bool_mask.ndim < 4:
+                    bool_mask = bool_mask[None]
+            else:
+                bias = mask.astype(jnp.float32)
+                while bias.ndim < 4:
+                    bias = bias[None]
+
+        out = jax.nn.dot_product_attention(
+            q, k, v, bias=bias, mask=bool_mask
+        )  # [B, T, H, head_dim]
+        out = out.reshape(B, T, d)
+        return nn.DenseGeneral(
+            d, dtype=self.dtype, param_dtype=self.param_dtype, name="out"
+        )(out)
+
+
+class MLP(nn.Module):
+    """4×-expansion MLP with QuickGELU."""
+
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        h = nn.Dense(
+            self.expansion * d, dtype=self.dtype, param_dtype=self.param_dtype, name="fc"
+        )(x)
+        h = quick_gelu(h)
+        return nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="proj")(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block: x + attn(ln1(x)); x + mlp(ln2(x)).
+    Optional cross-attention sub-block (for the captioning decoder,
+    mirroring `/root/reference/cvap/module/transformer.py:38-75`)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    cross_attn: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        memory: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x + MultiHeadAttention(self.num_heads, name="attn", **kw)(
+            LayerNorm(param_dtype=self.param_dtype, name="ln_1")(x), mask=mask
+        )
+        if self.cross_attn:
+            assert memory is not None, "cross-attention block requires memory"
+            x = x + MultiHeadAttention(self.num_heads, name="cross_attn", **kw)(
+                LayerNorm(param_dtype=self.param_dtype, name="ln_c")(x), kv=memory
+            )
+        x = x + MLP(name="mlp", **kw)(
+            LayerNorm(param_dtype=self.param_dtype, name="ln_2")(x)
+        )
+        return x
+
+
+def causal_mask(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive [n, n] causal mask (−inf above the diagonal)."""
+    return jnp.triu(jnp.full((n, n), -jnp.inf, dtype=dtype), k=1)
+
+
+class Transformer(nn.Module):
+    """Stack of residual attention blocks with optional gradient
+    rematerialization (jax.checkpoint) for long-sequence audio towers."""
+
+    layers: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    cross_attn: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        memory: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
+        for i in range(self.layers):
+            x = block_cls(
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                cross_attn=self.cross_attn,
+                name=f"block_{i}",
+            )(x, mask, memory)
+        return x
