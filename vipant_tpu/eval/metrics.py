@@ -1,0 +1,206 @@
+"""Evaluation metric suite (host-side NumPy; sklearn for AP/AUC).
+
+Semantics parity with the reference's loss-head ``report`` methods:
+
+* symmetric retrieval t1/t5 and full R@k/MED/AVG
+  (`/root/reference/cvap/module/decoder/loss_head.py:67-134`);
+* 1-vs-k (audio ↔ 5 captions) retrieval incl. the "REFERENCE" min-rank
+  variant (`:79-107`, `:135-169`);
+* per-class precision/recall/mAP/mAR via gold-file clustering (`:175-231`);
+* zero-shot classification P@1 with multi-prompt label collapse
+  (`:365-407`);
+* multi-label Mac/Mic/weighted AP, per-class mAP/mAUC/mP/mR
+  (`/root/reference/cvap/module/decoder/loss_more.py:92-131`).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _ranks_of_diagonal(sim: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """rank (0-based) of labels[i] in the descending sort of sim[i]."""
+    order = np.argsort(-sim, axis=1)
+    return np.argmax(order == labels[:, None], axis=1)
+
+
+def retrieval_metrics(ranks: np.ndarray, nsample: Optional[int] = None) -> Dict[str, float]:
+    """R@1/5/10/50, MED, AVG from 0-based ranks
+    (parity: `/root/reference/cvap/module/decoder/loss_head.py:67-77`)."""
+    n = nsample or ranks.shape[0]
+    out = {f"R@{k}": float((ranks < k).sum()) / n * 100.0 for k in (1, 5, 10, 50)}
+    out["MED"] = float(np.median(ranks)) + 1
+    out["AVG"] = float(np.mean(ranks)) + 1
+    return out
+
+
+def symmetric_retrieval(x1s: np.ndarray, x2s: np.ndarray) -> Dict[str, Dict[str, float]]:
+    """Paired (i↔a) retrieval both directions; returns t1/t5 plus full
+    metrics. Embeddings are normalized here."""
+    x1s, x2s = _normalize(x1s), _normalize(x2s)
+    n = x1s.shape[0]
+    labels = np.arange(n)
+    out = {}
+    for name, sim in (("12", x1s @ x2s.T), ("21", x2s @ x1s.T)):
+        ranks = _ranks_of_diagonal(sim, labels)
+        m = retrieval_metrics(ranks)
+        m["t1"], m["t5"] = m["R@1"], m["R@5"]
+        out[name] = m
+    return out
+
+
+def one_vs_k_retrieval(
+    x1s: np.ndarray, x2s: np.ndarray, k: int = 5
+) -> Dict[str, Dict[str, float]]:
+    """x1s: [N, D] audio; x2s: [N*k, D] captions, grouped so captions of
+    audio i occupy rows i*k..i*k+k-1.
+
+    Returns A→T (P@1, P@5, mR over best-of-k) and T→A (t1/t5, mR), plus the
+    "REFERENCE" min-rank suite of ``retrieval_eval``."""
+    assert x1s.shape[0] * k == x2s.shape[0], (x1s.shape, x2s.shape, k)
+    x1s, x2s = _normalize(x1s), _normalize(x2s)
+    n = x1s.shape[0]
+
+    # A→T: for audio i, ranks of its k captions among all N*k captions
+    sim_12 = x1s @ x2s.T  # [N, N*k]
+    order_12 = np.argsort(-sim_12, axis=1)  # [N, N*k]
+    group = order_12 // k  # which audio each sorted caption belongs to
+    # positions (ranks) where the sorted caption belongs to audio i
+    ranks_12 = np.stack(
+        [np.where(group[i] == i)[0] for i in range(n)], axis=0
+    )  # [N, k] ascending
+    a2t = {
+        "t1": float((ranks_12 < 1).sum()) / n * 100.0,  # P@1
+        "t5": float((ranks_12 < 5).sum()) / (k * n) * 100.0,  # P@5 == R@5
+        "mR": float(ranks_12.min(axis=1).mean()) + 1,
+    }
+    # REFERENCE variant: best-of-k rank per audio → full metric suite
+    ref_12 = retrieval_metrics(ranks_12.min(axis=1))
+
+    # T→A: each caption ranks its source audio among all N audios
+    sim_21 = x2s @ x1s.T  # [N*k, N]
+    labels = np.repeat(np.arange(n), k)
+    ranks_21 = _ranks_of_diagonal(sim_21, labels)
+    t2a = {
+        "t1": float((ranks_21 < 1).sum()) / ranks_21.shape[0] * 100.0,
+        "t5": float((ranks_21 < 5).sum()) / ranks_21.shape[0] * 100.0,
+        "mR": float(ranks_21.mean()) + 1,
+    }
+    ref_21 = retrieval_metrics(ranks_21)
+    return {"a2t": a2t, "t2a": t2a, "ref_a2t": ref_12, "ref_t2a": ref_21}
+
+
+def zero_shot_classification(
+    audio_emb: np.ndarray,
+    text_emb: np.ndarray,
+    labels: np.ndarray,
+    label_map: Optional[Dict[int, int]] = None,
+    normalize: bool = True,
+) -> float:
+    """P@1: argmax over text rows (one per prompt); ``label_map`` maps
+    prompt-row index → class id (multi-prompt collapse)
+    (parity: `/root/reference/cvap/module/decoder/loss_head.py:365-407`)."""
+    if normalize:
+        audio_emb, text_emb = _normalize(audio_emb), _normalize(text_emb)
+    pred = np.argmax(audio_emb @ text_emb.T, axis=1)
+    if label_map is not None:
+        pred = np.asarray([label_map[int(p)] for p in pred])
+    return float((pred == labels).sum()) / labels.shape[0] * 100.0
+
+
+def classification_p1(predictions: np.ndarray, labels: np.ndarray) -> float:
+    return float((predictions == labels).sum()) / labels.shape[0] * 100.0
+
+
+def grouped_pnr(
+    sim_order: np.ndarray,
+    ids: Sequence[str],
+    classname_by_sample: Dict[str, str],
+    sample_by_classname: Dict[str, Sequence[str]],
+    k: int = 1,
+) -> Dict[str, float]:
+    """Per-class P@k / R@k / mAP / mAR from a sorted neighbor index matrix
+    (parity: `/root/reference/cvap/module/decoder/loss_head.py:175-231`)."""
+    nsample = sim_order.shape[0]
+    nclass = len(sample_by_classname)
+    by_class: Dict[str, List[float]] = defaultdict(lambda: [0.0, 0.0])
+    p_total = r_total = 0.0
+    for idx in range(nsample):
+        sample = ids[idx]
+        classname = classname_by_sample[sample]
+        true_set = set(sample_by_classname[classname])
+        tp = sum(1 for nb in sim_order[idx, :k] if ids[int(nb)] in true_set)
+        this_p = tp / k
+        this_r = tp / len(true_set)
+        p_total += this_p
+        r_total += this_r
+        by_class[classname][0] += this_p
+        by_class[classname][1] += this_r
+    p_cls = r_cls = 0.0
+    for classname, (p, r) in by_class.items():
+        nrel = len(sample_by_classname[classname])
+        p_cls += p / nrel
+        r_cls += r / nrel
+    return {
+        f"P@{k}": p_total / nsample * 100.0,
+        f"R@{k}": r_total / nsample * 100.0,
+        "mAP": p_cls / nclass * 100.0,
+        "mAR": r_cls / nclass * 100.0,
+    }
+
+
+def multilabel_report(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
+    """Mac-AP/Mic-AP/wAP + per-class mAP/mAUC/mP/mR
+    (parity: `/root/reference/cvap/module/decoder/loss_more.py:92-131`)."""
+    from sklearn import metrics as skm
+
+    out: Dict[str, float] = {}
+    out["Mac-AP"] = float(skm.average_precision_score(labels, scores, average="macro"))
+    out["Mic-AP"] = float(skm.average_precision_score(labels, scores, average="micro"))
+    out["wAP"] = float(skm.average_precision_score(labels, scores, average="weighted"))
+
+    nlabel = scores.shape[1]
+    ap_list, auc_list, p_list, r_list = [], [], [], []
+    for j in range(nlabel):
+        y, s = labels[:, j], scores[:, j]
+        try:
+            ap = skm.average_precision_score(y, s)
+            ap = 0.0 if np.isnan(ap) else ap
+        except Exception:
+            ap = 0.0
+        try:
+            auc = skm.roc_auc_score(y, s)
+        except Exception:
+            auc = 0.0
+        try:
+            p, r, _ = skm.precision_recall_curve(y, s)
+            mid = len(p) // 2
+            p_list.append(p[mid])
+            r_list.append(r[mid])
+        except Exception:
+            p_list.append(0.0)
+            r_list.append(0.0)
+        ap_list.append(ap)
+        auc_list.append(auc)
+    out["mAP"] = float(np.mean(ap_list)) * 100.0
+    out["mAUC"] = float(np.mean(auc_list)) * 100.0
+    out["mP"] = float(np.mean(p_list)) * 100.0
+    out["mR"] = float(np.mean(r_list)) * 100.0
+    for key in ("Mac-AP", "Mic-AP", "wAP"):
+        out[key] *= 100.0
+    return out
+
+
+def format_retrieval_report(sym: Dict[str, Dict[str, float]], n: int) -> str:
+    m12, m21 = sym["12"], sym["21"]
+    return (
+        f"I->A: t1 = {m12['t1']:2.2f} t5 = {m12['t5']:2.2f} "
+        f"A->I: t1 = {m21['t1']:2.2f} t5 = {m21['t5']:2.2f} @ {n}"
+    )
