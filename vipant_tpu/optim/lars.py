@@ -1,0 +1,115 @@
+"""LARS optimizer + schedules as optax transforms.
+
+Semantics parity with the reference's LARS
+(`/root/reference/cvap/module/lars.py:24-72`): trust-ratio adaptation
+``q = η·‖p‖/‖∇+λp‖`` and weight decay applied only to >1-dim params
+(bias/gain params are excluded from both), heavyweight momentum, and two
+learning-rate groups — weights at ``lr·lr_weight``, biases/gains at
+``lr·lr_bias`` — driven by the warmup+cosine schedule with
+``base_lr = batch_size/256`` scaling (`/root/reference/cvap/module/lars.py:9-22`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def warmup_cosine_lr(
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: int,
+    end_lr_ratio: float = 0.001,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """The reference's ``adjust_learning_rate`` curve
+    (`/root/reference/cvap/module/lars.py:9-22`): linear warmup to
+    ``base_lr``, then cosine to ``base_lr·end_lr_ratio``."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / jnp.maximum(warmup_steps, 1)
+        s = jnp.clip(step - warmup_steps, 0, None)
+        t = jnp.maximum(total_steps - warmup_steps, 1)
+        q = 0.5 * (1.0 + jnp.cos(jnp.pi * s / t))
+        end_lr = base_lr * end_lr_ratio
+        cos = base_lr * q + end_lr * (1.0 - q)
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def warmup_multistep_lr(
+    base_lr: float,
+    warmup_steps: int,
+    milestones_steps: tuple = (),
+    gamma: float = 0.5,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Linear warmup then MultiStepLR decay (the reference's Adam path:
+    warmup in the monitor loop `/root/reference/cvap/monitor/cvap.py:175-186`
+    + ``MultiStepLR`` from config)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (step + 1) / jnp.maximum(warmup_steps, 1)
+        decay = jnp.asarray(1.0, jnp.float32)
+        for m in milestones_steps:
+            decay = decay * jnp.where(step >= m, gamma, 1.0)
+        return jnp.where(step < warmup_steps, jnp.minimum(warm, base_lr), base_lr * decay)
+
+    return schedule
+
+
+class LarsState(NamedTuple):
+    momentum: optax.Updates
+    count: jnp.ndarray
+
+
+def _is_weight(p: jnp.ndarray) -> bool:
+    return p.ndim > 1
+
+
+def lars(
+    lr_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    lr_weight: float = 0.2,
+    lr_bias: float = 0.0048,
+    momentum: float = 0.9,
+    eta: float = 0.001,
+    weight_decay: float = 1e-6,
+) -> optax.GradientTransformation:
+    """LARS over a params pytree; per-leaf group by ndim (>1 = weight)."""
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return LarsState(momentum=zeros, count=jnp.zeros((), jnp.int32))
+
+    def update_fn(updates, state, params):
+        assert params is not None, "lars requires params"
+        lr = lr_fn(state.count)
+
+        def one(g, p, v):
+            if _is_weight(p):
+                d = g + weight_decay * p
+                p_norm = jnp.linalg.norm(p)
+                d_norm = jnp.linalg.norm(d)
+                q = jnp.where(
+                    (p_norm > 0.0) & (d_norm > 0.0),
+                    eta * p_norm / jnp.maximum(d_norm, 1e-12),
+                    1.0,
+                )
+                local_lr = lr * lr_weight * q
+            else:
+                d = g
+                local_lr = lr * lr_bias
+            v_new = momentum * v + local_lr * d
+            return -v_new, v_new
+
+        flat = jax.tree_util.tree_map(one, updates, params, state.momentum)
+        new_updates = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
+        new_momentum = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+        return new_updates, LarsState(momentum=new_momentum, count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
