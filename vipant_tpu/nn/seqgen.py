@@ -1,0 +1,139 @@
+"""SeqGenerationHead: causal text decoder cross-attending into audio
+features, with jit-able greedy decoding.
+
+Capability parity with the reference's captioning head
+(`/root/reference/cvap/module/encoder/text_head.py:47-129`): audio grid
+features are projected into the text width (``to_txt``), pooled over the
+frequency axis, layer-normed, and used as cross-attention memory; training
+returns (pooled text embedding, next-token logits); inference decodes
+greedily. The reference's python decode loop becomes a ``lax.scan`` over a
+fixed-length ids buffer with full-context re-forward per step (static
+shapes under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import LayerNorm, Transformer, causal_mask
+
+Dtype = Any
+
+
+class SeqGenerationHead(nn.Module):
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    ctx_len: int = 77
+    vocab_size: int = 49408
+    embed_dim: int = 512
+    mem_width: int = 768
+    max_len_dec: int = 32
+    bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        scale = self.width ** -0.5
+        self.token_embedding = self.param(
+            "token_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.vocab_size, self.width),
+            self.param_dtype,
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=0.01),
+            (self.ctx_len, self.width),
+            self.param_dtype,
+        )
+        self.to_txt = self.param(
+            "to_txt",
+            nn.initializers.normal(stddev=scale),
+            (self.mem_width, self.width),
+            self.param_dtype,
+        )
+        self.mem_ln = LayerNorm(param_dtype=self.param_dtype, name="mem_ln")
+        self.transformer = Transformer(
+            layers=self.layers,
+            num_heads=self.heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            cross_attn=True,
+            name="transformer",
+        )
+        self.ln_final = LayerNorm(param_dtype=self.param_dtype, name="ln_final")
+        self.predictor = nn.Dense(
+            self.vocab_size,
+            use_bias=self.bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="predictor",
+        )
+        self.text_proj = self.param(
+            "text_proj",
+            nn.initializers.normal(stddev=scale),
+            (self.width, self.embed_dim),
+            self.param_dtype,
+        )
+
+    def _memory(self, audio_feat: jnp.ndarray, time_first: bool = True) -> jnp.ndarray:
+        """audio_feat: [B, rows, cols, D_mem] → [B, T_mem, width]."""
+        m = audio_feat.astype(self.dtype) @ self.to_txt.astype(self.dtype)
+        m = m.mean(axis=2) if time_first else m.mean(axis=1)
+        return self.mem_ln(m)
+
+    def _features(self, ids: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
+        x = self.token_embedding[ids].astype(self.dtype)
+        x = x + self.positional_embedding[: x.shape[1]].astype(self.dtype)
+        x = self.transformer(x, mask=causal_mask(x.shape[1]), memory=memory)
+        return self.ln_final(x)
+
+    def __call__(
+        self,
+        ids: jnp.ndarray,
+        audio_feat: jnp.ndarray,
+        time_first: bool = True,
+        normalized: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Training path: returns (pooled embedding z, logits[:, :-1])."""
+        memory = self._memory(audio_feat, time_first)
+        h = self._features(ids, memory)
+        logits = self.predictor(h)[:, :-1]
+        eot = jnp.argmax(ids, axis=-1)
+        z = jnp.take_along_axis(h, eot[:, None, None], axis=1)[:, 0]
+        z = z @ self.text_proj.astype(z.dtype)
+        if normalized:
+            z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return z, logits
+
+    def greedy_decode(
+        self,
+        audio_feat: jnp.ndarray,
+        sot_token: int = 49406,
+        time_first: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Greedy decoding under jit: returns (ids [B, max_len_dec+1],
+        logits [B, max_len_dec, vocab])."""
+        memory = self._memory(audio_feat, time_first)
+        B = audio_feat.shape[0]
+        L = self.max_len_dec
+        ids0 = jnp.full((B, L + 1), 0, dtype=jnp.int32).at[:, 0].set(sot_token)
+
+        def step(ids, t):
+            h = self._features(ids[:, :-1], memory)  # [B, L, width]
+            logits_t = self.predictor(
+                jnp.take_along_axis(h, jnp.full((B, 1, 1), t, jnp.int32), axis=1)
+            )[:, 0]
+            nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            ids = jax.lax.dynamic_update_slice_in_dim(
+                ids, nxt[:, None], t + 1, axis=1
+            )
+            return ids, logits_t
+
+        ids, logits = jax.lax.scan(step, ids0, jnp.arange(L))
+        return ids, jnp.transpose(logits, (1, 0, 2))
