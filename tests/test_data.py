@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+from vipant_tpu.config import compose
+from vipant_tpu.data import (
+    build_audio_text_dataloader,
+    build_audioset_dataloader,
+    build_audioset_label_map,
+    build_image_audio_dataloader,
+    build_xfold_dataloader_list,
+    read_wav,
+    write_wav,
+)
+from data_synth import (
+    make_synth_audioset,
+    make_synth_clotho,
+    make_synth_esc50,
+    make_synth_va_index,
+)
+
+
+def base_cfg(root, extra=()):
+    return compose([
+        "+running=bimodal",
+        "+model/image=vit_val",
+        "+model/audio=vit_val",
+        "+model/text=transformer_val",
+        "+running/audio=default",
+        f"running.data_root={root}",
+        "running.batch_size=4",
+        "running.audio.max_len=100",
+        "num_proc=2",
+        *extra,
+    ])
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    wav = (0.5 * rng.standard_normal(8000)).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, wav, 16000)
+    back, sr = read_wav(path)
+    assert sr == 16000
+    assert back.shape == (1, 8000)
+    assert np.max(np.abs(back[0] - np.clip(wav, -1, 1))) < 1e-3
+
+
+def test_va_dataloader(tmp_path):
+    make_synth_va_index(str(tmp_path), "train", n=6, seconds=1.05)
+    cfg = base_cfg(str(tmp_path))
+    loader = build_image_audio_dataloader(cfg, "train", train=True)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 3, 224, 224)
+    assert batch["audio"].shape == (4, 1, 100, 128)
+    assert len(batch["name"]) == 4
+
+
+def test_va_dataloader_host_sharding(tmp_path):
+    make_synth_va_index(str(tmp_path), "train", n=8, seconds=1.05)
+    cfg = base_cfg(str(tmp_path))
+    l0 = build_image_audio_dataloader(cfg, "train", train=True, process_id=0, num_processes=2)
+    l1 = build_image_audio_dataloader(cfg, "train", train=True, process_id=1, num_processes=2)
+    ids0 = {r["id"] for r in l0.dataset.records}
+    ids1 = {r["id"] for r in l1.dataset.records}
+    assert not (ids0 & ids1)
+    assert len(ids0 | ids1) == 8
+    assert l0.batch_size == 2  # global batch divided
+
+
+def test_audio_text_dataloader(tmp_path):
+    make_synth_clotho(str(tmp_path), "clotho_dev", n=6, seconds=1.05)
+    cfg = base_cfg(str(tmp_path), ["running.prompt=the sound of"])
+    train_loader = build_audio_text_dataloader(cfg, "clotho_dev", train=True)
+    batch = next(iter(train_loader))
+    assert batch["audio"].shape == (4, 1, 100, 128)
+    assert batch["text"].shape == (4, 77)
+    assert batch["text"][0, 0] == 49406
+
+    eval_loader = build_audio_text_dataloader(cfg, "clotho_dev", train=False)
+    ebatch = next(iter(eval_loader))
+    assert ebatch["text"].shape == (20, 77)  # 4 audios × 5 captions
+
+
+def test_esc50_xfold(tmp_path):
+    make_synth_esc50(str(tmp_path), seconds=1.05)
+    cfg = base_cfg(str(tmp_path), ["running.prompt=the sound of ", "running.data_name=esc50"])
+    loaders, classes, label_ids = build_xfold_dataloader_list(cfg)
+    assert len(loaders) == 2  # 2 folds in the synthetic meta
+    assert classes == ["dog", "rain"]
+    assert label_ids.shape == (2, 77)
+    _, eval_loader = loaders[0]
+    batch = next(iter(eval_loader))
+    assert batch["audio"].shape[1:] == (1, 100, 128)
+    assert set(np.asarray(batch["label"])) <= {0, 1}
+
+
+def test_audioset_dataloader_clf_and_labelmap(tmp_path):
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    cfg = base_cfg(
+        str(tmp_path),
+        [
+            "running.prompt=the sound of",
+            "running.clf=True",
+            "running.mixup_rate=1.0",
+            "running.weighted_sampling=True",
+            "running.label_map=ontology,eval_segments",
+            "running.cat_label=False",
+            "running.nper_label=-1",
+            "running.filter_set=null",
+        ],
+    )
+    label_map = build_audioset_label_map(cfg.running)
+    assert len(label_map) == 2  # /m/unused is not in eval segments
+    assert label_map["/m/dog"][1] == "the sound of dog"
+    loader = build_audioset_dataloader(cfg, "as_train", train=True, label_map=label_map)
+    batch = next(iter(loader))
+    assert batch["audio"].shape == (4, 1, 100, 128)
+    assert batch["label"].shape == (4, 2)
+    assert batch["image"].shape == (4, 3, 224, 224)
+
+    # contrastive (labels-as-text) mode
+    cfg2 = base_cfg(
+        str(tmp_path),
+        [
+            "running.prompt=the sound of",
+            "running.clf=False",
+            "running.mixup_rate=0.0",
+            "running.weighted_sampling=False",
+            "running.label_map=ontology,eval_segments",
+            "running.cat_label=False",
+            "running.nper_label=-1",
+            "running.filter_set=null",
+        ],
+    )
+    loader2 = build_audioset_dataloader(cfg2, "as_train", train=True, label_map=label_map)
+    b2 = next(iter(loader2))
+    assert b2["text"].shape == (4, 77)

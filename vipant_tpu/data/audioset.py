@@ -1,0 +1,264 @@
+"""AudioSet datasets: label maps, filter sets, multi-label classification
+with waveform mixup, contrastive (labels-as-text) mode, weighted sampling.
+
+Parity with `/root/reference/cvap/data/audioset_cls.py`,
+`audioset_clf.py`, and `audioset_hub.py`: ontology-driven label map
+restricted to eval-present labels with prompt-prefixed BPE texts
+(`audioset_hub.py:76-106`), 3-format filter sets (`:32-58`), Beta(10,10)
+waveform mixup with label mixing (`audioset_cls.py:374-414`), and
+1000/(count+1) sampling weights (`audioset_cls.py:222-231`).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..tokenizer import tokenize
+from .image_audio import ImageAudioDatasetSrc, fbank_params_from_cfg
+from .indexfile import load_jsonl, shard_for_host
+from .loader import DataLoader
+from .transforms_audio import extract_fbank_features, random_crop
+from .wav import read_wav
+
+
+def build_filter_set(path: Optional[str]) -> Optional[set]:
+    """ytid filter from csv (col 0), jsonl ({"id"}), or plain txt
+    (parity: `/root/reference/cvap/data/audioset_hub.py:32-58`)."""
+    if not path or not os.path.exists(path):
+        return None
+    ids = set()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line.startswith("{"):
+                ids.add(json.loads(line)["id"])
+            else:
+                ids.add(line.split(",")[0].strip())
+    return ids
+
+
+def build_audioset_label_map(
+    cfg, label_map_spec: Optional[str] = None
+) -> Dict[str, Tuple[int, str, List[int]]]:
+    """label id ("/m/...") → (int index, prompt text, bpe tokens), built
+    from ontology.json restricted to labels present in the eval-segments CSV
+    (parity: `/root/reference/cvap/data/audioset_hub.py:76-106`)."""
+    spec = label_map_spec or cfg.get("label_map", "ontology,eval_segments")
+    onto_name, seg_name = [s.strip() for s in str(spec).split(",")]
+    with open(os.path.join(cfg.data_root, f"{onto_name}.json")) as f:
+        ontology = json.load(f)
+    name_by_id = {o["id"]: o["name"] for o in ontology}
+
+    present: List[str] = []
+    seg_path = os.path.join(cfg.data_root, f"{seg_name}.csv")
+    with open(seg_path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.rstrip("\n").split(",", 3)
+            if len(parts) < 4:
+                continue
+            labels = parts[3].strip().strip('"').split(",")
+            present.extend(l.strip() for l in labels)
+    keep = sorted(set(l for l in present if l in name_by_id))
+
+    prompt = str(cfg.get("prompt", "") or "")
+    label_map: Dict[str, Tuple[int, str, List[int]]] = {}
+    for i, lid in enumerate(keep):
+        # ontology names like "Dog" → "the sound of dog"
+        text = f"{prompt} {name_by_id[lid].lower()}".strip()
+        label_map[lid] = (i, text, tokenize(text, as_list=True)[0])
+    return label_map
+
+
+def sampling_weights(records: List[Dict], label_map: Dict, nlabel: int) -> np.ndarray:
+    """1000/(count+1) weights summed per record's labels
+    (parity: `/root/reference/cvap/data/audioset_cls.py:222-231`)."""
+    counts = np.zeros(nlabel, np.float64)
+    for rec in records:
+        for lid in rec.get("labels", []):
+            if lid in label_map:
+                counts[label_map[lid][0]] += 1
+    per_label = 1000.0 / (counts + 1.0)
+    weights = np.zeros(len(records), np.float64)
+    for i, rec in enumerate(records):
+        weights[i] = sum(
+            per_label[label_map[lid][0]] for lid in rec.get("labels", []) if lid in label_map
+        )
+    return np.maximum(weights, 1e-8)
+
+
+class AudiosetSrc(ImageAudioDatasetSrc):
+    """AudioSet records ``{"id","dir","aclip","frame","labels":[lids]}``.
+
+    clf mode: binary label vector + optional waveform mixup.
+    contrastive mode: VA item + label-text tokens
+    (parity: `/root/reference/cvap/data/audioset_cls.py:193-465`).
+    """
+
+    def __init__(
+        self,
+        cfg,
+        data_name: str,
+        train: bool,
+        label_map: Dict,
+        clf: bool = True,
+        mixup_rate: float = 0.0,
+        filter_set: Optional[set] = None,
+    ):
+        super().__init__(cfg, data_name, train)
+        if filter_set:
+            self.records = [r for r in self.records if r["id"] in filter_set]
+        nper = int(cfg.get("nper_label", -1) or -1)
+        if nper > 0:  # cap records per label
+            by_label = defaultdict(int)
+            kept = []
+            for r in self.records:
+                lids = [l for l in r.get("labels", []) if l in label_map]
+                if any(by_label[l] < nper for l in lids):
+                    kept.append(r)
+                    for l in lids:
+                        by_label[l] += 1
+            self.records = kept
+        self.label_map = label_map
+        self.nlabel = len(label_map)
+        self.clf = clf
+        self.mixup_rate = mixup_rate
+
+    def _label_vector(self, rec: Dict) -> np.ndarray:
+        vec = np.zeros(self.nlabel, np.float32)
+        for lid in rec.get("labels", []):
+            if lid in self.label_map:
+                vec[self.label_map[lid][0]] = 1.0
+        return vec
+
+    def _label_text(self, rec: Dict) -> np.ndarray:
+        """Concatenate (or pick) label prompts as one 77-token sequence."""
+        lids = [l for l in rec.get("labels", []) if l in self.label_map]
+        if not lids:
+            toks = [49406, 49407]
+        elif bool(self.cfg.get("cat_label", False)):
+            texts = [self.label_map[l][1] for l in lids]
+            toks = tokenize(", ".join(texts), as_list=True)[0]
+        else:
+            pick = np.random.choice(len(lids)) if self.train else 0
+            toks = self.label_map[lids[pick]][2]
+        out = np.zeros(77, np.int32)
+        toks = toks[:77]
+        out[: len(toks)] = toks
+        return out
+
+    def _audio_clf(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """fbank with optional waveform mixup + mixed labels
+        (parity: `/root/reference/cvap/data/audioset_cls.py:374-414`)."""
+        rec = self.records[index]
+        _, aclip_file, _, _ = self._paths(index)
+        label = self._label_vector(rec)
+        if self.train and self.mixup_rate > 0 and np.random.rand() < self.mixup_rate:
+            j = int(np.random.randint(len(self.records)))
+            _, other_file, _, _ = self._paths(j)
+            try:
+                w1, sr = read_wav(aclip_file)
+                w2, _ = read_wav(other_file)
+                lam = float(np.random.beta(10.0, 10.0))
+                n = min(w1.shape[-1], w2.shape[-1])
+                mixed = lam * w1[..., :n] + (1 - lam) * w2[..., :n]
+                audio = extract_fbank_features(
+                    (mixed, sr),
+                    self.params,
+                    max_audio_len=int(self.cfg.max_audio_len),
+                    train=self.train,
+                    zero_mean_wf=bool(self.acfg.get("zero_mean_wf", True)),
+                    norms=self.norms,
+                    transform_fbank=self.transform_fbank,
+                )
+                label = np.clip(label + self._label_vector(self.records[j]), 0, 1)
+                return audio, label
+            except Exception:
+                pass
+        return self._audio(aclip_file), label
+
+    def __getitem__(self, index: int) -> Dict:
+        rec = self.records[index]
+        name, aclip_file, frame_file, frame_emb_file = self._paths(index)
+        image = (
+            self._image_emb(frame_emb_file)
+            if frame_emb_file is not None
+            else self._image(frame_file)
+        )
+        if self.clf:
+            audio, label = self._audio_clf(index)
+            return {"image": image, "audio": audio, "label": label, "name": name}
+        audio = self._audio(aclip_file)
+        return {
+            "image": image,
+            "audio": audio,
+            "text": self._label_text(rec),
+            "name": name,
+        }
+
+
+class AudiosetCollator:
+    def __init__(self, clf: bool):
+        self.clf = clf
+
+    def __call__(self, items: List[Dict]) -> Dict[str, np.ndarray]:
+        out = {
+            "image": np.stack([it["image"] for it in items]).astype(np.float32),
+            "audio": np.stack([it["audio"] for it in items]).astype(np.float32)[:, None],
+            "name": [it["name"] for it in items],
+        }
+        if self.clf:
+            out["label"] = np.stack([it["label"] for it in items]).astype(np.float32)
+        else:
+            out["text"] = np.stack([it["text"] for it in items]).astype(np.int32)
+        return out
+
+
+def build_audioset_dataloader(
+    cfg,
+    data_name: str,
+    train: bool,
+    label_map: Optional[Dict] = None,
+    process_id: int = 0,
+    num_processes: int = 1,
+    device_put_fn=None,
+):
+    """(parity: `/root/reference/cvap/data/audioset_hub.py:108-143` +
+    `/root/reference/cvap/data/audioset_clf.py:154-194` weighted path)."""
+    run = cfg.running
+    label_map = label_map or build_audioset_label_map(run)
+    filter_set = build_filter_set(run.get("filter_set"))
+    clf = bool(run.get("clf", True))
+    ds = AudiosetSrc(
+        run,
+        data_name,
+        train,
+        label_map,
+        clf=clf,
+        mixup_rate=float(run.get("mixup_rate", 0.0)) if train else 0.0,
+        filter_set=filter_set,
+    )
+    ds.records = shard_for_host(ds.records, process_id, num_processes)
+    weights = None
+    if train and bool(run.get("weighted_sampling", False)):
+        weights = sampling_weights(ds.records, label_map, len(label_map))
+    return DataLoader(
+        ds,
+        batch_size=int(run.batch_size) // max(num_processes, 1),
+        collate_fn=AudiosetCollator(clf),
+        shuffle=train and weights is None,
+        drop_last=train,
+        num_workers=int(cfg.get("num_proc", 4)),
+        seed=int(cfg.get("seed", 0)),
+        device_put_fn=device_put_fn,
+        sample_weights=weights,
+    )

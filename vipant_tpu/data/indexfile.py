@@ -1,0 +1,59 @@
+"""Index-file handling: every dataset is a JSONL/CSV index of records
+``{id, dir, aclip, frame, labels/captions}`` with media at
+``{data_root}/{dir}/{aclip|frame_key}/{id}.{ext}``
+(convention: `/root/reference/cvap/data/image_audio.py:131-151`).
+
+Host sharding: each process takes a strided slice of the index — the SPMD
+analogue of ``DistributedSampler``
+(`/root/reference/cvap/data/image_audio.py:354-360`).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def load_jsonl(path: str, fraction: float = 1.0, limit: Optional[int] = None) -> List[Dict]:
+    records: List[Dict] = []
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                records.append(json.loads(line))
+    if fraction < 1.0:
+        records = records[: int(len(records) * fraction)]
+    if limit is not None and limit > 0:
+        records = records[:limit]
+    return records
+
+
+def load_csv(path: str, delimiter: str = ",") -> List[Dict]:
+    with open(path, "r", newline="") as f:
+        return list(csv.DictReader(f, delimiter=delimiter))
+
+
+def resolve_media_path(
+    data_root: str, record: Dict[str, Any], kind: str, ext: Optional[str] = None
+) -> str:
+    """kind: "aclip" (audio) or a frame key; the record stores the relative
+    file name in that field."""
+    name = record.get(kind) or f"{record['id']}.{ext or 'wav'}"
+    return os.path.join(data_root, str(record.get("dir", "")), kind, name)
+
+
+def shard_for_host(records: List, process_id: int, num_processes: int) -> List:
+    if num_processes <= 1:
+        return records
+    return records[process_id::num_processes]
+
+
+def epoch_permutation(n: int, epoch: int, seed: int) -> np.ndarray:
+    """Deterministic per-epoch shuffle (the ``sampler.set_epoch`` analogue,
+    `/root/reference/cvap/monitor/cvap.py:106-111`)."""
+    rng = np.random.default_rng(seed + epoch)
+    return rng.permutation(n)

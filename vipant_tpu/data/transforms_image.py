@@ -1,0 +1,127 @@
+"""Host-side image preprocessing (PIL + NumPy).
+
+Capability parity with `/root/reference/cvap/data/image/transform.py`: the
+CLIP eval pipeline (bicubic resize → center crop → CLIP mean/std, `:11-18`)
+and the BYOL/Barlow-style multi-view train augmentations (random resized
+crop, flip, color jitter, grayscale, blur, solarization, `:20-200`).
+Outputs are CHW float32 — checkpoint-parity-critical for the CLIP towers.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageFilter, ImageOps
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _to_chw(img: Image.Image) -> np.ndarray:
+    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    arr = (arr - CLIP_MEAN) / CLIP_STD
+    return arr.transpose(2, 0, 1)
+
+
+def clip_preprocess(img: Image.Image, size: int = 224) -> np.ndarray:
+    """CLIP eval preprocessing: bicubic resize of the short side + center
+    crop + normalize (parity: `/root/reference/cvap/data/image/transform.py:11-18`)."""
+    w, h = img.size
+    scale = size / min(w, h)
+    img = img.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+    w, h = img.size
+    left, top = (w - size) // 2, (h - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return _to_chw(img)
+
+
+class GaussianBlur:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        if random.random() <= self.p:
+            sigma = random.random() * 1.9 + 0.1
+            return img.filter(ImageFilter.GaussianBlur(sigma))
+        return img
+
+
+class Solarization:
+    def __init__(self, p: float = 0.0):
+        self.p = p
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        if random.random() <= self.p:
+            return ImageOps.solarize(img)
+        return img
+
+
+def _random_resized_crop(
+    img: Image.Image, size: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
+) -> Image.Image:
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target = random.uniform(*scale) * area
+        ar = np.exp(random.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = random.randint(0, w - cw)
+            top = random.randint(0, h - ch)
+            return img.crop((left, top, left + cw, top + ch)).resize(
+                (size, size), Image.BICUBIC
+            )
+    return img.resize((size, size), Image.BICUBIC)
+
+
+def _color_jitter(img: Image.Image) -> Image.Image:
+    from PIL import ImageEnhance
+
+    for enhancer, rng in (
+        (ImageEnhance.Brightness, 0.4),
+        (ImageEnhance.Contrast, 0.4),
+        (ImageEnhance.Color, 0.2),
+    ):
+        img = enhancer(img).enhance(1.0 + random.uniform(-rng, rng))
+    return img
+
+
+class TrainImageTransform:
+    """Single-view train augmentation: random resized crop + flip
+    (the reference's CLIPImageTransform train branch)."""
+
+    def __init__(self, size: int = 224):
+        self.size = size
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = _random_resized_crop(img, self.size, scale=(0.6, 1.0))
+        if random.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return _to_chw(img)
+
+
+class SharedImageTransform:
+    """Two-view BYOL/Barlow augmentation
+    (parity: `/root/reference/cvap/data/image/transform.py` multi-view
+    classes): view 1 always blurred, view 2 rarely blurred + solarized."""
+
+    def __init__(self, size: int = 224):
+        self.size = size
+
+    def _view(self, img: Image.Image, blur_p: float, solar_p: float) -> np.ndarray:
+        img = _random_resized_crop(img, self.size)
+        if random.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if random.random() < 0.8:
+            img = _color_jitter(img)
+        if random.random() < 0.2:
+            img = img.convert("L").convert("RGB")
+        img = GaussianBlur(blur_p)(img)
+        img = Solarization(solar_p)(img)
+        return _to_chw(img)
+
+    def __call__(self, img: Image.Image) -> Tuple[np.ndarray, np.ndarray]:
+        return self._view(img, 1.0, 0.0), self._view(img, 0.1, 0.2)

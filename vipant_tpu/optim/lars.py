@@ -90,7 +90,7 @@ def lars(
         assert params is not None, "lars requires params"
         lr = lr_fn(state.count)
 
-        def one(g, p, v):
+        def new_v(g, p, v):
             if _is_weight(p):
                 d = g + weight_decay * p
                 p_norm = jnp.linalg.norm(p)
@@ -104,12 +104,10 @@ def lars(
             else:
                 d = g
                 local_lr = lr * lr_bias
-            v_new = momentum * v + local_lr * d
-            return -v_new, v_new
+            return momentum * v + local_lr * d
 
-        flat = jax.tree_util.tree_map(one, updates, params, state.momentum)
-        new_updates = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
-        new_momentum = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+        new_momentum = jax.tree_util.tree_map(new_v, updates, params, state.momentum)
+        new_updates = jax.tree_util.tree_map(lambda v: -v, new_momentum)
         return new_updates, LarsState(momentum=new_momentum, count=state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -1,0 +1,95 @@
+"""Device mesh + sharding helpers.
+
+The TPU-native replacement for the reference's process/device management
+(`/root/reference/train.py:17-35` NCCL bootstrap + DP/DDP modes,
+SURVEY.md §2.8): one SPMD program over a ``jax.sharding.Mesh`` with a
+``data`` axis (batch sharding → global contrastive negatives via XLA
+collectives over ICI) and a ``model`` axis reserved for tower sharding.
+
+Multi-host: call :func:`distributed_init` once per host before mesh
+creation; JAX's distributed runtime plays the role of the reference's TCP
+rendezvous (`/root/reference/train.py:21-26`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (no-op for single-host)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place every array in the batch pytree with its batch axis sharded
+    over ``data`` — the analogue of the reference's per-rank batch slicing
+    (`/root/reference/cvap/data/image_audio.py:354-360`), except the global
+    batch is one logical array."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
+    """Tensor-parallel placement over the ``model`` axis: the last axis of
+    every large ≥2-d kernel is sharded (Megatron-style column split; XLA
+    inserts the matching collectives). Small params replicate."""
+    msize = mesh.shape["model"]
+
+    def spec(x):
+        if (
+            msize > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.shape[-1] % msize == 0
+            and x.size >= min_size
+        ):
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def shard_params(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
+    shardings = param_shardings(params, mesh, min_size)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -1,0 +1,104 @@
+"""Jitted train/eval steps over the mesh.
+
+One SPMD program: params replicated (model axis reserved for tower
+sharding), batch sharded along ``data``. The contrastive loss is written
+over the global batch, so XLA inserts the feature all-gather on ICI —
+reference ``dp``-mode semantics (`/root/reference/cvap/model/cvap.py:28-39`)
+at arbitrary scale, which its ``ddp`` mode lacked (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nn.tying import restore_tied
+from ..optim.partition import merge_params
+from .state import TrainState
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    ties: Sequence[Tuple[str, str]] = (),
+    has_batch_stats: bool = False,
+    loss_adapter: Optional[Callable] = None,
+    donate: bool = True,
+    frozen_params: Optional[Any] = None,
+):
+    """Build a jitted ``(state, *batch) -> (state, metrics)`` step.
+
+    ``loss_adapter(model, variables, batch, rngs)`` returns
+    ``loss`` or ``(loss, aux)`` or ``((loss, aux), mutated_vars)`` when
+    batch_stats are mutable; defaults to ``model.apply(variables, *batch)``.
+
+    ``frozen_params``: non-trainable subtree (see
+    :mod:`vipant_tpu.optim.partition`) — kept out of the differentiated
+    function so XLA never builds backward graphs for frozen towers, and out
+    of the optimizer state. ``state.params`` then holds only trainables.
+    """
+    ties = tuple(ties)
+
+    def default_adapter(model, variables, batch, rngs):
+        mutable = ["batch_stats"] if has_batch_stats else False
+        out = model.apply(variables, *batch, train=True, rngs=rngs, mutable=mutable)
+        return out
+
+    adapter = loss_adapter or default_adapter
+
+    def loss_fn(params, batch_stats, batch, rngs):
+        params_full = merge_params(params, frozen_params) if frozen_params is not None else params
+        params_full = restore_tied(params_full, ties) if ties else params_full
+        variables = {"params": params_full}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = adapter(model, variables, batch, rngs)
+        new_stats = None
+        if has_batch_stats:
+            out, mutated = out
+            new_stats = mutated.get("batch_stats", batch_stats)
+        if isinstance(out, tuple):
+            loss, aux = out
+        else:
+            loss, aux = out, {}
+        return loss, (aux, new_stats)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, *batch):
+        rng, new_rng = jax.random.split(state.rng)
+        rngs = {"dropout": rng}
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rngs
+        )
+        new_state = state.apply_gradients(
+            tx,
+            grads,
+            batch_stats=new_stats if has_batch_stats else state.batch_stats,
+            rng=new_rng,
+        )
+        metrics = {"loss": loss, **{f"loss_{k}": v for k, v in aux.items()}}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, ties: Sequence[Tuple[str, str]] = (), method: Optional[str] = None):
+    """Jitted feature-extraction step for evaluation (no grad)."""
+    ties = tuple(ties)
+
+    @jax.jit
+    def eval_step(variables, *batch):
+        if ties:
+            variables = dict(variables)
+            variables["params"] = restore_tied(variables["params"], ties)
+        kwargs = {"train": False}
+        if method is not None:
+            return model.apply(variables, *batch, method=method, **kwargs)
+        return model.apply(variables, *batch, method="features", **kwargs)
+
+    return eval_step
