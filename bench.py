@@ -16,6 +16,11 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from vipant_tpu.config import compose
@@ -49,19 +54,22 @@ def main() -> None:
     images = jnp.asarray(rng.standard_normal((B, 3, 224, 224)), jnp.float32)
     audios = jnp.asarray(rng.standard_normal((B, 1, 1000, 128)), jnp.float32)
 
-    step = make_train_step(model, tx, frozen_params=frozen, donate=True)
-    state = TrainState.create(trainable, tx)
+    step = make_train_step(model, tx, donate=True)
+    state = TrainState.create(trainable, tx, frozen_params=frozen)
 
-    # compile + warmup
+    # compile + warmup; NOTE: timings use a host read (float()) of the last
+    # step's loss — through the remote-device relay, block_until_ready
+    # acknowledges before execution finishes, so only a D2H read is an
+    # honest barrier.
     state, metrics = step(state, images, audios)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     state, metrics = step(state, images, audios)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, images, audios)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / STEPS
 
     n_chips = max(jax.device_count(), 1)

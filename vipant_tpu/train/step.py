@@ -28,7 +28,6 @@ def make_train_step(
     has_batch_stats: bool = False,
     loss_adapter: Optional[Callable] = None,
     donate: bool = True,
-    frozen_params: Optional[Any] = None,
 ):
     """Build a jitted ``(state, *batch) -> (state, metrics)`` step.
 
@@ -36,10 +35,11 @@ def make_train_step(
     ``loss`` or ``(loss, aux)`` or ``((loss, aux), mutated_vars)`` when
     batch_stats are mutable; defaults to ``model.apply(variables, *batch)``.
 
-    ``frozen_params``: non-trainable subtree (see
-    :mod:`vipant_tpu.optim.partition`) — kept out of the differentiated
-    function so XLA never builds backward graphs for frozen towers, and out
-    of the optimizer state. ``state.params`` then holds only trainables.
+    Frozen towers live in ``state.frozen_params`` (see
+    :mod:`vipant_tpu.optim.partition`): they are outside the differentiated
+    function — XLA never builds their backward graphs — and outside the
+    optimizer state, and being a step *argument* (not a closure constant)
+    they are never baked into the HLO as literals.
     """
     ties = tuple(ties)
 
@@ -50,7 +50,7 @@ def make_train_step(
 
     adapter = loss_adapter or default_adapter
 
-    def loss_fn(params, batch_stats, batch, rngs):
+    def loss_fn(params, frozen_params, batch_stats, batch, rngs):
         params_full = merge_params(params, frozen_params) if frozen_params is not None else params
         params_full = restore_tied(params_full, ties) if ties else params_full
         variables = {"params": params_full}
@@ -72,7 +72,7 @@ def make_train_step(
         rng, new_rng = jax.random.split(state.rng)
         rngs = {"dropout": rng}
         (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rngs
+            state.params, state.frozen_params, state.batch_stats, batch, rngs
         )
         new_state = state.apply_gradients(
             tx,
