@@ -107,21 +107,29 @@ def _port_transformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 
 def port_clip_visual(
-    visual_sd: Dict[str, np.ndarray], tower: VisionTower, use_slice: bool = True
+    visual_sd: Dict[str, np.ndarray],
+    tower: VisionTower,
+    use_slice: bool = True,
+    src_grid: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, Any]:
     """Visual CLIP weights → VisionTower variable collections
     (``{"params": ...}``; ResNet towers also carry ``"batch_stats"``),
-    re-gridded to the tower's (possibly rectangular) patch grid."""
+    re-gridded to the tower's (possibly rectangular) patch grid.
+
+    ``src_grid``: grid of the stored positional embedding; inferred as
+    square from its length when omitted (CLIP checkpoints). Reference audio
+    checkpoints store rectangular grids — pass theirs explicitly."""
     sd = {k: _np(v) for k, v in visual_sd.items()}
     if tower.backbone == "resnet":
         return _port_clip_resnet(sd, tower)
 
     grid, patch_hw, _ = vit_grid(tower.resolution, tower.patch_size, tower.stride)
-    # source grid from the checkpoint's own pos-emb length (square)
     n_pos = sd["positional_embedding"].shape[0]
-    src = int(round(np.sqrt(n_pos - 1)))
+    if src_grid is None:
+        s = int(round(np.sqrt(n_pos - 1)))
+        src_grid = (s, s)
     pos = slice_or_interp_pos_grid(
-        sd["positional_embedding"], (src, src), grid, n_prefix=1, use_slice=use_slice
+        sd["positional_embedding"], src_grid, grid, n_prefix=1, use_slice=use_slice
     )
 
     kernel = sd["conv1.weight"]  # [O, I, H, W]

@@ -145,10 +145,38 @@ def example_batch(cfg, batch_size: int = 2) -> Tuple:
     raise KeyError(worker)
 
 
+def _deep_merge(dst: Dict, src: Dict) -> Dict:
+    out = dict(dst)
+    for k, v in src.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        elif k not in out:
+            out[k] = v
+    return out
+
+
 def init_model(cfg, module, seed: int = 0, batch=None):
+    """Initialize ALL tower params, including ones the training ``__call__``
+    doesn't touch (e.g. the classifier's zero-shot text tower, the CLAP
+    captioning decoder)."""
     batch = batch if batch is not None else example_batch(cfg)
     batch = tuple(jnp.asarray(b) for b in batch)
-    return module.init(jax.random.PRNGKey(seed), *batch)
+    key = jax.random.PRNGKey(seed)
+    variables = dict(module.init(key, *batch))
+
+    worker = cfg.worker
+    extras = []
+    ctx = int(cfg.model.text.get("ctx_len", 77)) if "text" in cfg.model else 77
+    text_ids = jnp.zeros((1, ctx), jnp.int32).at[0, 0].set(49406).at[0, 1].set(49407)
+    if worker in ("ESClassifier", "ASClassifier") and getattr(module, "text", None) is not None:
+        extras.append(((text_ids,), {"method": "encode_text"}))
+    if worker == "CLAP" and getattr(module, "decoder", None) is not None:
+        audio = jnp.asarray(batch[0])
+        extras.append(((audio, text_ids.repeat(audio.shape[0], 0)), {"method": "forward_caption"}))
+    for args, kw in extras:
+        extra_vars = module.init(key, *args, **kw)
+        variables["params"] = _deep_merge(variables["params"], extra_vars["params"])
+    return variables
 
 
 # ---------------------------------------------------------------------------

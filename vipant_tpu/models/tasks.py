@@ -154,6 +154,12 @@ class CVASP(nn.Module):
     audio: Any
     loss: Any
 
+    def encode_pivot_image(self, images, train: bool = False):
+        return _encode(self.image, images, train)
+
+    def encode_audio_view(self, audios, train: bool = False):
+        return _encode(self.audio, audios, train)
+
     def __call__(
         self,
         images,

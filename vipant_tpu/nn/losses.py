@@ -358,6 +358,19 @@ class ImagineAndClassifyLossHead(nn.Module):
         image: Optional[jnp.ndarray] = None,
         train: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        bce_head = (
+            BCELossHead(
+                num_labels=self.num_labels,
+                scaling=self.scaling,
+                bias=self.bias,
+                name="bce",
+            )
+            if self.use_bce
+            else None
+        )
+        if not train:  # eval: multi-label sigmoid scores
+            assert bce_head is not None
+            return bce_head(audio, labels, train=False)
         total = jnp.asarray(0.0, jnp.float32)
         aux: Dict[str, jnp.ndarray] = {}
         if self.use_ce and image is not None:
@@ -370,13 +383,8 @@ class ImagineAndClassifyLossHead(nn.Module):
                 scaling=self.scaling, scale_max=self.scale_max, name="ce"
             )(imagined, image)
             total = total + self.lambd_ce * aux["ce"]
-        if self.use_bce:
-            aux["bce"] = BCELossHead(
-                num_labels=self.num_labels,
-                scaling=self.scaling,
-                bias=self.bias,
-                name="bce",
-            )(audio, labels, train=True)
+        if bce_head is not None:
+            aux["bce"] = bce_head(audio, labels, train=True)
             total = total + aux["bce"]
         return total, aux
 

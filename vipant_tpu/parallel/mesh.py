@@ -42,8 +42,8 @@ def make_mesh(
     if data == -1:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

@@ -1,0 +1,442 @@
+"""Task monitors (drivers) beyond VA pre-training.
+
+Parity with the reference monitor suite (SURVEY.md §2.2):
+``LAMonitor`` (audio-text fine-tune/retrieval/captioning,
+`/root/reference/cvap/monitor/clap.py`), ``VALMonitor`` (trimodal,
+`cvalp.py`), ``VASMonitor`` (siamese multi-view, `siamese_va.py`),
+``ASMonitor`` (AudioSet clf + zero-shot, `audioset_clf.py`), and
+``ESCMonitor`` (x-fold classification + zero-shot, `esc50_clf.py`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..ckpt import extract_model_files, load_torch_file
+from ..eval import (
+    classification_p1,
+    multilabel_report,
+    one_vs_k_retrieval,
+    symmetric_retrieval,
+    zero_shot_classification,
+)
+from ..nn.heads import normalize as _norm_jnp
+from ..parallel import shard_batch
+from .step import make_eval_step
+from .trainer import Trainer, register_monitor
+
+
+def _l2(x: np.ndarray) -> np.ndarray:
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@register_monitor("LAMonitor")
+class LATrainer(Trainer):
+    """Audio-text fine-tuning / retrieval / captioning."""
+
+    batch_keys = ("audio", "text")
+
+    def build_data(self):
+        from ..data import build_audio_text_dataloader, build_image_text_dataloader
+
+        cfg, run = self.cfg, self.cfg.running
+        pid, np_ = jax.process_index(), jax.process_count()
+        which = str(run.get("dataloader", "al"))
+        build = (
+            build_image_text_dataloader if which == "lv" else build_audio_text_dataloader
+        )
+        self.loader = (
+            build(cfg, str(run.data_name), True, pid, np_)
+            if not self.eval_mode and run.get("data_name")
+            else None
+        )
+        self.evalloader = build(cfg, str(run.eval_name), False) if run.get("eval_name") else None
+        self.testloader = build(cfg, str(run.test_name), False) if run.get("test_name") else None
+        self.output_dim = None
+
+    @staticmethod
+    def loss_adapter(model, variables, batch, rngs):
+        return model.apply(variables, *batch, retrieval=True, train=True, rngs=rngs)
+
+    def infer(self, loader) -> str:
+        """1-vs-5 retrieval report
+        (parity: `/root/reference/cvap/module/decoder/loss_head.py:135-169`)."""
+        data = self.collect_features(loader)
+        a, t = data["x1"], data["x2"]
+        k = t.shape[0] // a.shape[0]
+        m = one_vs_k_retrieval(a, t, k=k)
+        ref = m["ref_a2t"]
+        return (
+            f"A->T: t1 = {m['a2t']['t1']:2.2f} t5 = {m['a2t']['t5']:2.2f} mR = {m['a2t']['mR']:2.2f} "
+            f"T->A: t1 = {m['t2a']['t1']:2.2f} t5 = {m['t2a']['t5']:2.2f} mR = {m['t2a']['mR']:2.2f} "
+            f"@ {a.shape[0]} | REF A->T R@1 {ref['R@1']:2.2f} R@5 {ref['R@5']:2.2f} "
+            f"R@10 {ref['R@10']:2.2f} R@50 {ref['R@50']:2.2f} MED {ref['MED']:2.2f} AVG {ref['AVG']:2.2f}"
+        )
+
+    def repeated_retrieval(self) -> List[str]:
+        """Evaluate every checkpoint named in a training log
+        (parity: `/root/reference/cvap/monitor/clap.py:116-133,302-311`)."""
+        log_path = os.path.join(
+            str(self.cfg.model_root), str(self.cfg.model_name), str(self.cfg.model_file)
+        )
+        reports = []
+        for ckpt in extract_model_files(log_path):
+            from ..ckpt import load_checkpoint
+
+            self.state = load_checkpoint(ckpt, self.state)
+            reports.append(f"{ckpt}: {self.infer(self.evalloader)}")
+            self.echo.info(reports[-1])
+        return reports
+
+    def encode_text_dump(self, texts: np.ndarray, out_path: str):
+        """Caption-embedding dump to npz
+        (parity: `/root/reference/cvap/monitor/clap.py:46-76`)."""
+        variables = self.eval_variables()
+        embs = []
+        for i in range(0, len(texts), 256):
+            z = self.model.apply(
+                variables, jax.numpy.asarray(texts[i : i + 256]), method="encode_text"
+            )
+            embs.append(np.asarray(z))
+        np.savez(out_path, v=np.concatenate(embs))
+        return out_path
+
+    def decode_captions(self, loader, max_batches: int = 10) -> List[str]:
+        """Greedy caption decoding through the SeqGenerationHead."""
+        from ..tokenizer import get_tokenizer
+
+        tk = get_tokenizer()
+        variables = self.eval_variables()
+        out = []
+        for bi, batch in enumerate(loader):
+            if bi >= max_batches:
+                break
+            ids, _ = self.model.apply(
+                variables, jax.numpy.asarray(batch["audio"]), method="decode"
+            )
+            for row in np.asarray(ids):
+                toks = [int(t) for t in row[1:] if t not in (0, 49406)]
+                if 49407 in toks:
+                    toks = toks[: toks.index(49407)]
+                out.append(tk.decode(toks).strip())
+        return out
+
+
+@register_monitor("VALMonitor")
+class VALTrainer(Trainer):
+    """Trimodal V-A-L training on AudioSet
+    (parity: `/root/reference/cvap/monitor/cvalp.py`)."""
+
+    batch_keys = ("image", "audio", "text")
+
+    def build_data(self):
+        from ..data import build_audioset_dataloader, build_audioset_label_map
+
+        cfg, run = self.cfg, self.cfg.running
+        pid, np_ = jax.process_index(), jax.process_count()
+        self.label_map = build_audioset_label_map(run) if run.get("label_map") else None
+        kw = dict(label_map=self.label_map)
+        self.loader = (
+            build_audioset_dataloader(cfg, str(run.data_name), True, process_id=pid, num_processes=np_, **kw)
+            if not self.eval_mode and run.get("data_name")
+            else None
+        )
+        self.evalloader = (
+            build_audioset_dataloader(cfg, str(run.eval_name), False, **kw)
+            if run.get("eval_name")
+            else None
+        )
+        self.output_dim = None
+
+    def infer(self, loader) -> str:
+        data = self.collect_features(loader)
+        parts = []
+        if "x1" in data and "x2" in data:
+            sym = symmetric_retrieval(data["x1"], data["x2"])
+            parts.append(f"VA: I->A t1 {sym['12']['t1']:2.2f} A->I t1 {sym['21']['t1']:2.2f}")
+        if "x2" in data and "x3" in data:
+            sym = symmetric_retrieval(data["x2"], data["x3"])
+            parts.append(f"AL: A->L t1 {sym['12']['t1']:2.2f} L->A t1 {sym['21']['t1']:2.2f}")
+        return " | ".join(parts) + f" @ {data['x1'].shape[0]}"
+
+    def collect_model_export(self):
+        params = self.state.full_params()
+        return {k: params[k] for k in ("image", "audio", "text", "loss") if k in params}
+
+
+@register_monitor("VASMonitor")
+class VASTrainer(Trainer):
+    """Multi-view siamese VA training
+    (parity: `/root/reference/cvap/monitor/siamese_va.py`): view tuple
+    composition follows the active loss flags (`:23-62`)."""
+
+    def __init__(self, cfg, echo=None):
+        loss_cfg = cfg.model.loss
+        self.use_vv = bool(loss_cfg.get("vv", True))
+        self.use_aa = bool(loss_cfg.get("aa", False))
+        super().__init__(cfg, echo)
+
+    batch_keys = ("image", "image_v1", "audio_v1", "image_v2", "audio_v2")
+
+    def build_data(self):
+        from ..data import build_image_audio_dataloader
+
+        cfg, run = self.cfg, self.cfg.running
+        pid, np_ = jax.process_index(), jax.process_count()
+        self.loader = (
+            build_image_audio_dataloader(cfg, str(run.data_name), True, pid, np_)
+            if not self.eval_mode and run.get("data_name")
+            else None
+        )
+        self.evalloader = (
+            build_image_audio_dataloader(cfg, str(run.eval_name), False)
+            if run.get("eval_name")
+            else None
+        )
+        self.output_dim = None
+
+    def make_batch(self, batch):
+        args = [batch["image"], batch["image_v1"], batch["audio_v1"]]
+        args.append(batch["image_v2"] if self.use_vv else None)
+        args.append(batch["audio_v2"] if self.use_aa else None)
+        present = [a for a in args if a is not None]
+        sharded = list(shard_batch(tuple(present), self.mesh))
+        return tuple(sharded.pop(0) if a is not None else None for a in args)
+
+    def infer(self, loader) -> str:
+        """Pivot-image ↔ audio retrieval on eval batches
+        (parity: `/root/reference/cvap/monitor/siamese_va.py:154-180`)."""
+        data = self._collect_pivot_features(loader)
+        sym = symmetric_retrieval(data["v"], data["a"])
+        return (
+            f"I->A: t1 = {sym['12']['t1']:2.2f} A->I: t1 = {sym['21']['t1']:2.2f} "
+            f"@ {data['v'].shape[0]}"
+        )
+
+    def _collect_pivot_features(self, loader):
+        variables = self.eval_variables()
+
+        @jax.jit
+        def enc(variables, image, audio):
+            v = self.model.apply(variables, image, method="encode_pivot_image")
+            a = self.model.apply(variables, audio, method="encode_audio_view")
+            return v, a
+
+        vs, aas = [], []
+        for batch in loader:
+            v, a = enc(
+                variables,
+                jax.numpy.asarray(batch["image"]),
+                jax.numpy.asarray(batch["audio_v1"]),
+            )
+            vs.append(np.asarray(v))
+            aas.append(np.asarray(a))
+        return {"v": np.concatenate(vs), "a": np.concatenate(aas)}
+
+    def collect_model_export(self):
+        params = self.state.full_params()
+        return {k: params[k] for k in ("audio", "loss") if k in params}
+
+
+@register_monitor("ASMonitor")
+class ASTrainer(Trainer):
+    """AudioSet multi-label classification + zero-shot
+    (parity: `/root/reference/cvap/monitor/audioset_clf.py`)."""
+
+    batch_keys = ("image", "audio", "label")
+
+    def build_data(self):
+        from ..data import build_audioset_dataloader, build_audioset_label_map
+
+        cfg, run = self.cfg, self.cfg.running
+        pid, np_ = jax.process_index(), jax.process_count()
+        self.label_map = build_audioset_label_map(run)
+        self.output_dim = len(self.label_map)
+        kw = dict(label_map=self.label_map)
+        self.loader = (
+            build_audioset_dataloader(cfg, str(run.data_name), True, process_id=pid, num_processes=np_, **kw)
+            if not self.eval_mode and run.get("data_name")
+            else None
+        )
+        self.evalloader = (
+            build_audioset_dataloader(cfg, str(run.eval_name), False, **kw)
+            if run.get("eval_name")
+            else None
+        )
+
+    def infer(self, loader) -> str:
+        """Multi-label report over sigmoid scores
+        (parity: `/root/reference/cvap/module/decoder/loss_more.py:92-131`)."""
+        variables = self.eval_variables()
+
+        @jax.jit
+        def score(variables, image, audio, label):
+            return self.model.apply(variables, image, audio, label, train=False)
+
+        scores, labels = [], []
+        for batch in loader:
+            s = score(
+                variables,
+                jax.numpy.asarray(batch["image"]),
+                jax.numpy.asarray(batch["audio"]),
+                jax.numpy.asarray(batch["label"]),
+            )
+            if isinstance(s, tuple):
+                s = s[0]
+            scores.append(np.asarray(s))
+            labels.append(batch["label"])
+        m = multilabel_report(np.concatenate(scores), np.concatenate(labels))
+        return (
+            f"Mac-AP = {m['Mac-AP']:2.2f} Mic-AP = {m['Mic-AP']:2.2f} wAP = {m['wAP']:2.2f} "
+            f"mAP = {m['mAP']:2.2f} mAUC = {m['mAUC']:2.2f} mP = {m['mP']:2.2f} mR = {m['mR']:2.2f}"
+        )
+
+    def encode_label_texts(self) -> np.ndarray:
+        """Label-prompt embeddings, batched
+        (parity: `/root/reference/cvap/monitor/audioset_clf.py:362-375`)."""
+        ids = np.zeros((len(self.label_map), 77), np.int32)
+        for lid, (i, _, toks) in self.label_map.items():
+            toks = toks[:77]
+            ids[i, : len(toks)] = toks
+        variables = self.eval_variables()
+        embs = []
+        for i in range(0, len(ids), 128):
+            z = self.model.apply(
+                variables, jax.numpy.asarray(ids[i : i + 128]), method="encode_text"
+            )
+            embs.append(np.asarray(z))
+        return np.concatenate(embs)
+
+    def zero_shot(self, loader) -> str:
+        """audio↔label-text similarity → multi-label metrics
+        (parity: `/root/reference/cvap/monitor/audioset_clf.py:377-404`)."""
+        text = _l2(self.encode_label_texts())
+        variables = self.eval_variables()
+        scores, labels = [], []
+        for batch in loader:
+            a = self.model.apply(
+                variables, jax.numpy.asarray(batch["audio"]), method="encode_audio"
+            )
+            scores.append(_l2(np.asarray(a)) @ text.T)
+            labels.append(batch["label"])
+        m = multilabel_report(np.concatenate(scores), np.concatenate(labels))
+        return f"zero-shot mAP = {m['mAP']:2.2f} mAUC = {m['mAUC']:2.2f}"
+
+    def encode_audios_dump(self, loader, out_path: str) -> str:
+        """Audio-embedding dump
+        (parity: `/root/reference/cvap/monitor/audioset_clf.py:70-98`)."""
+        variables = self.eval_variables()
+        embs, names = [], []
+        for batch in loader:
+            a = self.model.apply(
+                variables, jax.numpy.asarray(batch["audio"]), method="encode_audio"
+            )
+            embs.append(np.asarray(a))
+            names.extend(batch["name"])
+        np.savez(out_path, v=np.concatenate(embs), names=np.asarray(names))
+        return out_path
+
+    def collect_model_export(self):
+        params = self.state.full_params()
+        return {k: params[k] for k in ("audio", "loss") if k in params}
+
+
+@register_monitor("ESCMonitor")
+class ESCTrainer(Trainer):
+    """ESC-50 / US8K / AudioSet-eval / VoxCeleb2 x-fold classification and
+    zero-shot (parity: `/root/reference/cvap/monitor/esc50_clf.py`)."""
+
+    batch_keys = ("audio", "label")
+
+    def build_data(self):
+        from ..data import build_xfold_dataloader_list
+
+        self.folds, self.classes, self.label_ids = build_xfold_dataloader_list(self.cfg)
+        self.output_dim = len(self.classes)
+        first_train, first_eval = self.folds[0]
+        self.loader = first_train
+        self.evalloader = first_eval
+
+    def encode_label_texts(self) -> np.ndarray:
+        variables = self.eval_variables()
+        z = self.model.apply(
+            variables, jax.numpy.asarray(self.label_ids), method="encode_text"
+        )
+        return np.asarray(z)
+
+    def _fold_predictions(self, loader) -> Tuple[np.ndarray, np.ndarray]:
+        variables = self.eval_variables()
+        preds, labels = [], []
+        for batch in loader:
+            p = self.model.apply(
+                variables, jax.numpy.asarray(batch["audio"]), method="predictions"
+            )
+            preds.append(np.asarray(p))
+            labels.append(batch["label"])
+        return np.concatenate(preds), np.concatenate(labels)
+
+    def _fold_audio_features(self, loader) -> Tuple[np.ndarray, np.ndarray]:
+        variables = self.eval_variables()
+        embs, labels = [], []
+        for batch in loader:
+            a = self.model.apply(
+                variables, jax.numpy.asarray(batch["audio"]), method="encode_audio"
+            )
+            embs.append(np.asarray(a))
+            labels.append(batch["label"])
+        return np.concatenate(embs), np.concatenate(labels)
+
+    def zero_shot(self, loader) -> float:
+        """Per-fold zero-shot P@1
+        (parity: `/root/reference/cvap/monitor/esc50_clf.py:260-292`)."""
+        text = self.encode_label_texts()
+        audio, labels = self._fold_audio_features(loader)
+        return zero_shot_classification(audio, text, labels)
+
+    def standard_zero_shot(self) -> float:
+        """Pooled zero-shot over all folds
+        (parity: `/root/reference/cvap/monitor/esc50_clf.py:294-325`)."""
+        text = self.encode_label_texts()
+        audios, labels = [], []
+        for _, eval_loader in self.folds:
+            a, l = self._fold_audio_features(eval_loader)
+            audios.append(a)
+            labels.append(l)
+        p1 = zero_shot_classification(np.concatenate(audios), text, np.concatenate(labels))
+        self.echo.info(f"A->T: p1 = {p1:2.2f} @ {sum(len(l) for l in labels)}")
+        return p1
+
+    def learn(self):
+        if bool(self.cfg.running.get("zero_shot", False)) or self.eval_mode:
+            return self.standard_zero_shot()
+        # supervised x-fold loop with re-initialization per fold
+        # (parity: `/root/reference/cvap/monitor/esc50_clf.py:43-102`)
+        accs = []
+        for fi, (train_loader, eval_loader) in enumerate(self.folds):
+            self.reinitialize()
+            self.loader, self.evalloader = train_loader, eval_loader
+            for ie in range(int(self.cfg.running.epochs)):
+                self.loader.set_epoch(ie)
+                self.epoch(ie)
+            preds, labels = self._fold_predictions(eval_loader)
+            acc = classification_p1(preds, labels)
+            accs.append(acc)
+            self.echo.info(f"fold {fi}: p1 = {acc:2.2f}")
+        mean, std = float(np.mean(accs)), float(np.std(accs))
+        self.echo.info(f"summary: p1 = {mean:2.2f} ± {std:2.2f} over {len(accs)} folds")
+        return mean
+
+    def reinitialize(self):
+        self.build_model()
+        self.build_optimizer()
+
+    def make_batch(self, batch):
+        return shard_batch((batch["audio"], batch["label"]), self.mesh)
+
+    def collect_model_export(self):
+        params = self.state.full_params()
+        return {k: params[k] for k in ("audio", "loss") if k in params}

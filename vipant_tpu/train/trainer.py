@@ -1,0 +1,352 @@
+"""Base trainer — the TPU-native "monitor" (driver) layer.
+
+Skeleton parity with the reference monitors (SURVEY.md §2.2): build data →
+build model → optimizer with freeze partition → per-epoch hot loop with LR
+warmup, periodic ``peep_rate`` logging (loss, samples/s, phase timers) and
+``save_rate`` eval+checkpoint; ``infer`` accumulates features and reports
+metrics (`/root/reference/cvap/monitor/cvap.py`).
+
+Differences, on purpose: one SPMD program over the mesh instead of
+DP/DDP process management; bf16 compute policy instead of AMP+GradScaler
+(`/root/reference/cvap/monitor/cvap.py:104`); checkpoints carry optimizer
+state + step so training resumes exactly (the reference re-initialized,
+SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..ckpt import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_torch_file,
+    port_reference_audio,
+    port_reference_image,
+    port_reference_text,
+    reference_loss_params,
+    save_checkpoint,
+    split_reference_checkpoint,
+)
+from ..config import Config
+from ..eval import symmetric_retrieval
+from ..models import (
+    build_main_model,
+    init_model,
+    port_model_from_clip,
+    siamese_ties,
+    tunable_mask,
+)
+from ..optim import build_optimizer
+from ..optim.partition import merge_params, partition_params
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils import AverageMeter, PhaseTimer, numel, seed_all_rng, setup_logger
+from .state import TrainState
+from .step import make_train_step
+
+MONITORS: Dict[str, type] = {}
+
+
+def register_monitor(*names):
+    def deco(cls):
+        for n in names:
+            MONITORS[n] = cls
+        return cls
+    return deco
+
+
+def build_monitor(cfg, **kw):
+    return MONITORS[cfg.monitor](cfg, **kw)
+
+
+class Trainer:
+    """Vision-audio (VA) pre-training driver — ``VAMonitor``
+    (parity: `/root/reference/cvap/monitor/cvap.py`)."""
+
+    batch_keys: Tuple[str, ...] = ("image", "audio")
+
+    def __init__(self, cfg: Config, echo=None):
+        self.cfg = cfg
+        seed_all_rng(int(cfg.seed))
+        out_dir = os.path.join(str(cfg.alias_root), str(cfg.model_name))
+        self.out_dir = out_dir
+        self.echo = echo or setup_logger(out_dir, rank=jax.process_index(), verbose=bool(cfg.verbose))
+        self.mesh = make_mesh(int(cfg.mesh.get("data", -1)), int(cfg.mesh.get("model", 1)))
+        self.timer = PhaseTimer()
+        self.eval_mode = bool(cfg.get("eval", False))
+        self.global_step = 0
+
+        self.timer.start("build")
+        self.build_data()
+        self.build_model()
+        self.build_optimizer()
+        self.timer.stop("build")
+        self.echo.info(
+            f"model params: {numel(self.state.params) + numel(self.state.frozen_params or {}):,} "
+            f"(tunable {numel(self.state.params):,}) mesh {dict(self.mesh.shape)}"
+        )
+
+    # ------------------------------------------------------------------ data
+    def build_data(self):
+        from ..data import build_image_audio_dataloader
+
+        run = self.cfg.running
+        pid, np_ = jax.process_index(), jax.process_count()
+        self.loader = (
+            build_image_audio_dataloader(self.cfg, str(run.data_name), True, pid, np_)
+            if not self.eval_mode and run.get("data_name")
+            else None
+        )
+        self.evalloader = (
+            build_image_audio_dataloader(self.cfg, str(run.eval_name), False, 0, 1)
+            if run.get("eval_name")
+            else None
+        )
+        self.output_dim = None
+
+    # ----------------------------------------------------------------- model
+    def build_model(self):
+        cfg = self.cfg
+        self.model = build_main_model(cfg, output_dim=self.output_dim)
+        variables = init_model(cfg, self.model)
+        variables = self.load_pretrained(variables)
+        self.ties = siamese_ties(cfg)
+        from ..nn.tying import prune_tied
+
+        params = prune_tied(variables["params"], self.ties)
+        mask = tunable_mask(cfg, params, self.ties)
+        self.trainable, self.frozen = partition_params(params, mask)
+        self.batch_stats = variables.get("batch_stats")
+        self.has_batch_stats = self.batch_stats is not None and len(jax.tree_util.tree_leaves(self.batch_stats)) > 0
+
+    def load_pretrained(self, variables):
+        """Init priority parity (`/root/reference/cvap/model/cvap.py:61-128`):
+        explicit checkpoint > CLIP weights > random."""
+        cfg = self.cfg
+        model_file = str(cfg.get("model_file", "") or "")
+        ckpt_path = os.path.join(str(cfg.model_root), str(cfg.model_name), model_file)
+        if model_file.endswith(".pth") and os.path.exists(ckpt_path):
+            variables = self.load_reference_ckpt(variables, ckpt_path)
+        elif model_file and os.path.isdir(ckpt_path):
+            pass  # native resume handled in build_optimizer (full state)
+        clip_path = self._clip_path()
+        if clip_path and not model_file:
+            import torch  # noqa: F401  (porter dependency)
+
+            _, sd = load_torch_file(clip_path)
+            variables = port_model_from_clip(cfg, self.model, variables, sd)
+            self.echo.info(f"initialized towers from CLIP weights {clip_path}")
+        return variables
+
+    def _clip_path(self) -> Optional[str]:
+        run = self.cfg.get("running")
+        if run is None:
+            return None
+        root = str(run.get("clip_model_root", "") or "")
+        name = str(run.get("clip_model_name", "") or "")
+        for ext in (".pt", ".pth"):
+            p = os.path.join(root, name + ext)
+            if os.path.exists(p):
+                return p
+        return None
+
+    def load_reference_ckpt(self, variables, path: str):
+        ckpt_cfg, payload = load_torch_file(path)
+        parts = split_reference_checkpoint(payload)
+        params = dict(variables["params"])
+        if "audio" in parts and "audio" in params and parts["audio"]:
+            params["audio"] = port_reference_audio(
+                parts["audio"], self.model.audio, ckpt_cfg
+            )["params"]
+        if "image" in parts and "image" in params and parts["image"]:
+            params["image"] = port_reference_image(parts["image"], self.model.image)["params"]
+        if "text" in parts and "text" in params and parts["text"]:
+            params["text"] = port_reference_text(parts["text"], self.model.text)["params"]
+        if "loss" in parts and "loss" in params and parts["loss"]:
+            extra = reference_loss_params(parts["loss"])
+            if "logit_scale" in extra and "logit_scale" in params["loss"]:
+                params["loss"]["logit_scale"] = extra["logit_scale"]
+        self.echo.info(f"loaded reference checkpoint {path} ({sorted(parts)})")
+        return {**variables, "params": params}
+
+    # ------------------------------------------------------------- optimizer
+    def build_optimizer(self):
+        cfg = self.cfg
+        steps_per_epoch = len(self.loader) if self.loader is not None else 1
+        self.steps_per_epoch = max(steps_per_epoch, 1)
+        self.tx, self.lr_schedule = build_optimizer(cfg.optimizer, self.steps_per_epoch)
+        with jax.sharding.set_mesh(self.mesh):
+            trainable = replicate(self.trainable, self.mesh)
+            frozen = replicate(self.frozen, self.mesh) if self.frozen else None
+            stats = replicate(self.batch_stats, self.mesh) if self.has_batch_stats else None
+            self.state = TrainState.create(
+                trainable,
+                self.tx,
+                frozen_params=frozen,
+                batch_stats=stats,
+                rng=jax.random.PRNGKey(int(cfg.seed)),
+            )
+        # native resume
+        model_file = str(cfg.get("model_file", "") or "")
+        ckpt_path = os.path.join(str(cfg.model_root), str(cfg.model_name), model_file)
+        if model_file and os.path.isdir(ckpt_path):
+            self.state = load_checkpoint(ckpt_path, self.state)
+            self.global_step = int(self.state.step)
+            self.echo.info(f"resumed from {ckpt_path} at step {self.global_step}")
+        self.train_step = make_train_step(
+            self.model,
+            self.tx,
+            ties=self.ties,
+            has_batch_stats=self.has_batch_stats,
+            loss_adapter=self.loss_adapter,
+            donate=True,
+        )
+
+    # ---------------------------------------------------------------- batch
+    def make_batch(self, batch: Dict[str, np.ndarray]) -> Tuple:
+        """Collated dict → model args, sharded over the mesh (the H2D
+        boundary; parity: `/root/reference/cvap/monitor/cvap.py:113-127`)."""
+        arrays = tuple(batch[k] for k in self.batch_keys)
+        return shard_batch(arrays, self.mesh)
+
+    @staticmethod
+    def loss_adapter(model, variables, batch, rngs):
+        out = model.apply(variables, *batch, train=True, rngs=rngs)
+        return out
+
+    # ---------------------------------------------------------------- learn
+    def learn(self):
+        if self.eval_mode:
+            report = self.infer(self.evalloader)
+            self.echo.info(report)
+            return report
+        run = self.cfg.running
+        epochs = int(run.epochs)
+        for ie in range(epochs):
+            if self.loader is not None:
+                self.loader.set_epoch(ie)
+            self.epoch(ie)
+            if bool(run.get("save_epoch", False)):
+                self.save()
+                if self.evalloader is not None:
+                    self.echo.info(self.infer(self.evalloader))
+
+    def epoch(self, ie: int):
+        run = self.cfg.running
+        peep_rate = int(run.get("peep_rate", 100))
+        save_rate = int(float(run.get("save_rate", 1e9)))
+        meter = AverageMeter(window=peep_rate)
+        nsample = 0
+        t_epoch = time.time()
+        self.timer.start("data")
+        with jax.sharding.set_mesh(self.mesh):
+            for batch in self.loader:
+                args = self.make_batch(batch)
+                self.timer.stop("data")
+                self.timer.start("model")
+                self.state, metrics = self.train_step(self.state, *args)
+                self.global_step += 1
+                bsz = len(batch["name"])
+                nsample += bsz
+                self.timer.stop("model")
+
+                if self.global_step % peep_rate == 0:
+                    loss = float(metrics["loss"])  # host read (sync point)
+                    meter.update(loss)
+                    lr = float(self.lr_schedule(self.global_step))
+                    dt = time.time() - t_epoch
+                    self.echo.info(
+                        f"epoch {ie} step {self.global_step} loss {loss:.4f} "
+                        f"lr {lr:.2e} {nsample / dt:.1f} samples/s "
+                        f"({self.timer.summary()})"
+                    )
+                if save_rate > 0 and self.global_step % save_rate == 0:
+                    self.save()
+                    if self.evalloader is not None:
+                        self.echo.info(self.infer(self.evalloader))
+                self.timer.start("data")
+        self.timer.stop("data")
+        self.echo.info(
+            f"epoch {ie} done: {nsample} samples in {time.time() - t_epoch:.1f}s"
+        )
+
+    # ---------------------------------------------------------------- eval
+    def collect_features(self, loader) -> Dict[str, np.ndarray]:
+        from .step import make_eval_step
+
+        eval_step = make_eval_step(self.model, ties=self.ties)
+        feats: Dict[str, List[np.ndarray]] = {}
+        names: List[str] = []
+        variables = self.eval_variables()
+        with jax.sharding.set_mesh(self.mesh):
+            for batch in loader:
+                args = tuple(batch[k] for k in self.batch_keys)
+                out = eval_step(variables, *args)
+                for key, val in zip(("x1", "x2", "x3"), out if isinstance(out, tuple) else (out,)):
+                    if val is not None:
+                        feats.setdefault(key, []).append(np.asarray(val))
+                names.extend(batch["name"])
+        return {k: np.concatenate(v) for k, v in feats.items()} | {"names": names}
+
+    def eval_variables(self):
+        variables = {"params": self.state.full_params()}
+        if self.has_batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        return variables
+
+    def infer(self, loader) -> str:
+        """Paired retrieval eval (I↔A) — the VA report
+        (parity: `/root/reference/cvap/monitor/cvap.py:246-272` +
+        `/root/reference/cvap/module/decoder/loss_head.py:109-134`)."""
+        self.timer.start("report")
+        data = self.collect_features(loader)
+        sym = symmetric_retrieval(data["x1"], data["x2"])
+        n = data["x1"].shape[0]
+        self.timer.stop("report")
+        m12, m21 = sym["12"], sym["21"]
+        return (
+            f"I->A: t1 = {m12['t1']:2.2f} t5 = {m12['t5']:2.2f} "
+            f"A->I: t1 = {m21['t1']:2.2f} t5 = {m21['t5']:2.2f} @ {n}"
+        )
+
+    # ----------------------------------------------------------------- save
+    def collect_model_export(self) -> Optional[Dict]:
+        """Reference-compat weight export: audio+loss for bimodal
+        (parity: `/root/reference/cvap/model/cvap.py:42-46`)."""
+        params = self.state.full_params()
+        return {k: params[k] for k in ("audio", "loss") if k in params}
+
+    def save(self):
+        if jax.process_index() != 0:
+            return
+        ckpt_dir = os.path.join(str(self.cfg.alias_root), str(self.cfg.model_name))
+        path = save_checkpoint(
+            ckpt_dir,
+            self.global_step,
+            jax.device_get(self.state),
+            cfg=self.cfg,
+            model_only=self.collect_model_export(),
+        )
+        self.echo.info(f"saving the checkpoint to {path}")
+
+    def eval_norms(self, loader) -> Tuple[float, float]:
+        """Dataset fbank statistics job
+        (parity: `/root/reference/cvap/monitor/cvap.py:43-65`)."""
+        total, total_sq, count = 0.0, 0.0, 0
+        for batch in loader:
+            a = batch["audio"]
+            total += float(a.sum())
+            total_sq += float((a ** 2).sum())
+            count += a.size
+        mean = total / count
+        std = float(np.sqrt(total_sq / count - mean ** 2))
+        self.echo.info(f"fbank norms: mean {mean:.8f} std {std:.8f}")
+        return mean, std
+
+
+register_monitor("VAMonitor")(Trainer)
