@@ -39,6 +39,7 @@ class LATrainer(Trainer):
     """Audio-text fine-tuning / retrieval / captioning."""
 
     batch_keys = ("audio", "text")
+    grad_cache_methods = ("encode_audio", "encode_text")
 
     def build_data(self):
         from ..data import build_audio_text_dataloader, build_image_text_dataloader

@@ -87,6 +87,53 @@ def make_train_step(
     return train_step
 
 
+def make_grad_cache_step(
+    model,
+    tx: optax.GradientTransformation,
+    n_chunks: int,
+    method_a: str = "encode_audio",
+    method_b: str = "encode_text",
+):
+    """Two-pass gradient-cache train step (the "+AT w/ GC" capability;
+    see :mod:`vipant_tpu.parallel.grad_cache`): activation memory scales
+    with batch/n_chunks while the contrastive loss keeps the full
+    global-negative similarity matrix. ``state.params`` holds trainables;
+    frozen towers ride ``state.frozen_params`` (traced, not baked)."""
+    from ..parallel.grad_cache import grad_cache_value_and_grad
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch_a, batch_b):
+        rng, new_rng = jax.random.split(state.rng)
+
+        def full(tp):
+            return (
+                merge_params(tp, state.frozen_params)
+                if state.frozen_params is not None
+                else tp
+            )
+
+        def encode_a(tp, chunk):
+            return model.apply({"params": full(tp)}, chunk, method=method_a, train=True)
+
+        def encode_b(tp, chunk):
+            return model.apply({"params": full(tp)}, chunk, method=method_b, train=True)
+
+        def loss_of_embs(tp, ea, eb):
+            return model.apply(
+                {"params": full(tp)},
+                ea,
+                eb,
+                method=lambda m, a, b: m.loss(a, b, normalized=True),
+            )
+
+        f = grad_cache_value_and_grad(encode_a, encode_b, loss_of_embs, n_chunks)
+        loss, grads = f(state.params, batch_a, batch_b)
+        new_state = state.apply_gradients(tx, grads, rng=new_rng)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
 def make_eval_step(model, ties: Sequence[Tuple[str, str]] = (), method: Optional[str] = None):
     """Jitted feature-extraction step for evaluation (no grad)."""
     ties = tuple(ties)

@@ -69,6 +69,7 @@ class Trainer:
     (parity: `/root/reference/cvap/monitor/cvap.py`)."""
 
     batch_keys: Tuple[str, ...] = ("image", "audio")
+    grad_cache_methods: Tuple[str, str] = ("encode_image", "encode_audio")
 
     def __init__(self, cfg: Config, echo=None):
         self.cfg = cfg
@@ -198,14 +199,27 @@ class Trainer:
             self.state = load_checkpoint(ckpt_path, self.state)
             self.global_step = int(self.state.step)
             self.echo.info(f"resumed from {ckpt_path} at step {self.global_step}")
-        self.train_step = make_train_step(
-            self.model,
-            self.tx,
-            ties=self.ties,
-            has_batch_stats=self.has_batch_stats,
-            loss_adapter=self.loss_adapter,
-            donate=True,
-        )
+        gc = cfg.get("running", Config({})).get("grad_cache")
+        if gc is not None and bool(gc.get("alive", False)):
+            from .step import make_grad_cache_step
+
+            chunk = int(gc.get("chunk_size", 128))
+            bsz = int(cfg.running.batch_size)
+            n_chunks = max(bsz // max(min(chunk, bsz), 1), 1)
+            method_a, method_b = self.grad_cache_methods
+            self.train_step = make_grad_cache_step(
+                self.model, self.tx, n_chunks, method_a, method_b
+            )
+            self.echo.info(f"gradient cache on: {n_chunks} chunks of ≤{chunk}")
+        else:
+            self.train_step = make_train_step(
+                self.model,
+                self.tx,
+                ties=self.ties,
+                has_batch_stats=self.has_batch_stats,
+                loss_adapter=self.loss_adapter,
+                donate=True,
+            )
 
     # ---------------------------------------------------------------- batch
     def make_batch(self, batch: Dict[str, np.ndarray]) -> Tuple:
