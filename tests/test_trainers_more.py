@@ -1,0 +1,141 @@
+"""E2E smoke tests for the trimodal, siamese, and AudioSet-clf trainers."""
+
+import numpy as np
+import pytest
+
+from vipant_tpu.config import compose
+from vipant_tpu.train import build_monitor
+from data_synth import make_synth_audioset, make_synth_va_index
+
+from test_trainers import TINY_MODEL
+
+
+def test_val_trainer_trimodal(tmp_path):
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    cfg = compose([
+        "+running=trimodal",
+        *TINY_MODEL,
+        "+model/loss=ce_val",
+        "worker=CVALP",
+        "monitor=VALMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=as_train",
+        "running.eval_name=as_train",
+        "running.clf=False",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.eval_samples=8",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    mon.learn()
+    report = mon.infer(mon.evalloader)
+    assert "VA:" in report and "AL:" in report
+    # 4-tuple export parity
+    export = mon.collect_model_export()
+    assert set(export) == {"image", "audio", "text", "loss"}
+
+
+def test_val_trainer_siamese_ties(tmp_path):
+    """Trimodal with siamese sharing: audio encoder tied to image encoder."""
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    cfg = compose([
+        "+running=trimodal",
+        *TINY_MODEL,
+        "+model/loss=ce_val",
+        "worker=CVALP",
+        "monitor=VALMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=as_train",
+        "running.eval_name=",
+        "running.clf=False",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.siamese.alive=True",
+        "running.siamese.amodules=[encoder]",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert ("audio/encoder", "image/encoder") in mon.ties
+    # tied destination pruned from params; source present
+    assert "encoder" not in mon.state.full_params()["audio"]
+    mon.learn()
+
+
+def test_vas_trainer_siamese_views(tmp_path):
+    make_synth_va_index(str(tmp_path), "train", n=8, seconds=1.05)
+    cfg = compose([
+        "+running=siamese",
+        *TINY_MODEL,
+        "+model/loss=ce_va",
+        "worker=CVASP",
+        "monitor=VASMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=train",
+        "running.eval_name=train",
+        "running.multi_view=True",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.eval_samples=8",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    mon.learn()
+    report = mon.infer(mon.evalloader)
+    assert "I->A" in report
+
+
+def test_as_trainer_clf_and_zero_shot(tmp_path):
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    cfg = compose([
+        "+running=audioset",
+        *TINY_MODEL,
+        "+model/loss=bce",
+        "worker=ASClassifier",
+        "monitor=ASMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=as_train",
+        "running.eval_name=as_train",
+        "running.clf=True",
+        "running.mixup_rate=0.5",
+        "running.weighted_sampling=True",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.eval_samples=8",
+        "model.audio.freeze=False",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.output_dim == 2
+    mon.learn()
+    report = mon.infer(mon.evalloader)
+    assert "mAP" in report
+    zs = mon.zero_shot(mon.evalloader)
+    assert "zero-shot" in zs
+    dump = mon.encode_audios_dump(mon.evalloader, str(tmp_path / "emb.npz"))
+    data = np.load(dump)
+    assert data["v"].shape[1] == 32

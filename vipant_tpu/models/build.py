@@ -111,7 +111,7 @@ def build_main_model(cfg, output_dim: Optional[int] = None):
 # ---------------------------------------------------------------------------
 
 
-def example_batch(cfg, batch_size: int = 2) -> Tuple:
+def example_batch(cfg, batch_size: int = 2, output_dim: Optional[int] = None) -> Tuple:
     """A zero batch with the shapes the worker's __call__ expects."""
     m = cfg.model
     run = cfg.running
@@ -134,7 +134,7 @@ def example_batch(cfg, batch_size: int = 2) -> Tuple:
     if worker == "CVASP":
         return (image, image, audio, image, audio)
     if worker == "ASClassifier":
-        nlabel = int(cfg.get("output_dim", 10))
+        nlabel = int(output_dim or cfg.get("output_dim", 10))
         labels = np.zeros((batch_size, nlabel), np.float32)
         return (image, audio, labels)
     if worker == "ESClassifier":
@@ -155,11 +155,11 @@ def _deep_merge(dst: Dict, src: Dict) -> Dict:
     return out
 
 
-def init_model(cfg, module, seed: int = 0, batch=None):
+def init_model(cfg, module, seed: int = 0, batch=None, output_dim=None):
     """Initialize ALL tower params, including ones the training ``__call__``
     doesn't touch (e.g. the classifier's zero-shot text tower, the CLAP
     captioning decoder)."""
-    batch = batch if batch is not None else example_batch(cfg)
+    batch = batch if batch is not None else example_batch(cfg, output_dim=output_dim)
     batch = tuple(jnp.asarray(b) for b in batch)
     key = jax.random.PRNGKey(seed)
     variables = dict(module.init(key, *batch))

@@ -195,12 +195,17 @@ class ASClassifier(nn.Module):
         return _encode(self.text, text, train)
 
     def __call__(self, images, audios, labels, train: bool = True):
+        from ..nn.losses import ImagineAndClassifyLossHead
+
         a = self.audio(audios, train=train)  # raw (unnormalized) for the clf
-        if images is not None and self.image is not None:
+        if (
+            images is not None
+            and self.image is not None
+            and isinstance(self.loss, ImagineAndClassifyLossHead)
+        ):
             v = _encode(self.image, images, train)
             return self.loss(a, labels, v, train=train)
-        out = self.loss(a, labels, train=train)
-        return out
+        return self.loss(a, labels, train=train)
 
 
 @MODELS.register()

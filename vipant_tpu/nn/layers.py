@@ -98,9 +98,9 @@ class MultiHeadAttention(nn.Module):
                 while bias.ndim < 4:
                     bias = bias[None]
 
-        out = jax.nn.dot_product_attention(
-            q, k, v, bias=bias, mask=bool_mask
-        )  # [B, T, H, head_dim]
+        from ..ops.attention import attention
+
+        out = attention(q, k, v, bias=bias, mask=bool_mask)  # [B, T, H, head_dim]
         out = out.reshape(B, T, d)
         return nn.DenseGeneral(
             d, dtype=self.dtype, param_dtype=self.param_dtype, name="out"

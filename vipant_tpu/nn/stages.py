@@ -146,21 +146,23 @@ class ViTPreEncoder(nn.Module):
         )
         if x.shape[1] != kernel.shape[2]:  # channel mismatch → mean-collapse
             kernel = jnp.mean(kernel, axis=2, keepdims=True)
-            kernel = jnp.broadcast_to(
-                kernel, (*self.patch_size, x.shape[1], self.width)
-            )
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)  # NHWC
-        x = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(self.dtype),
-            window_strides=self.stride,
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # im2col + one big matmul instead of a conv: the contraction is the
+        # full ph·pw·C patch (MXU-efficient even for 1-channel log-mel
+        # input, where a direct conv would contract over C=1)
+        from ..ops.patches import extract_patches
+
+        patches = extract_patches(x, self.patch_size, self.stride)
+        kflat = kernel.reshape(-1, self.width).astype(self.dtype)
+        x = jax.lax.dot_general(
+            patches,
+            kflat,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=self.dtype,
         )
-        B, gh, gw, D = x.shape
-        x = x.reshape(B, gh * gw, D)
+        B = x.shape[0]
         cls = jnp.broadcast_to(
-            class_embedding.astype(self.dtype)[None, None, :], (B, 1, D)
+            class_embedding.astype(self.dtype)[None, None, :], (B, 1, self.width)
         )
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_embedding[: x.shape[1]].astype(self.dtype)

@@ -114,7 +114,7 @@ class Trainer:
     def build_model(self):
         cfg = self.cfg
         self.model = build_main_model(cfg, output_dim=self.output_dim)
-        variables = init_model(cfg, self.model)
+        variables = init_model(cfg, self.model, output_dim=self.output_dim)
         variables = self.load_pretrained(variables)
         self.ties = siamese_ties(cfg)
         from ..nn.tying import prune_tied
