@@ -95,7 +95,9 @@ class CLAP(nn.Module):
         _, logits = self.decoder(text, feat, time_first=True)
         return self.lm_loss(logits, text[:, 1:])
 
-    def __call__(self, audios, text, retrieval: bool = True, train: bool = True):
+    def __call__(self, audios, text, retrieval: Optional[bool] = None, train: bool = True):
+        if retrieval is None:  # captioning config has no dual text tower
+            retrieval = self.text is not None
         if retrieval:
             return self.forward_retrieval(audios, text, train)
         return self.forward_caption(audios, text, train)

@@ -59,13 +59,22 @@ class LATrainer(Trainer):
         self.testloader = build(cfg, str(run.test_name), False) if run.get("test_name") else None
         self.output_dim = None
 
-    @staticmethod
-    def loss_adapter(model, variables, batch, rngs):
-        return model.apply(variables, *batch, retrieval=True, train=True, rngs=rngs)
+    def loss_adapter(self, model, variables, batch, rngs):
+        """Branch on cfg.running.retrieval when a captioning decoder exists
+        (parity: `/root/reference/cvap/monitor/clap.py:206`)."""
+        retrieval = model.decoder is None or bool(
+            self.cfg.running.get("retrieval", True)
+        )
+        return model.apply(variables, *batch, retrieval=retrieval, train=True, rngs=rngs)
 
     def infer(self, loader) -> str:
         """1-vs-5 retrieval report
-        (parity: `/root/reference/cvap/module/decoder/loss_head.py:135-169`)."""
+        (parity: `/root/reference/cvap/module/decoder/loss_head.py:135-169`);
+        captioning configs report decoded samples instead."""
+        if getattr(self.model, "text", None) is None:
+            caps = self.decode_captions(loader, max_batches=2)
+            sample = "; ".join(caps[:3])
+            return f"decoded {len(caps)} captions, e.g.: {sample}"
         data = self.collect_features(loader)
         a, t = data["x1"], data["x2"]
         k = t.shape[0] // a.shape[0]

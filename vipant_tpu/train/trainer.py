@@ -254,6 +254,9 @@ class Trainer:
         run = self.cfg.running
         peep_rate = int(run.get("peep_rate", 100))
         save_rate = int(float(run.get("save_rate", 1e9)))
+        prof = self.cfg.get("profile")
+        prof_on = prof is not None and bool(prof.get("alive", False))
+        halt_on_nan = bool(self.cfg.get("halt_on_nan", True))
         meter = AverageMeter(window=peep_rate)
         nsample = 0
         t_epoch = time.time()
@@ -263,14 +266,30 @@ class Trainer:
                 args = self.make_batch(batch)
                 self.timer.stop("data")
                 self.timer.start("model")
+                if prof_on and self.global_step + 1 == int(prof.get("start_step", 10)):
+                    jax.profiler.start_trace(str(prof.get("dir", "/tmp/vipant_profile")))
                 self.state, metrics = self.train_step(self.state, *args)
                 self.global_step += 1
+                if prof_on and self.global_step == int(prof.get("start_step", 10)) + int(
+                    prof.get("num_steps", 5)
+                ):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    self.echo.info(f"profiler trace written to {prof.get('dir')}")
                 bsz = len(batch["name"])
                 nsample += bsz
                 self.timer.stop("model")
 
                 if self.global_step % peep_rate == 0:
                     loss = float(metrics["loss"])  # host read (sync point)
+                    if not np.isfinite(loss):
+                        self.echo.error(
+                            f"non-finite loss {loss} at step {self.global_step}"
+                        )
+                        if halt_on_nan:
+                            raise FloatingPointError(
+                                f"loss became {loss} at step {self.global_step}"
+                            )
                     meter.update(loss)
                     lr = float(self.lr_schedule(self.global_step))
                     dt = time.time() - t_epoch
