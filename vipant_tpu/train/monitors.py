@@ -50,6 +50,9 @@ class LATrainer(Trainer):
         build = (
             build_image_text_dataloader if which == "lv" else build_audio_text_dataloader
         )
+        if which == "lv":  # image↔text (CLVP) variant
+            self.batch_keys = ("image", "text")
+            self.grad_cache_methods = ("encode_image", "encode_text")
         self.loader = (
             build(cfg, str(run.data_name), True, pid, np_)
             if not self.eval_mode and run.get("data_name")
@@ -62,6 +65,8 @@ class LATrainer(Trainer):
     def loss_adapter(self, model, variables, batch, rngs):
         """Branch on cfg.running.retrieval when a captioning decoder exists
         (parity: `/root/reference/cvap/monitor/clap.py:206`)."""
+        if not hasattr(model, "decoder"):  # e.g. CLVP image↔text
+            return model.apply(variables, *batch, train=True, rngs=rngs)
         retrieval = model.decoder is None or bool(
             self.cfg.running.get("retrieval", True)
         )
