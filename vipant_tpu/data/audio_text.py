@@ -146,6 +146,13 @@ def build_audio_text_dataloader(
         records = build_clotho_list(run, data_name, prompt)
     else:
         records = build_audiocaps_list(run, data_name, prompt)
+    if bool(run.get("np_rnd", False)):
+        # random-caption baseline: captions permuted across clips
+        # (parity: `/root/reference/cvap/data/audiocaps.py:64,105-110`)
+        perm = np.random.permutation(len(records))
+        caps = [(records[i]["captions"], records[i]["captions_bpe"]) for i in perm]
+        for rec, (c, cb) in zip(records, caps):
+            rec["captions"], rec["captions_bpe"] = c, cb
     if not train:
         limit = int(run.get("eval_samples", 0)) or None
         records = records[:limit]

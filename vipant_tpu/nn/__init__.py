@@ -14,6 +14,7 @@ from .heads import (
 )
 from .layers import LayerNorm, MultiHeadAttention, Transformer, quick_gelu
 from .stages import ENCODER_MODULES, vit_grid
+from .deit import DeiTTower  # registers DeiTImageHead / NaiveDeiTAudioHead
 
 __all__ = [
     "AUDIO_HEADS",

@@ -108,11 +108,12 @@ class MultiHeadAttention(nn.Module):
 
 
 class MLP(nn.Module):
-    """4×-expansion MLP with QuickGELU."""
+    """4×-expansion MLP with QuickGELU (CLIP) or exact GELU (DeiT)."""
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     expansion: int = 4
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -120,7 +121,7 @@ class MLP(nn.Module):
         h = nn.Dense(
             self.expansion * d, dtype=self.dtype, param_dtype=self.param_dtype, name="fc"
         )(x)
-        h = quick_gelu(h)
+        h = quick_gelu(h) if self.act == "quick_gelu" else jax.nn.gelu(h, approximate=False)
         return nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="proj")(h)
 
 
@@ -133,6 +134,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     cross_attn: bool = False
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(
@@ -150,7 +152,7 @@ class ResidualAttentionBlock(nn.Module):
             x = x + MultiHeadAttention(self.num_heads, name="cross_attn", **kw)(
                 LayerNorm(param_dtype=self.param_dtype, name="ln_c")(x), kv=memory
             )
-        x = x + MLP(name="mlp", **kw)(
+        x = x + MLP(name="mlp", act=self.act, **kw)(
             LayerNorm(param_dtype=self.param_dtype, name="ln_2")(x)
         )
         return x
@@ -171,6 +173,7 @@ class Transformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     cross_attn: bool = False
     remat: bool = False
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(
@@ -188,6 +191,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 cross_attn=self.cross_attn,
+                act=self.act,
                 name=f"block_{i}",
             )(x, mask, memory)
         return x

@@ -341,6 +341,21 @@ class ASTrainer(Trainer):
         m = multilabel_report(np.concatenate(scores), np.concatenate(labels))
         return f"zero-shot mAP = {m['mAP']:2.2f} mAUC = {m['mAUC']:2.2f}"
 
+    def repeated_zero_shot(self) -> List[str]:
+        """Zero-shot every checkpoint in the log manifest
+        (parity: `/root/reference/cvap/monitor/audioset_clf.py:406-418`)."""
+        from ..ckpt import load_checkpoint
+
+        log_path = os.path.join(
+            str(self.cfg.model_root), str(self.cfg.model_name), str(self.cfg.model_file)
+        )
+        reports = []
+        for ckpt in extract_model_files(log_path):
+            self.state = load_checkpoint(ckpt, self.state)
+            reports.append(f"{ckpt}: {self.zero_shot(self.evalloader)}")
+            self.echo.info(reports[-1])
+        return reports
+
     def encode_audios_dump(self, loader, out_path: str) -> str:
         """Audio-embedding dump
         (parity: `/root/reference/cvap/monitor/audioset_clf.py:70-98`)."""
@@ -411,6 +426,21 @@ class ESCTrainer(Trainer):
         text = self.encode_label_texts()
         audio, labels = self._fold_audio_features(loader)
         return zero_shot_classification(audio, text, labels)
+
+    def repeated_zero_shot(self) -> List[str]:
+        """Zero-shot every checkpoint in the log manifest
+        (parity: `/root/reference/cvap/monitor/esc50_clf.py:327-337`)."""
+        from ..ckpt import load_checkpoint
+
+        log_path = os.path.join(
+            str(self.cfg.model_root), str(self.cfg.model_name), str(self.cfg.model_file)
+        )
+        reports = []
+        for ckpt in extract_model_files(log_path):
+            self.state = load_checkpoint(ckpt, self.state)
+            p1 = self.standard_zero_shot()
+            reports.append(f"{ckpt}: p1 = {p1:2.2f}")
+        return reports
 
     def standard_zero_shot(self) -> float:
         """Pooled zero-shot over all folds
