@@ -9,6 +9,12 @@ in VMEM — one HBM read of q/k/v, one write of the output. The backward
 kernel recomputes probabilities from the saved logsumexp (flash-attention
 style) so nothing quadratic is ever stored.
 
+Performance notes (from TPU op profiles): matmuls run with bf16 operands and
+fp32 accumulation (an fp32×fp32 MXU dot is emulated and ~4× slower); blocks
+use the exact [T, D] array dims (legal whenever block == array dim, so no
+pad/slice traffic); several heads are processed per grid step; the bias
+operand only exists in the masked variant.
+
 Falls back to ``jax.nn.dot_product_attention`` off-TPU.
 """
 
@@ -26,131 +32,271 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+
+def _bdot(a, b, dims):
+    """batched over leading head axis."""
+    return jax.lax.dot_general(
+        a, b, (dims, ((0,), (0,))), preferred_element_type=jnp.float32
+    )
 
 
 # ---------------------------------------------------------------------------
-# kernels: grid is (batch*heads,); blocks are whole [T, D] per head
+# kernels: grid (BH // heads_per_block,), blocks [hpb, T, D]
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    s = s + bias_ref[...]
+def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
+    if has_bias:
+        bias_ref, o_ref, lse_ref = rest
+    else:
+        (o_ref, lse_ref) = rest
+    q = q_ref[...]  # [h, T, D] bf16/f32 — stays in input dtype for the MXU
+    k = k_ref[...]
+    v = v_ref[...]
+    s = _bdot(q, k, (((2,), (2,)))) * scale  # [h, T, T] fp32
+    if has_bias:
+        s = s + bias_ref[...][None]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / l
-    o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    o = _bdot((p / l).astype(v.dtype), v, (((2,), (1,))))  # [h, T, D]
+    o_ref[...] = o.astype(o_ref.dtype)
+    lse_ref[...] = (m + jnp.log(l))[..., 0]
 
 
-def _bwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, *, scale
-):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
+def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
+    if has_bias:
+        (bias_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
+    else:
+        (o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    o = o_ref[...].astype(jnp.float32)
+    do = do_ref[...]
+    lse = lse_ref[...]
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    s = s + bias_ref[...]
-    p = jnp.exp(s - lse[:, None])
+    s = _bdot(q, k, (((2,), (2,)))) * scale
+    if has_bias:
+        s = s + bias_ref[...][None]
+    p = jnp.exp(s - lse[..., None])  # [h, T, T] fp32
+    pb = p.astype(q.dtype)
 
-    dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dv = _bdot(pb, do, (((1,), (1,))))  # [h, T, D] (contract over queries)
+    dp = _bdot(do, v, (((2,), (2,))))  # [h, T, T]
+    delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq = _bdot(ds, k, (((2,), (1,))))
+    dk = _bdot(ds, q, (((1,), (1,))))
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _head_spec(T, D):
-    return pl.BlockSpec((1, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _specs(T, D, hpb):
+    head = pl.BlockSpec((hpb, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((hpb, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((T, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return head, lse, bias
 
 
-def _bias_spec(T):
-    return pl.BlockSpec((T, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-
-def _lse_spec(T):
-    # [BH, 1, T]: the (1, T) trailing block equals the full trailing dims,
-    # satisfying TPU tile constraints
-    return pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _pick_hpb(BH: int, T: int, D: int) -> int:
+    """Heads per grid step, bounded by a VMEM budget for the [h, T, T] fp32
+    probability tensor."""
+    budget = 8 * 1024 * 1024
+    per_head = T * T * 4 * 2 + 3 * T * D * 4
+    hpb = max(1, min(8, budget // max(per_head, 1)))
+    while BH % hpb != 0:
+        hpb -= 1
+    return max(hpb, 1)
 
 
 def _fwd_call(q3, k3, v3, bias, scale):
     BH, T, D = q3.shape
-    kernel = functools.partial(_fwd_kernel, scale=scale)
+    hpb = _pick_hpb(BH, T, D)
+    head, lse, bias_spec = _specs(T, D, hpb)
+    has_bias = bias is not None
+    kernel = functools.partial(_fwd_kernel, scale=scale, has_bias=has_bias)
+    args = (q3, k3, v3) + ((bias,) if has_bias else ())
     return pl.pallas_call(
         kernel,
-        grid=(BH,),
-        in_specs=[_head_spec(T, D)] * 3 + [_bias_spec(T)],
-        out_specs=(_head_spec(T, D), _lse_spec(T)),
+        grid=(BH // hpb,),
+        in_specs=[head] * 3 + ([bias_spec] if has_bias else []),
+        out_specs=(head, lse),
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, D), q3.dtype),
-            jax.ShapeDtypeStruct((BH, 1, T), jnp.float32),
+            jax.ShapeDtypeStruct((BH, T), jnp.float32),
         ),
-    )(q3, k3, v3, bias)
+    )(*args)
 
 
 def _bwd_call(q3, k3, v3, bias, o3, lse, do3, scale):
     BH, T, D = q3.shape
-    kernel = functools.partial(_bwd_kernel, scale=scale)
+    hpb = _pick_hpb(BH, T, D)
+    head, lse_spec, bias_spec = _specs(T, D, hpb)
+    has_bias = bias is not None
+    kernel = functools.partial(_bwd_kernel, scale=scale, has_bias=has_bias)
+    args = (q3, k3, v3) + ((bias,) if has_bias else ()) + (o3, lse, do3)
     return pl.pallas_call(
         kernel,
-        grid=(BH,),
-        in_specs=[_head_spec(T, D)] * 3
-        + [_bias_spec(T), _head_spec(T, D), _lse_spec(T), _head_spec(T, D)],
-        out_specs=(_head_spec(T, D),) * 3,
+        grid=(BH // hpb,),
+        in_specs=[head] * 3
+        + ([bias_spec] if has_bias else [])
+        + [head, lse_spec, head],
+        out_specs=(head,) * 3,
         out_shape=tuple(jax.ShapeDtypeStruct((BH, T, D), q3.dtype) for _ in range(3)),
-    )(q3, k3, v3, bias, o3, lse, do3)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
-# public op with custom VJP
+# 4-d variant: blocks [1, T, H, D] straight off the projection layout — the
+# head transpose happens in VMEM, so XLA inserts no HBM relayout copies
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attend(q3, k3, v3, bias, scale, T_real, T_pad):
+def _fwd_kernel4(q_ref, k_ref, v_ref, *rest, scale, has_bias):
+    if has_bias:
+        bias_ref, o_ref, lse_ref = rest
+    else:
+        (o_ref, lse_ref) = rest
+    # [T, H, D] → [H, T, D] in VMEM
+    q = jnp.swapaxes(q_ref[0], 0, 1)
+    k = jnp.swapaxes(k_ref[0], 0, 1)
+    v = jnp.swapaxes(v_ref[0], 0, 1)
+    s = _bdot(q, k, (((2,), (2,)))) * scale  # [H, T, T] fp32
+    if has_bias:
+        s = s + bias_ref[...][None]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = _bdot((p / l).astype(v.dtype), v, (((2,), (1,))))  # [H, T, D]
+    o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[..., 0]
+
+
+def _bwd_kernel4(q_ref, k_ref, v_ref, *rest, scale, has_bias):
+    if has_bias:
+        (bias_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
+    else:
+        (o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
+    q = jnp.swapaxes(q_ref[0], 0, 1)
+    k = jnp.swapaxes(k_ref[0], 0, 1)
+    v = jnp.swapaxes(v_ref[0], 0, 1)
+    o = jnp.swapaxes(o_ref[0], 0, 1).astype(jnp.float32)
+    do = jnp.swapaxes(do_ref[0], 0, 1)
+    lse = lse_ref[0]
+
+    s = _bdot(q, k, (((2,), (2,)))) * scale
+    if has_bias:
+        s = s + bias_ref[...][None]
+    p = jnp.exp(s - lse[..., None])
+    pb = p.astype(q.dtype)
+    dv = _bdot(pb, do, (((1,), (1,))))
+    dp = _bdot(do, v, (((2,), (2,))))
+    delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq = _bdot(ds, k, (((2,), (1,))))
+    dk = _bdot(ds, q, (((1,), (1,))))
+    dq_ref[0] = jnp.swapaxes(dq, 0, 1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.swapaxes(dk, 0, 1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.swapaxes(dv, 0, 1).astype(dv_ref.dtype)
+
+
+def _specs4(T, H, D):
+    head = pl.BlockSpec((1, T, H, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((1, H, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((T, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return head, lse, bias
+
+
+def _fits_vmem4(T, H, D, bytes_per=2, budget=12 * 1024 * 1024) -> bool:
+    probs = H * T * T * 4 * 2  # s and p in fp32
+    io = 5 * T * H * D * bytes_per
+    return probs + io <= budget
+
+
+def _fwd_call4(q4, k4, v4, bias, scale):
+    B, T, H, D = q4.shape
+    head, lse, bias_spec = _specs4(T, H, D)
+    has_bias = bias is not None
+    kernel = functools.partial(_fwd_kernel4, scale=scale, has_bias=has_bias)
+    args = (q4, k4, v4) + ((bias,) if has_bias else ())
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[head] * 3 + ([bias_spec] if has_bias else []),
+        out_specs=(head, lse),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, H, D), q4.dtype),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(*args)
+
+
+def _bwd_call4(q4, k4, v4, bias, o4, lse, do4, scale):
+    B, T, H, D = q4.shape
+    head, lse_spec, bias_spec = _specs4(T, H, D)
+    has_bias = bias is not None
+    kernel = functools.partial(_bwd_kernel4, scale=scale, has_bias=has_bias)
+    args = (q4, k4, v4) + ((bias,) if has_bias else ()) + (o4, lse, do4)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[head] * 3
+        + ([bias_spec] if has_bias else [])
+        + [head, lse_spec, head],
+        out_specs=(head,) * 3,
+        out_shape=tuple(jax.ShapeDtypeStruct((B, T, H, D), q4.dtype) for _ in range(3)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attend4(q4, k4, v4, bias, scale):
+    out, _ = _fwd_call4(q4, k4, v4, bias, scale)
+    return out
+
+
+def _attend4_fwd(q4, k4, v4, bias, scale):
+    out, lse = _fwd_call4(q4, k4, v4, bias, scale)
+    return out, (q4, k4, v4, bias, out, lse)
+
+
+def _attend4_bwd(scale, res, g):
+    q4, k4, v4, bias, out, lse = res
+    dq, dk, dv = _bwd_call4(q4, k4, v4, bias, out, lse, g, scale)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
+
+
+_attend4.defvjp(_attend4_fwd, _attend4_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP (3-d fallback for long sequences)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attend(q3, k3, v3, bias, scale):
     out, _ = _fwd_call(q3, k3, v3, bias, scale)
     return out
 
 
-def _attend_fwd(q3, k3, v3, bias, scale, T_real, T_pad):
+def _attend_fwd(q3, k3, v3, bias, scale):
     out, lse = _fwd_call(q3, k3, v3, bias, scale)
     return out, (q3, k3, v3, bias, out, lse)
 
 
-def _attend_bwd(scale, T_real, T_pad, res, g):
+def _attend_bwd(scale, res, g):
     q3, k3, v3, bias, out, lse = res
     dq, dk, dv = _bwd_call(q3, k3, v3, bias, out, lse, g, scale)
-    return dq, dk, dv, None
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
 
 
 _attend.defvjp(_attend_fwd, _attend_bwd)
@@ -168,28 +314,26 @@ def flash_attention(
     [B, T, H, D]."""
     B, T, H, D = q.shape
     scale = 1.0 / float(np.sqrt(D))
-    T_pad = max(_pad_to(T, 128), 128)
-    D_pad = max(_pad_to(D, 128), 128)
-
-    full_bias = jnp.full((T_pad, T_pad), 0.0, jnp.float32)
-    if bias is not None:
-        full_bias = full_bias.at[:T, :T].set(
-            jnp.maximum(bias.astype(jnp.float32), NEG_INF)
-        )
     if causal and bias is None:
-        causal_mask = jnp.triu(jnp.full((T, T), NEG_INF, jnp.float32), k=1)
-        full_bias = full_bias.at[:T, :T].set(causal_mask)
-    if T_pad != T:  # padded keys must never receive attention
-        full_bias = full_bias.at[:, T:].set(NEG_INF)
+        bias = jnp.triu(jnp.full((T, T), NEG_INF, jnp.float32), k=1)
+    if bias is not None:
+        bias = jnp.maximum(bias.astype(jnp.float32), NEG_INF)
+
+    # The 4-d path avoids HBM head-transpose copies by relaying out inside
+    # VMEM, but measured slower on v5e (sublane transposes beat HBM copies
+    # only on longer sequences); opt in via VIPANT_ATTN_4D=1.
+    import os
+
+    if os.environ.get("VIPANT_ATTN_4D") == "1" and _fits_vmem4(
+        T, H, D, bytes_per=q.dtype.itemsize
+    ):
+        return _attend4(q, k, v, bias, scale)
 
     def to3(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, T, D)
-        if T_pad != T or D_pad != D:
-            x = jnp.pad(x, ((0, 0), (0, T_pad - T), (0, D_pad - D)))
-        return x
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, T, D)
 
-    out3 = _attend(to3(q), to3(k), to3(v), full_bias, scale, T, T_pad)
-    out = out3[:, :T, :D].reshape(B, H, T, D)
+    out3 = _attend(to3(q), to3(k), to3(v), bias, scale)
+    out = out3.reshape(B, H, T, D)
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
