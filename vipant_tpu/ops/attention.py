@@ -162,7 +162,7 @@ def _fwd_kernel4(q_ref, k_ref, v_ref, *rest, scale, has_bias):
         bias_ref, o_ref, lse_ref = rest
     else:
         (o_ref, lse_ref) = rest
-    # [T, H, D] → [H, T, D] in VMEM
+    # [T, H, D] → [H, T, D] in VMEM (Mosaic requires leading batch dims)
     q = jnp.swapaxes(q_ref[0], 0, 1)
     k = jnp.swapaxes(k_ref[0], 0, 1)
     v = jnp.swapaxes(v_ref[0], 0, 1)
