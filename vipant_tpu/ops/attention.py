@@ -337,6 +337,55 @@ def flash_attention(
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+def _flash_over_mesh(q, k, v, bias):
+    """Partition the Pallas call over the mesh's data axis with shard_map —
+    a custom call is opaque to GSPMD, so without this XLA would all-gather
+    the sharded batch around it."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:
+        mesh = None
+    if (
+        mesh is None
+        or getattr(mesh, "empty", True)
+        or "data" not in mesh.axis_names
+        or mesh.shape["data"] <= 1
+    ):
+        return flash_attention(q, k, v, bias=bias)
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map as _shard_map
+
+        def smap(f, in_specs, out_specs):
+            return _shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+            )
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as _shard_map2
+
+        def smap(f, in_specs, out_specs):
+            return _shard_map2(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+            )
+
+    data = P("data")
+    if bias is None:
+        fn = smap(
+            lambda a, b, c: flash_attention(a, b, c),
+            in_specs=(data, data, data),
+            out_specs=data,
+        )
+        return fn(q, k, v)
+    fn = smap(
+        lambda a, b, c, bb: flash_attention(a, b, c, bias=bb),
+        in_specs=(data, data, data, P()),
+        out_specs=data,
+    )
+    return fn(q, k, v, bias)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -361,5 +410,5 @@ def attention(
                 assert b.shape[0] == 1, "flash path expects a [T, T] bias"
                 b = b[0]
             bias2d = b
-        return flash_attention(q, k, v, bias=bias2d)
+        return _flash_over_mesh(q, k, v, bias2d)
     return jax.nn.dot_product_attention(q, k, v, bias=bias, mask=mask)
