@@ -59,6 +59,10 @@ class ImageAudioDatasetSrc:
         self.norms = tuple(acfg.get("norms", []) or []) or None
         self.transform_audio, self.transform_fbank = make_transform(acfg)
         self.acfg = acfg
+        # on-device featurization: the item path stops at a fixed-length
+        # cropped waveform; fbank + SpecAugment run inside the jitted train
+        # step, fused with the model (the TPU-native frontend)
+        self.on_device = bool(acfg.get("on_device", False))
 
     def __len__(self) -> int:
         return len(self.records)
@@ -110,6 +114,8 @@ class ImageAudioDatasetSrc:
             return np.random.rand(int(self.cfg.embed_dim)).astype(np.float32)
 
     def _audio(self, fname: str) -> np.ndarray:
+        if self.on_device:
+            return self._audio_waveform(fname)
         return extract_fbank_features(
             fname,
             self.params,
@@ -121,6 +127,26 @@ class ImageAudioDatasetSrc:
             norms=self.norms,
             transform_fbank=self.transform_fbank if self.train else None,
         )
+
+    def _audio_waveform(self, fname: str) -> np.ndarray:
+        """Decode + crop + zero-mean to a fixed sample count; featurization
+        happens on device."""
+        from .transforms_audio import random_crop
+        from .wav import read_wav
+
+        wav, sr = read_wav(fname)
+        wav = wav[:1]
+        if self.train:
+            for t in self.transform_audio or []:
+                wav = t(wav)
+        desired = int((float(self.cfg.max_audio_len) / 100 + 0.05) * sr)
+        wav = random_crop(wav, desired, train=self.train)
+        if bool(self.acfg.get("zero_mean_wf", True)):
+            wav = wav - wav.mean()
+        out = np.zeros((desired,), np.float32)
+        n = min(desired, wav.shape[-1])
+        out[:n] = wav[0, :n]
+        return out
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         name, aclip_file, frame_file, frame_emb_file = self._paths(index)

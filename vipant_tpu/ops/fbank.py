@@ -36,9 +36,26 @@ def _banks_const(
     return mel_banks(num_bins, padded, rate, low, high).T.copy()  # [nfft+1, bins]
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.lru_cache(maxsize=8)
+def _dft_mel_const(
+    num_bins: int, padded: int, rate: int, low: float, high: float
+) -> tuple:
+    """Real/imag DFT matrices pre-multiplied is not possible (power is
+    nonlinear), so return ([padded, nfft+1] cos, sin) for the spectrum
+    matmuls. On TPU these two GEMMs run on the MXU and fuse with the mel
+    matmul — XLA's FFT op does not."""
+    nfft = padded // 2
+    n = np.arange(padded)[:, None]
+    k = np.arange(nfft + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / padded
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "use_dft"))
 def fbank(
-    waveforms: jnp.ndarray, params: FbankParams = FbankParams()
+    waveforms: jnp.ndarray,
+    params: FbankParams = FbankParams(),
+    use_dft: Optional[bool] = None,
 ) -> jnp.ndarray:
     """[B, num_samples] (or [num_samples]) → [B, num_frames, num_mel_bins].
 
@@ -77,11 +94,31 @@ def fbank(
     frames = frames * jnp.asarray(_window_const(size, params.window_type))
 
     padded = params.padded_window_size
-    if padded != size:
-        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded - size)))
-
-    spec = jnp.fft.rfft(frames, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, F, padded//2+1]
+    if use_dft is None:  # TPU: DFT-as-matmul rides the MXU; XLA FFT does not
+        use_dft = jax.default_backend() not in ("cpu",)
+    if use_dft:
+        cos_m, sin_m = _dft_mel_const(
+            params.num_mel_bins, padded, params.sample_rate,
+            params.low_freq, params.high_freq,
+        )
+        # frames [B, F, size] (unpadded — the DFT matrices' zero rows beyond
+        # `size` never contribute, so slice them away)
+        re = jax.lax.dot_general(
+            frames, jnp.asarray(cos_m[: frames.shape[-1]]),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        im = jax.lax.dot_general(
+            frames, jnp.asarray(sin_m[: frames.shape[-1]]),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        power = re ** 2 + im ** 2  # [B, F, padded//2+1]
+    else:
+        if padded != size:
+            frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded - size)))
+        spec = jnp.fft.rfft(frames, axis=-1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, F, padded//2+1]
 
     banks = jnp.asarray(
         _banks_const(

@@ -228,8 +228,55 @@ class Trainer:
         arrays = tuple(batch[k] for k in self.batch_keys)
         return shard_batch(arrays, self.mesh)
 
-    @staticmethod
-    def loss_adapter(model, variables, batch, rngs):
+    # --- on-device audio frontend (waveform in the batch → fused fbank) ----
+    @property
+    def on_device_audio(self) -> bool:
+        run = self.cfg.get("running")
+        return (
+            run is not None
+            and "audio" in run
+            and bool(run.audio.get("on_device", False))
+            and "audio" in self.batch_keys
+        )
+
+    def _frontend_settings(self):
+        from ..data.image_audio import fbank_params_from_cfg
+
+        acfg = self.cfg.running.audio
+        params = fbank_params_from_cfg(acfg)
+        norms = tuple(acfg.get("norms", []) or []) or None
+        freq_p, time_p = 0, 0
+        if bool(acfg.get("transform_fbank", False)):
+            for entry in acfg.get("fbank_transforms", []) or []:
+                if entry[0] == "FrequencyMasking":
+                    freq_p = int(entry[1][0])
+                elif entry[0] == "TimeMasking":
+                    time_p = int(entry[1][0])
+        return params, int(self.cfg.running.max_audio_len), norms, freq_p, time_p
+
+    def device_frontend(self, args: Tuple, rngs, train: bool = True) -> Tuple:
+        """Waveform → normalized log-mel (+ SpecAugment at train) inside the
+        jitted step — the fused TPU-native frontend."""
+        from ..ops import spec_augment
+        from ..ops.fbank import fbank_fixed_len
+
+        params, max_len, norms, freq_p, time_p = self._frontend_settings()
+        idx = self.batch_keys.index("audio")
+        wav = args[idx]
+        if wav.ndim != 2:  # already featurized
+            return args
+        feats = fbank_fixed_len(wav, params, max_len, norms=norms)
+        if train and (freq_p or time_p) and rngs:
+            import jax as _jax
+
+            key = _jax.random.fold_in(next(iter(rngs.values())), 17)
+            feats = spec_augment(key, feats, freq_p or 1, time_p or 1)
+        feats = feats[:, None]  # [B, 1, T, M]
+        return args[:idx] + (feats,) + args[idx + 1 :]
+
+    def loss_adapter(self, model, variables, batch, rngs):
+        if self.on_device_audio:
+            batch = self.device_frontend(batch, rngs, train=True)
         out = model.apply(variables, *batch, train=True, rngs=rngs)
         return out
 
@@ -319,6 +366,8 @@ class Trainer:
         with jax.sharding.set_mesh(self.mesh):
             for batch in loader:
                 args = tuple(batch[k] for k in self.batch_keys)
+                if self.on_device_audio:
+                    args = self.device_frontend(args, None, train=False)
                 out = eval_step(variables, *args)
                 for key, val in zip(("x1", "x2", "x3"), out if isinstance(out, tuple) else (out,)):
                     if val is not None:
