@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -72,6 +73,11 @@ class VisionTower(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    # Patchout (PaSST, arXiv 2211.13956 / FLAP, arXiv 2311.01615): drop a
+    # random fraction of patch tokens during training — a regularizer that
+    # also cuts transformer FLOPs roughly by the drop rate. Static shapes:
+    # the keep-count is fixed at trace time.
+    patchout: float = 0.0
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -126,6 +132,15 @@ class VisionTower(nn.Module):
             name="pre",
             **kw,
         )(x, pos, cls)
+        if train and self.patchout > 0.0 and self.has_rng("patchout"):
+            n = h.shape[1] - 1  # patch tokens (cls excluded)
+            keep = max(int(n * (1.0 - self.patchout)), 1)
+            rng = self.make_rng("patchout")
+            # one shared subset per batch (PaSST's structured variant keeps
+            # shapes static and the gather cheap)
+            idx = jax.random.permutation(rng, n)[:keep] + 1
+            idx = jnp.sort(idx)
+            h = jnp.concatenate([h[:, :1], jnp.take(h, idx, axis=1)], axis=1)
         h = AddonEncoder(name="pre_addon")(h)
         h = TransformerBackbone(
             layers=int(self.layers),
@@ -240,6 +255,7 @@ def _vision_from_cfg(cfg, dtype, param_dtype, remat) -> VisionTower:
         stride=pre.get("stride", None),
         in_channels=int(pre.get("in_channels", 3)),
         backbone=backbone,
+        patchout=float(cfg.get("patchout", 0.0) or 0.0),
         **_common(cfg, dtype, param_dtype, remat),
     )
 

@@ -70,7 +70,7 @@ def make_train_step(
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, *batch):
         rng, new_rng = jax.random.split(state.rng)
-        rngs = {"dropout": rng}
+        rngs = {"dropout": rng, "patchout": jax.random.fold_in(rng, 1)}
         (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.frozen_params, state.batch_stats, batch, rngs
         )
