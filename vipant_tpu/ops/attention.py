@@ -319,12 +319,14 @@ def flash_attention(
     if bias is not None:
         bias = jnp.maximum(bias.astype(jnp.float32), NEG_INF)
 
-    # The 4-d path avoids HBM head-transpose copies by relaying out inside
-    # VMEM, but measured slower on v5e (sublane transposes beat HBM copies
-    # only on longer sequences); opt in via VIPANT_ATTN_4D=1.
+    # NOTE: a strided-DMA variant that reads per-head [T, D] slices from the
+    # [B, T, H, D] layout was tried and rejected: single-head slices are
+    # tile-misaligned (H and D fold into the (16, 128) bf16 tile), which
+    # Mosaic cannot DMA. The in-VMEM transpose variant below also measured
+    # slower than paying the XLA relayout copies. 3-d path is the default.
     import os
 
-    if os.environ.get("VIPANT_ATTN_4D") == "1" and _fits_vmem4(
+    if os.environ.get("VIPANT_ATTN") == "4d" and _fits_vmem4(
         T, H, D, bytes_per=q.dtype.itemsize
     ):
         return _attend4(q, k, v, bias, scale)
