@@ -1,0 +1,84 @@
+"""Aux capabilities: gold-file grouped report, caption-embedding dump,
+repeated retrieval over a log manifest."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vipant_tpu.config import compose
+from vipant_tpu.tokenizer import tokenize
+from vipant_tpu.train import build_monitor
+from data_synth import make_synth_clotho, make_synth_va_index
+
+from test_trainers import TINY_MODEL
+
+
+def test_va_infer_with_gold_file(tmp_path):
+    make_synth_va_index(str(tmp_path / "d"), "train", n=6, seconds=1.05)
+    # gold labels: alternate two classes
+    gold = tmp_path / "gold.jsonl"
+    with open(gold, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"id": f"clip{i}", "labels": [f"/m/{i % 2}"]}) + "\n")
+    cfg = compose([
+        "+running=bimodal",
+        *TINY_MODEL,
+        "+model/loss=ce",
+        "worker=CVAP",
+        "monitor=VAMonitor",
+        f"running.data_root={tmp_path}/d",
+        "running.data_name=train",
+        "running.eval_name=train",
+        "running.batch_size=2",
+        "running.eval_samples=6",
+        f"running.gold_file={gold}",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=True",
+    ])
+    mon = build_monitor(cfg)
+    report = mon.infer(mon.evalloader)
+    assert "mAP" in report and "P@1" in report
+
+
+def test_la_encode_text_dump_and_manifest_eval(tmp_path):
+    make_synth_clotho(str(tmp_path), "clotho_dev", n=4, seconds=1.05)
+    cfg = compose([
+        "+running=clotho",
+        *TINY_MODEL,
+        "+model/loss=ce",
+        "worker=CLAP",
+        "monitor=LAMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=clotho_dev",
+        "running.eval_name=clotho_dev",
+        "running.test_name=clotho_dev",
+        "running.batch_size=2",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=2",
+        "running.save_epoch=False",
+        "running.eval_samples=4",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    mon.learn()  # trains, saves at step 2, ends with a TEST eval
+
+    # caption-embedding dump
+    texts = tokenize(["a dog barking", "heavy rain"])
+    out = mon.encode_text_dump(np.asarray(texts), str(tmp_path / "caps.npz"))
+    assert np.load(out)["v"].shape == (2, 32)
+
+    # repeated retrieval over the training log's checkpoint manifest
+    log = os.path.join(f"{tmp_path}/run", "test", "train_0.out")
+    assert os.path.exists(log)
+    mon.cfg.set_path("model_file", "train_0.out")
+    reports = mon.repeated_retrieval()
+    assert len(reports) >= 1
+    assert all("A->T" in r for r in reports)

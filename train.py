@@ -49,6 +49,11 @@ def main(argv=None) -> None:
             process_id=int(os.environ.get("PROCESS_ID", "0")),
         )
 
+    if bool(cfg.get("blockprint", False)):  # stdout blackhole
+        import io
+
+        sys.stdout = io.StringIO()
+
     from vipant_tpu.train import build_monitor
 
     monitor = build_monitor(cfg)

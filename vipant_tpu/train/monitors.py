@@ -92,6 +92,17 @@ class LATrainer(Trainer):
             f"R@10 {ref['R@10']:2.2f} R@50 {ref['R@50']:2.2f} MED {ref['MED']:2.2f} AVG {ref['AVG']:2.2f}"
         )
 
+    def learn(self):
+        """Adds the reference's end-of-training test-set pass and
+        log-manifest repeated eval (`/root/reference/cvap/monitor/clap.py:116-133`)."""
+        model_file = str(self.cfg.get("model_file", "") or "")
+        if model_file.endswith(".out"):
+            return self.repeated_retrieval()
+        out = super().learn()
+        if self.testloader is not None:
+            self.echo.info("TEST " + self.infer(self.testloader))
+        return out
+
     def repeated_retrieval(self) -> List[str]:
         """Evaluate every checkpoint named in a training log
         (parity: `/root/reference/cvap/monitor/clap.py:116-133,302-311`)."""

@@ -382,18 +382,56 @@ class Trainer:
         return variables
 
     def infer(self, loader) -> str:
-        """Paired retrieval eval (I↔A) — the VA report
+        """Paired retrieval eval (I↔A) — the VA report, plus per-class
+        precision/recall when a gold file is configured
         (parity: `/root/reference/cvap/monitor/cvap.py:246-272` +
-        `/root/reference/cvap/module/decoder/loss_head.py:109-134`)."""
+        `/root/reference/cvap/module/decoder/loss_head.py:109-231`)."""
         self.timer.start("report")
         data = self.collect_features(loader)
         sym = symmetric_retrieval(data["x1"], data["x2"])
         n = data["x1"].shape[0]
+        msg = ""
+        gold_file = self.cfg.running.get("gold_file") if "running" in self.cfg else None
+        if gold_file:
+            msg = " " + self._gold_report(data, gold_file)
         self.timer.stop("report")
         m12, m21 = sym["12"], sym["21"]
         return (
             f"I->A: t1 = {m12['t1']:2.2f} t5 = {m12['t5']:2.2f} "
-            f"A->I: t1 = {m21['t1']:2.2f} t5 = {m21['t5']:2.2f} @ {n}"
+            f"A->I: t1 = {m21['t1']:2.2f} t5 = {m21['t5']:2.2f} @ {n}{msg}"
+        )
+
+    def _gold_report(self, data, gold_file: str) -> str:
+        """Per-class P/R/mAP via label clustering from a gold JSONL index
+        (records ``{"id", "labels": [...]}``)."""
+        import json
+
+        from ..eval import grouped_pnr
+
+        classname_by_sample = {}
+        with open(gold_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                classname_by_sample[rec["id"]] = ",".join(sorted(rec.get("labels", [])))
+        names = data["names"]
+        present = [nm for nm in names if nm in classname_by_sample]
+        if len(present) != len(names):
+            return "(gold file does not cover eval samples)"
+        sample_by_classname: Dict[str, List[str]] = {}
+        for nm in names:
+            sample_by_classname.setdefault(classname_by_sample[nm], []).append(nm)
+        x1 = data["x1"] / np.linalg.norm(data["x1"], axis=-1, keepdims=True)
+        x2 = data["x2"] / np.linalg.norm(data["x2"], axis=-1, keepdims=True)
+        order_12 = np.argsort(-(x1 @ x2.T), axis=1)
+        order_21 = np.argsort(-(x2 @ x1.T), axis=1)
+        m12 = grouped_pnr(order_12, names, classname_by_sample, sample_by_classname)
+        m21 = grouped_pnr(order_21, names, classname_by_sample, sample_by_classname)
+        return (
+            f"| I->A P@1 {m12['P@1']:2.2f} mAP {m12['mAP']:2.2f} "
+            f"A->I P@1 {m21['P@1']:2.2f} mAP {m21['mAP']:2.2f}"
         )
 
     # ----------------------------------------------------------------- save
