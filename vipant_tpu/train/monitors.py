@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-from ..ckpt import extract_model_files, load_torch_file
+from ..ckpt import extract_model_files
 from ..eval import (
     classification_p1,
     multilabel_report,
@@ -24,9 +24,7 @@ from ..eval import (
     symmetric_retrieval,
     zero_shot_classification,
 )
-from ..nn.heads import normalize as _norm_jnp
 from ..parallel import shard_batch
-from .step import make_eval_step
 from .trainer import Trainer, register_monitor
 
 

@@ -200,6 +200,9 @@ class Trainer:
             self.global_step = int(self.state.step)
             self.echo.info(f"resumed from {ckpt_path} at step {self.global_step}")
         gc = cfg.get("running", Config({})).get("grad_cache")
+        if gc is not None and bool(gc.get("alive", False)) and getattr(self.model, "decoder", None) is not None:
+            self.echo.info("gradient cache ignored: captioning has no contrastive loss")
+            gc = None
         if gc is not None and bool(gc.get("alive", False)):
             from .step import make_grad_cache_step
 
