@@ -93,13 +93,34 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------ data
+    def loader_device_put(self, batch: Dict) -> Dict:
+        """Runs in the loader thread: shard/upload batch arrays so H2D
+        overlaps the previous step's compute (double buffering)."""
+        from ..parallel import batch_sharding
+
+        sharding = batch_sharding(self.mesh)
+        ndata = self.mesh.shape["data"]
+        for k in self.batch_keys:
+            v = batch.get(k)
+            if (
+                v is not None
+                and hasattr(v, "shape")
+                and v.ndim >= 1
+                and v.shape[0] % ndata == 0
+            ):
+                batch[k] = jax.device_put(v, sharding)
+        return batch
+
     def build_data(self):
         from ..data import build_image_audio_dataloader
 
         run = self.cfg.running
         pid, np_ = jax.process_index(), jax.process_count()
         self.loader = (
-            build_image_audio_dataloader(self.cfg, str(run.data_name), True, pid, np_)
+            build_image_audio_dataloader(
+                self.cfg, str(run.data_name), True, pid, np_,
+                device_put_fn=self.loader_device_put,
+            )
             if not self.eval_mode and run.get("data_name")
             else None
         )
@@ -227,8 +248,11 @@ class Trainer:
     # ---------------------------------------------------------------- batch
     def make_batch(self, batch: Dict[str, np.ndarray]) -> Tuple:
         """Collated dict → model args, sharded over the mesh (the H2D
-        boundary; parity: `/root/reference/cvap/monitor/cvap.py:113-127`)."""
+        boundary; parity: `/root/reference/cvap/monitor/cvap.py:113-127`).
+        Arrays already placed by the loader thread pass through."""
         arrays = tuple(batch[k] for k in self.batch_keys)
+        if all(isinstance(a, jax.Array) for a in arrays):
+            return arrays
         return shard_batch(arrays, self.mesh)
 
     # --- on-device audio frontend (waveform in the batch → fused fbank) ----
