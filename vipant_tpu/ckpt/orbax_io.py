@@ -22,12 +22,16 @@ import orbax.checkpoint as ocp
 from ..config import Config
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state, cfg=None, model_only=None) -> str:
+def save_checkpoint(
+    ckpt_dir: str, step: int, state, cfg=None, model_only=None, keep_last: int = 0
+) -> str:
     """Writes ``{ckpt_dir}/{step:08d}/`` with the pytree state (+ cfg json).
 
     ``model_only``: optional params subtree dict (e.g. audio+loss heads) for
     reference-style weight-only exports
     (`/root/reference/cvap/model/cvap.py:42-46` collect_audio_state_dict).
+    ``keep_last``: when > 0, older step directories beyond the newest N are
+    pruned after a successful save.
     """
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:08d}")
     ckptr = ocp.StandardCheckpointer()
@@ -42,6 +46,14 @@ def save_checkpoint(ckpt_dir: str, step: int, state, cfg=None, model_only=None) 
             os.path.join(path, "model.npz"),
             **{k: v for k, v in _flatten("", model_only)},
         )
+    if keep_last > 0:
+        import shutil
+
+        steps = sorted(
+            d for d in os.listdir(os.path.abspath(ckpt_dir)) if re.fullmatch(r"\d{8}", d)
+        )
+        for old in steps[:-keep_last]:
+            shutil.rmtree(os.path.join(os.path.abspath(ckpt_dir), old), ignore_errors=True)
     return path
 
 

@@ -309,6 +309,15 @@ class Trainer:
 
     # ---------------------------------------------------------------- learn
     def learn(self):
+        run = self.cfg.get("running")
+        if (
+            run is not None
+            and "audio" in run
+            and bool(run.audio.get("eval_norms", False))
+        ):
+            # dataset fbank-statistics job
+            # (parity: `/root/reference/cvap/monitor/cvap.py:43-65`)
+            return self.eval_norms(self.evalloader or self.loader)
         if self.eval_mode:
             report = self.infer(self.evalloader)
             self.echo.info(report)
@@ -478,6 +487,7 @@ class Trainer:
             jax.device_get(self.state),
             cfg=self.cfg,
             model_only=self.collect_model_export(),
+            keep_last=int(self.cfg.get("keep_last_ckpts", 0) or 0),
         )
         self.echo.info(f"saving the checkpoint to {path}")
 
