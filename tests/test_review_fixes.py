@@ -1,0 +1,108 @@
+"""Regressions for the code-review findings: BatchNorm configs through the
+trainer, grad-cache with on-device audio and siamese ties, chunk sizing,
+loader producer-thread shutdown."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from vipant_tpu.config import compose
+from vipant_tpu.train import build_monitor
+from data_synth import make_synth_clotho, make_synth_va_index
+
+from test_trainers import TINY_MODEL
+
+
+def test_va_trainer_with_barlow_batch_stats(tmp_path):
+    """BarlowLossHead carries BatchNorm batch_stats — the adapter must
+    thread the mutable collection through the train step."""
+    make_synth_va_index(str(tmp_path / "d"), "train", n=4, seconds=1.05)
+    cfg = compose([
+        "+running=bimodal",
+        *TINY_MODEL,
+        "+model/loss=barlow",
+        "model.loss.layers=[16,16]",
+        "worker=CVAP",
+        "monitor=VAMonitor",
+        f"running.data_root={tmp_path}/d",
+        "running.data_name=train",
+        "running.eval_name=",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.has_batch_stats
+    mon.learn()  # must not raise
+
+
+def test_grad_cache_with_on_device_audio(tmp_path):
+    make_synth_clotho(str(tmp_path), "clotho_dev", n=4, seconds=1.05)
+    cfg = compose([
+        "+running=clotho",
+        *TINY_MODEL,
+        "+model/loss=ce",
+        "worker=CLAP",
+        "monitor=LAMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=clotho_dev",
+        "running.eval_name=",
+        "running.test_name=",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.grad_cache.alive=True",
+        "running.grad_cache.chunk_size=2",
+        "running.audio.on_device=True",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    mon.learn()  # waveform batches must be featurized inside the GC step
+
+
+def test_gc_chunk_sizing():
+    """ceil-based chunk count: chunks never exceed the configured size."""
+    for bsz, chunk, expect in [(432, 128, 4), (100, 128, 1), (8, 3, 4), (6, 2, 3)]:
+        n = max(-(-bsz // max(chunk, 1)), 1)
+        while bsz % n != 0:
+            n += 1
+        assert bsz // n <= chunk or n == 1 and bsz <= chunk, (bsz, chunk, n)
+        assert n == expect, (bsz, chunk, n, expect)
+
+
+def test_loader_early_break_stops_producer(tmp_path):
+    from vipant_tpu.data.loader import DataLoader
+
+    class SlowDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            time.sleep(0.005)
+            return np.zeros(4, np.float32)
+
+    loader = DataLoader(
+        SlowDataset(), batch_size=4, collate_fn=lambda items: np.stack(items),
+        num_workers=2, prefetch=1,
+    )
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # early abandonment
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

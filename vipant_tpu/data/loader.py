@@ -78,6 +78,17 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def safe_put(item) -> bool:
+            """put that re-checks stop so an abandoned consumer (early break,
+            exception) never leaves this thread parked on a full queue."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -88,11 +99,12 @@ class DataLoader:
                         batch = self.collate_fn(items)
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)
-                        out_q.put(batch)
+                        if not safe_put(batch):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                safe_put(e)
             finally:
-                out_q.put(StopIteration)
+                safe_put(StopIteration)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

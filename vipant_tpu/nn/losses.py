@@ -197,7 +197,12 @@ class BarlowLossHead(nn.Module):
     lambd_off: float = 0.0051
 
     @nn.compact
-    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool = True):
+    def __call__(
+        self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool = True, normalized: bool = False
+    ):
+        # `normalized` accepted for loss-head API uniformity; Barlow
+        # standardizes features itself (parity with the reference's
+        # kwargs-tolerant forward, loss_head.py:304)
         sizes = [self.embed_dim] + list(self.layers)
         denses = [
             nn.Dense(sizes[i + 1], use_bias=False, name=f"dense_{i}")

@@ -63,12 +63,17 @@ class LATrainer(Trainer):
     def loss_adapter(self, model, variables, batch, rngs):
         """Branch on cfg.running.retrieval when a captioning decoder exists
         (parity: `/root/reference/cvap/monitor/clap.py:206`)."""
+        if self.on_device_audio:
+            batch = self.device_frontend(batch, rngs, train=True)
+        mutable = ["batch_stats"] if self.has_batch_stats else False
         if not hasattr(model, "decoder"):  # e.g. CLVP image↔text
-            return model.apply(variables, *batch, train=True, rngs=rngs)
+            return model.apply(variables, *batch, train=True, rngs=rngs, mutable=mutable)
         retrieval = model.decoder is None or bool(
             self.cfg.running.get("retrieval", True)
         )
-        return model.apply(variables, *batch, retrieval=retrieval, train=True, rngs=rngs)
+        return model.apply(
+            variables, *batch, retrieval=retrieval, train=True, rngs=rngs, mutable=mutable
+        )
 
     def infer(self, loader) -> str:
         """1-vs-5 retrieval report

@@ -93,24 +93,36 @@ def make_grad_cache_step(
     n_chunks: int,
     method_a: str = "encode_audio",
     method_b: str = "encode_text",
+    ties: Sequence[Tuple[str, str]] = (),
+    preprocess_a: Optional[Callable] = None,
+    preprocess_b: Optional[Callable] = None,
 ):
     """Two-pass gradient-cache train step (the "+AT w/ GC" capability;
     see :mod:`vipant_tpu.parallel.grad_cache`): activation memory scales
     with batch/n_chunks while the contrastive loss keeps the full
     global-negative similarity matrix. ``state.params`` holds trainables;
-    frozen towers ride ``state.frozen_params`` (traced, not baked)."""
+    frozen towers ride ``state.frozen_params`` (traced, not baked).
+    ``preprocess_a(batch_a, rng)``: optional in-step transform of the first
+    stream (e.g. the on-device audio frontend)."""
     from ..parallel.grad_cache import grad_cache_value_and_grad
+
+    ties = tuple(ties)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch_a, batch_b):
         rng, new_rng = jax.random.split(state.rng)
+        if preprocess_a is not None:
+            batch_a = preprocess_a(batch_a, rng)
+        if preprocess_b is not None:
+            batch_b = preprocess_b(batch_b, jax.random.fold_in(rng, 2))
 
         def full(tp):
-            return (
+            p = (
                 merge_params(tp, state.frozen_params)
                 if state.frozen_params is not None
                 else tp
             )
+            return restore_tied(p, ties) if ties else p
 
         def encode_a(tp, chunk):
             return model.apply({"params": full(tp)}, chunk, method=method_a, train=True)

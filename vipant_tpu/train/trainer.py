@@ -23,7 +23,6 @@ import jax
 import numpy as np
 
 from ..ckpt import (
-    latest_checkpoint,
     load_checkpoint,
     load_torch_file,
     port_reference_audio,
@@ -43,7 +42,7 @@ from ..models import (
     tunable_mask,
 )
 from ..optim import build_optimizer
-from ..optim.partition import merge_params, partition_params
+from ..optim.partition import partition_params
 from ..parallel import make_mesh, replicate, shard_batch
 from ..utils import AverageMeter, PhaseTimer, numel, seed_all_rng, setup_logger
 from .state import TrainState
@@ -221,20 +220,51 @@ class Trainer:
             self.global_step = int(self.state.step)
             self.echo.info(f"resumed from {ckpt_path} at step {self.global_step}")
         gc = cfg.get("running", Config({})).get("grad_cache")
-        if gc is not None and bool(gc.get("alive", False)) and getattr(self.model, "decoder", None) is not None:
-            self.echo.info("gradient cache ignored: captioning has no contrastive loss")
-            gc = None
+        if gc is not None and bool(gc.get("alive", False)):
+            if getattr(self.model, "decoder", None) is not None:
+                self.echo.info("gradient cache ignored: captioning has no contrastive loss")
+                gc = None
+            elif self.has_batch_stats:
+                self.echo.info("gradient cache ignored: model carries batch_stats")
+                gc = None
         if gc is not None and bool(gc.get("alive", False)):
             from .step import make_grad_cache_step
 
             chunk = int(gc.get("chunk_size", 128))
             bsz = int(cfg.running.batch_size)
-            n_chunks = max(bsz // max(min(chunk, bsz), 1), 1)
+            # smallest chunk count with chunks ≤ chunk_size that divides the batch
+            n_chunks = max(-(-bsz // max(chunk, 1)), 1)
+            while bsz % n_chunks != 0:
+                n_chunks += 1
             method_a, method_b = self.grad_cache_methods
+            preprocess_a = preprocess_b = None
+            if self.on_device_audio:
+                def _audio_frontend(wav, rng):
+                    idx = self.batch_keys.index("audio")
+                    pre = (None,) * idx
+                    args = pre + (wav,)
+                    out = list(args)
+                    # device_frontend works on the positional tuple
+                    full = self.device_frontend(tuple(out), {"augment": rng}, train=True)
+                    return full[idx]
+
+                if self.batch_keys.index("audio") == 0:
+                    preprocess_a = _audio_frontend
+                else:
+                    preprocess_b = _audio_frontend
             self.train_step = make_grad_cache_step(
-                self.model, self.tx, n_chunks, method_a, method_b
+                self.model,
+                self.tx,
+                n_chunks,
+                method_a,
+                method_b,
+                ties=self.ties,
+                preprocess_a=preprocess_a,
+                preprocess_b=preprocess_b,
             )
-            self.echo.info(f"gradient cache on: {n_chunks} chunks of ≤{chunk}")
+            self.echo.info(
+                f"gradient cache on: {n_chunks} chunks of {bsz // n_chunks}"
+            )
         else:
             self.train_step = make_train_step(
                 self.model,
@@ -296,16 +326,22 @@ class Trainer:
         if train and (freq_p or time_p) and rngs:
             import jax as _jax
 
+            from ..ops import freq_mask, time_mask
+
             key = _jax.random.fold_in(next(iter(rngs.values())), 17)
-            feats = spec_augment(key, feats, freq_p or 1, time_p or 1)
+            kf, kt = _jax.random.split(key)
+            if freq_p:
+                feats = freq_mask(kf, feats, freq_p)
+            if time_p:
+                feats = time_mask(kt, feats, time_p)
         feats = feats[:, None]  # [B, 1, T, M]
         return args[:idx] + (feats,) + args[idx + 1 :]
 
     def loss_adapter(self, model, variables, batch, rngs):
         if self.on_device_audio:
             batch = self.device_frontend(batch, rngs, train=True)
-        out = model.apply(variables, *batch, train=True, rngs=rngs)
-        return out
+        mutable = ["batch_stats"] if self.has_batch_stats else False
+        return model.apply(variables, *batch, train=True, rngs=rngs, mutable=mutable)
 
     # ---------------------------------------------------------------- learn
     def learn(self):
@@ -412,7 +448,12 @@ class Trainer:
         return {k: np.concatenate(v) for k, v in feats.items()} | {"names": names}
 
     def eval_variables(self):
-        variables = {"params": self.state.full_params()}
+        from ..nn.tying import restore_tied
+
+        params = self.state.full_params()
+        if self.ties:
+            params = restore_tied(params, self.ties)
+        variables = {"params": params}
         if self.has_batch_stats:
             variables["batch_stats"] = self.state.batch_stats
         return variables
