@@ -63,6 +63,8 @@ class ImageAudioDatasetSrc:
         # cropped waveform; fbank + SpecAugment run inside the jitted train
         # step, fused with the model (the TPU-native frontend)
         self.on_device = bool(acfg.get("on_device", False))
+        # ship uint8 images; CLIP normalization runs on device
+        self.image_uint8 = bool(cfg.get("image_uint8", False))
 
     def __len__(self) -> int:
         return len(self.records)
@@ -95,16 +97,21 @@ class ImageAudioDatasetSrc:
         return name, aclip_file, frame_file, frame_emb_file
 
     def _image(self, fname: Optional[str]) -> np.ndarray:
+        from .transforms_image import clip_preprocess_uint8
+
         res = int(self.cfg.get("resolution", 224))
+        pre = clip_preprocess_uint8 if self.image_uint8 else clip_preprocess
         if fname is None:
-            return np.zeros((3, res, res), np.float32)
+            return np.zeros(
+                (3, res, res), np.uint8 if self.image_uint8 else np.float32
+            )
         try:
             img = PILImage.open(fname)
-            return clip_preprocess(img, res)
+            return pre(img, res)
         except Exception as e:  # corrupt → random image, keep training
             warnings.warn(f"use random image because `{e}` {fname}")
             img = PILImage.fromarray((np.random.rand(res, res, 3) * 256).astype(np.uint8))
-            return clip_preprocess(img, res)
+            return pre(img, res)
 
     def _image_emb(self, fname: str) -> np.ndarray:
         try:
@@ -232,7 +239,9 @@ class ImageAudioCollator:
             else ("image", "audio")
         )
         for key in keys:
-            arr = np.stack([it[key] for it in items]).astype(np.float32)
+            arr = np.stack([it[key] for it in items])
+            if arr.dtype != np.uint8:  # uint8 images normalize on device
+                arr = arr.astype(np.float32)
             if key.startswith("audio") and arr.ndim == 3:
                 arr = arr[:, None]  # [B, 1, T, M]
             out[key] = arr

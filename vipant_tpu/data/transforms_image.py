@@ -37,6 +37,27 @@ def clip_preprocess(img: Image.Image, size: int = 224) -> np.ndarray:
     return _to_chw(img)
 
 
+def clip_preprocess_uint8(img: Image.Image, size: int = 224) -> np.ndarray:
+    """Resize + crop only, CHW uint8 — normalization happens on device
+    (4× smaller host→device transfer)."""
+    w, h = img.size
+    scale = size / min(w, h)
+    img = img.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+    w, h = img.size
+    left, top = (w - size) // 2, (h - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img.convert("RGB"), np.uint8).transpose(2, 0, 1)
+
+
+def device_normalize_image(x):
+    """uint8 [B, 3, H, W] → CLIP-normalized float (jnp or np)."""
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(CLIP_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(CLIP_STD).reshape(1, 3, 1, 1)
+    return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+
 class GaussianBlur:
     def __init__(self, p: float = 0.5):
         self.p = p

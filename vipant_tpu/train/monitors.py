@@ -63,7 +63,7 @@ class LATrainer(Trainer):
     def loss_adapter(self, model, variables, batch, rngs):
         """Branch on cfg.running.retrieval when a captioning decoder exists
         (parity: `/root/reference/cvap/monitor/clap.py:206`)."""
-        if self.on_device_audio:
+        if self.needs_device_frontend:
             batch = self.device_frontend(batch, rngs, train=True)
         mutable = ["batch_stats"] if self.has_batch_stats else False
         if not hasattr(model, "decoder"):  # e.g. CLVP image↔text

@@ -285,7 +285,7 @@ class Trainer:
             return arrays
         return shard_batch(arrays, self.mesh)
 
-    # --- on-device audio frontend (waveform in the batch → fused fbank) ----
+    # --- on-device frontends (waveform → fused fbank; uint8 → normalize) ---
     @property
     def on_device_audio(self) -> bool:
         run = self.cfg.get("running")
@@ -295,6 +295,19 @@ class Trainer:
             and bool(run.audio.get("on_device", False))
             and "audio" in self.batch_keys
         )
+
+    @property
+    def image_uint8(self) -> bool:
+        run = self.cfg.get("running")
+        return (
+            run is not None
+            and bool(run.get("image_uint8", False))
+            and "image" in self.batch_keys
+        )
+
+    @property
+    def needs_device_frontend(self) -> bool:
+        return self.on_device_audio or self.image_uint8
 
     def _frontend_settings(self):
         from ..data.image_audio import fbank_params_from_cfg
@@ -312,11 +325,24 @@ class Trainer:
         return params, int(self.cfg.running.max_audio_len), norms, freq_p, time_p
 
     def device_frontend(self, args: Tuple, rngs, train: bool = True) -> Tuple:
-        """Waveform → normalized log-mel (+ SpecAugment at train) inside the
-        jitted step — the fused TPU-native frontend."""
+        """Waveform → normalized log-mel (+ SpecAugment at train) and
+        uint8 image → CLIP normalization, inside the jitted step — the fused
+        TPU-native frontend."""
         from ..ops import spec_augment
         from ..ops.fbank import fbank_fixed_len
 
+        import jax.numpy as jnp
+
+        if "image" in self.batch_keys:
+            iidx = self.batch_keys.index("image")
+            img = args[iidx]
+            if img is not None and hasattr(img, "dtype") and img.dtype == jnp.uint8:
+                from ..data.transforms_image import device_normalize_image
+
+                args = args[:iidx] + (device_normalize_image(img),) + args[iidx + 1 :]
+
+        if "audio" not in self.batch_keys:
+            return args
         params, max_len, norms, freq_p, time_p = self._frontend_settings()
         idx = self.batch_keys.index("audio")
         wav = args[idx]
@@ -338,7 +364,7 @@ class Trainer:
         return args[:idx] + (feats,) + args[idx + 1 :]
 
     def loss_adapter(self, model, variables, batch, rngs):
-        if self.on_device_audio:
+        if self.needs_device_frontend:
             batch = self.device_frontend(batch, rngs, train=True)
         mutable = ["batch_stats"] if self.has_batch_stats else False
         return model.apply(variables, *batch, train=True, rngs=rngs, mutable=mutable)
@@ -438,7 +464,7 @@ class Trainer:
         with jax.sharding.set_mesh(self.mesh):
             for batch in loader:
                 args = tuple(batch[k] for k in self.batch_keys)
-                if self.on_device_audio:
+                if self.needs_device_frontend:
                     args = self.device_frontend(args, None, train=False)
                 out = eval_step(variables, *args)
                 for key, val in zip(("x1", "x2", "x3"), out if isinstance(out, tuple) else (out,)):
