@@ -1,0 +1,86 @@
+"""Two-process jax.distributed smoke test (multi-host simulation on CPU):
+global batch sharding across processes + the host index sharding that feeds
+it. Skipped if the CPU multi-process runtime is unavailable."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1],
+        num_processes=2,
+        process_id=int(sys.argv[2]),
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == 2
+    assert jax.device_count() == 4  # 2 local × 2 processes
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 1), ("data", "model"))
+
+    # every process contributes its local shard of a global [8, 4] batch
+    pid = jax.process_index()
+    local = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)[pid * 4 : (pid + 1) * 4]
+    sharding = NamedSharding(mesh, P("data"))
+    garr = jax.make_array_from_process_local_data(sharding, local, (8, 4))
+
+    @jax.jit
+    def total(x):
+        return jnp.sum(x)
+
+    with jax.sharding.set_mesh(mesh):
+        out = float(total(garr))
+    expect = float(np.arange(8 * 4, dtype=np.float32).sum())
+    assert out == expect, (out, expect)
+    print(f"proc {pid} OK sum={out}")
+    """
+)
+
+
+def test_two_process_global_batch(tmp_path):
+    port = 29765
+    with socket.socket() as s:  # skip when the port is taken
+        try:
+            s.bind(("127.0.0.1", port))
+        except OSError:
+            pytest.skip("coordinator port unavailable")
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = os.getcwd()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=90)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("multi-process CPU runtime timed out in this environment")
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        if rc != 0 and ("not implemented" in out.lower() or "unavailable" in out.lower()):
+            pytest.skip(f"multi-process unsupported: {out[-200:]}")
+        assert rc == 0, out[-2000:]
+        assert "OK sum=" in out
