@@ -49,12 +49,9 @@ WORKER = textwrap.dedent(
 
 
 def test_two_process_global_batch(tmp_path):
-    port = 29765
-    with socket.socket() as s:  # skip when the port is taken
-        try:
-            s.bind(("127.0.0.1", port))
-        except OSError:
-            pytest.skip("coordinator port unavailable")
+    with socket.socket() as s:  # grab a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     coord = f"127.0.0.1:{port}"
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
