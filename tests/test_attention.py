@@ -53,6 +53,24 @@ def test_gradients_match_xla(rng):
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 5e-4
 
 
+def test_bias_gradient_matches_xla(rng):
+    """The bias cotangent must be the true gradient, not zeros."""
+    T = 77
+    q, k, v = _qkv(rng, B=1, T=T, H=2)
+    bias0 = jnp.asarray(0.1 * rng.standard_normal((T, T)), jnp.float32)
+
+    def loss_flash(b):
+        return jnp.sum(flash_attention(q, k, v, bias=b) ** 2)
+
+    def loss_ref(b):
+        return jnp.sum(_ref(q, k, v, bias=b[None, None]) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash)(bias0)
+    g2 = jax.grad(loss_ref)(bias0)
+    assert np.max(np.abs(np.asarray(g1) - np.asarray(g2))) < 5e-4
+
+
 def test_bf16_io(rng):
     q, k, v = _qkv(rng, T=130)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))

@@ -74,6 +74,10 @@ class AudioTextDatasetSrc:
         self.records = records
         self.train = train
         self.ctx_len = ctx_len
+        # uniform caption count at eval: the 1-vs-k grouping assumes exactly
+        # k captions per clip; short lists (e.g. an empty caption_5 cell)
+        # are padded cyclically
+        self.eval_k = max((len(r["captions_bpe"]) for r in records), default=1)
         acfg = cfg.audio
         self.acfg = acfg
         self.params = fbank_params_from_cfg(acfg)
@@ -110,6 +114,7 @@ class AudioTextDatasetSrc:
         if self.train:
             text = self._pad(caps[int(np.random.choice(len(caps)))])
             return {"audio": audio, "text": text, "name": rec["id"]}
+        caps = [caps[i % len(caps)] for i in range(self.eval_k)]
         text = np.stack([self._pad(c) for c in caps])  # [k, ctx]
         return {"audio": audio, "text": text, "name": rec["id"]}
 

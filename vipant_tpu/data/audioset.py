@@ -211,9 +211,15 @@ class AudiosetCollator:
         self.clf = clf
 
     def __call__(self, items: List[Dict]) -> Dict[str, np.ndarray]:
+        image = np.stack([it["image"] for it in items])
+        if image.dtype != np.uint8:  # uint8 images normalize on device
+            image = image.astype(np.float32)
+        audio = np.stack([it["audio"] for it in items]).astype(np.float32)
+        if audio.ndim == 3:  # fbank [B, T, M] → [B, 1, T, M]; waveforms stay 2-D
+            audio = audio[:, None]
         out = {
-            "image": np.stack([it["image"] for it in items]).astype(np.float32),
-            "audio": np.stack([it["audio"] for it in items]).astype(np.float32)[:, None],
+            "image": image,
+            "audio": audio,
             "name": [it["name"] for it in items],
         }
         if self.clf:

@@ -24,6 +24,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
     pos = 12
     fmt = None
+    fmt_body = None
     payload = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -31,6 +32,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             payload = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -38,8 +40,11 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     if fmt is None or payload is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits in (8, 16, 24, 32) else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code in SubFormat GUID
+        if fmt_body is not None and len(fmt_body) >= 26:
+            audio_format = fmt_body[24] | (fmt_body[25] << 8)
+        else:
+            audio_format = 1
 
     if audio_format == 1:  # PCM
         if bits == 8:

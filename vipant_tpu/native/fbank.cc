@@ -194,13 +194,17 @@ int vt_wav_info(const char* path, int64_t* n_samples, int* sample_rate,
     const uint32_t size = chdr[4] | (chdr[5] << 8) | (chdr[6] << 16) |
                           (static_cast<uint32_t>(chdr[7]) << 24);
     if (std::memcmp(chdr, "fmt ", 4) == 0) {
-      unsigned char body[16];
-      if (std::fread(body, 1, 16, f) != 16) break;
+      unsigned char body[26];
+      const size_t want = size >= 26 ? 26 : 16;
+      if (std::fread(body, 1, want, f) != want) break;
       fmt_code = body[0] | (body[1] << 8);
       ch = body[2] | (body[3] << 8);
       sr = body[4] | (body[5] << 8) | (body[6] << 16) | (body[7] << 24);
       bits = body[14] | (body[15] << 8);
-      std::fseek(f, static_cast<long>(size - 16 + (size & 1)), SEEK_CUR);
+      if (fmt_code == 0xFFFE && want == 26) {  // EXTENSIBLE: SubFormat GUID
+        fmt_code = body[24] | (body[25] << 8);
+      }
+      std::fseek(f, static_cast<long>(size - want + (size & 1)), SEEK_CUR);
     } else if (std::memcmp(chdr, "data", 4) == 0) {
       data_size = size;
       break;
@@ -232,12 +236,16 @@ int vt_wav_read(const char* path, float* out, int64_t max_per_channel) {
     const uint32_t size = chdr[4] | (chdr[5] << 8) | (chdr[6] << 16) |
                           (static_cast<uint32_t>(chdr[7]) << 24);
     if (std::memcmp(chdr, "fmt ", 4) == 0) {
-      unsigned char body[16];
-      if (std::fread(body, 1, 16, f) != 16) break;
+      unsigned char body[26];
+      const size_t want = size >= 26 ? 26 : 16;
+      if (std::fread(body, 1, want, f) != want) break;
       fmt_code = body[0] | (body[1] << 8);
       ch = body[2] | (body[3] << 8);
       bits = body[14] | (body[15] << 8);
-      std::fseek(f, static_cast<long>(size - 16 + (size & 1)), SEEK_CUR);
+      if (fmt_code == 0xFFFE && want == 26) {  // EXTENSIBLE: SubFormat GUID
+        fmt_code = body[24] | (body[25] << 8);
+      }
+      std::fseek(f, static_cast<long>(size - want + (size & 1)), SEEK_CUR);
     } else if (std::memcmp(chdr, "data", 4) == 0) {
       if (ch <= 0) break;
       const int bytes = bits / 8;

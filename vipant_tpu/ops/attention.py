@@ -69,7 +69,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
     if has_bias:
-        (bias_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
+        (bias_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref) = rest
     else:
         (o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
     q = q_ref[...]
@@ -88,12 +88,19 @@ def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
     dv = _bdot(pb, do, (((1,), (1,))))  # [h, T, D] (contract over queries)
     dp = _bdot(do, v, (((2,), (2,))))  # [h, T, T]
     delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    ds_raw = p * (dp - delta)  # ∂L/∂s (pre-scale: s = scale·qkᵀ + bias)
+    ds = (ds_raw * scale).astype(q.dtype)
     dq = _bdot(ds, k, (((2,), (1,))))
     dk = _bdot(ds, q, (((1,), (1,))))
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
+    if has_bias:  # accumulate across sequential grid steps
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+        dbias_ref[...] += jnp.sum(ds_raw, axis=0)
 
 
 def _specs(T, D, hpb):
@@ -140,14 +147,18 @@ def _bwd_call(q3, k3, v3, bias, o3, lse, do3, scale):
     has_bias = bias is not None
     kernel = functools.partial(_bwd_kernel, scale=scale, has_bias=has_bias)
     args = (q3, k3, v3) + ((bias,) if has_bias else ()) + (o3, lse, do3)
+    out_specs = (head,) * 3 + ((bias_spec,) if has_bias else ())
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((BH, T, D), q3.dtype) for _ in range(3)
+    ) + ((jax.ShapeDtypeStruct((T, T), jnp.float32),) if has_bias else ())
     return pl.pallas_call(
         kernel,
         grid=(BH // hpb,),
         in_specs=[head] * 3
         + ([bias_spec] if has_bias else [])
         + [head, lse_spec, head],
-        out_specs=(head,) * 3,
-        out_shape=tuple(jax.ShapeDtypeStruct((BH, T, D), q3.dtype) for _ in range(3)),
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(*args)
 
 
@@ -179,7 +190,7 @@ def _fwd_kernel4(q_ref, k_ref, v_ref, *rest, scale, has_bias):
 
 def _bwd_kernel4(q_ref, k_ref, v_ref, *rest, scale, has_bias):
     if has_bias:
-        (bias_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
+        (bias_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref) = rest
     else:
         (o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
     q = jnp.swapaxes(q_ref[0], 0, 1)
@@ -197,12 +208,19 @@ def _bwd_kernel4(q_ref, k_ref, v_ref, *rest, scale, has_bias):
     dv = _bdot(pb, do, (((1,), (1,))))
     dp = _bdot(do, v, (((2,), (2,))))
     delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    ds_raw = p * (dp - delta)
+    ds = (ds_raw * scale).astype(q.dtype)
     dq = _bdot(ds, k, (((2,), (1,))))
     dk = _bdot(ds, q, (((1,), (1,))))
     dq_ref[0] = jnp.swapaxes(dq, 0, 1).astype(dq_ref.dtype)
     dk_ref[0] = jnp.swapaxes(dk, 0, 1).astype(dk_ref.dtype)
     dv_ref[0] = jnp.swapaxes(dv, 0, 1).astype(dv_ref.dtype)
+    if has_bias:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+        dbias_ref[...] += jnp.sum(ds_raw, axis=0)
 
 
 def _specs4(T, H, D):
@@ -243,14 +261,18 @@ def _bwd_call4(q4, k4, v4, bias, o4, lse, do4, scale):
     has_bias = bias is not None
     kernel = functools.partial(_bwd_kernel4, scale=scale, has_bias=has_bias)
     args = (q4, k4, v4) + ((bias,) if has_bias else ()) + (o4, lse, do4)
+    out_specs = (head,) * 3 + ((bias_spec,) if has_bias else ())
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, T, H, D), q4.dtype) for _ in range(3)
+    ) + ((jax.ShapeDtypeStruct((T, T), jnp.float32),) if has_bias else ())
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[head] * 3
         + ([bias_spec] if has_bias else [])
         + [head, lse_spec, head],
-        out_specs=(head,) * 3,
-        out_shape=tuple(jax.ShapeDtypeStruct((B, T, H, D), q4.dtype) for _ in range(3)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(*args)
 
@@ -268,8 +290,10 @@ def _attend4_fwd(q4, k4, v4, bias, scale):
 
 def _attend4_bwd(scale, res, g):
     q4, k4, v4, bias, out, lse = res
-    dq, dk, dv = _bwd_call4(q4, k4, v4, bias, out, lse, g, scale)
-    dbias = None if bias is None else jnp.zeros_like(bias)
+    if bias is None:
+        dq, dk, dv = _bwd_call4(q4, k4, v4, bias, out, lse, g, scale)
+        return dq, dk, dv, None
+    dq, dk, dv, dbias = _bwd_call4(q4, k4, v4, bias, out, lse, g, scale)
     return dq, dk, dv, dbias
 
 
@@ -294,8 +318,10 @@ def _attend_fwd(q3, k3, v3, bias, scale):
 
 def _attend_bwd(scale, res, g):
     q3, k3, v3, bias, out, lse = res
-    dq, dk, dv = _bwd_call(q3, k3, v3, bias, out, lse, g, scale)
-    dbias = None if bias is None else jnp.zeros_like(bias)
+    if bias is None:
+        dq, dk, dv = _bwd_call(q3, k3, v3, bias, out, lse, g, scale)
+        return dq, dk, dv, None
+    dq, dk, dv, dbias = _bwd_call(q3, k3, v3, bias, out, lse, g, scale)
     return dq, dk, dv, dbias
 
 

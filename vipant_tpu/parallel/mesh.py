@@ -60,9 +60,24 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place every array in the batch pytree with its batch axis sharded
     over ``data`` — the analogue of the reference's per-rank batch slicing
     (`/root/reference/cvap/data/image_audio.py:354-360`), except the global
-    batch is one logical array."""
+    batch is one logical array.
+
+    Multi-process: each host passes its LOCAL shard (from
+    ``shard_for_host``); the global array is assembled with
+    ``make_array_from_process_local_data`` — a bare device_put would treat
+    the local rows as the whole global batch."""
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    nproc = jax.process_count()
+
+    def put(x):
+        if nproc > 1 and hasattr(x, "shape") and x.ndim >= 1:
+            global_shape = (x.shape[0] * nproc,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

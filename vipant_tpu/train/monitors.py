@@ -249,11 +249,14 @@ class VASTrainer(Trainer):
     def _collect_pivot_features(self, loader):
         variables = self.eval_variables()
 
-        @jax.jit
-        def enc(variables, image, audio):
-            v = self.model.apply(variables, image, method="encode_pivot_image")
-            a = self.model.apply(variables, audio, method="encode_audio_view")
-            return v, a
+        if not hasattr(self, "_pivot_step"):
+            def _enc(variables, image, audio):
+                v = self.model.apply(variables, image, method="encode_pivot_image")
+                a = self.model.apply(variables, audio, method="encode_audio_view")
+                return v, a
+
+            self._pivot_step = jax.jit(_enc)
+        enc = self._pivot_step
 
         vs, aas = [], []
         for batch in loader:
@@ -302,9 +305,13 @@ class ASTrainer(Trainer):
         (parity: `/root/reference/cvap/module/decoder/loss_more.py:92-131`)."""
         variables = self.eval_variables()
 
-        @jax.jit
-        def score(variables, image, audio, label):
-            return self.model.apply(variables, image, audio, label, train=False)
+        if not hasattr(self, "_score_step"):
+            self._score_step = jax.jit(
+                lambda variables, image, audio, label: self.model.apply(
+                    variables, image, audio, label, train=False
+                )
+            )
+        score = self._score_step
 
         scores, labels = [], []
         for batch in loader:
@@ -476,8 +483,10 @@ class ESCTrainer(Trainer):
         # (parity: `/root/reference/cvap/monitor/esc50_clf.py:43-102`)
         accs = []
         for fi, (train_loader, eval_loader) in enumerate(self.folds):
-            self.reinitialize()
+            # loaders first: reinitialize() derives the LR schedule from
+            # len(self.loader) (per-fold steps_per_epoch)
             self.loader, self.evalloader = train_loader, eval_loader
+            self.reinitialize()
             for ie in range(int(self.cfg.running.epochs)):
                 self.loader.set_epoch(ie)
                 self.epoch(ie)

@@ -124,11 +124,20 @@ def make_grad_cache_step(
             )
             return restore_tied(p, ties) if ties else p
 
+        enc_rngs = {
+            "dropout": jax.random.fold_in(rng, 3),
+            "patchout": jax.random.fold_in(rng, 4),
+        }
+
         def encode_a(tp, chunk):
-            return model.apply({"params": full(tp)}, chunk, method=method_a, train=True)
+            return model.apply(
+                {"params": full(tp)}, chunk, method=method_a, train=True, rngs=enc_rngs
+            )
 
         def encode_b(tp, chunk):
-            return model.apply({"params": full(tp)}, chunk, method=method_b, train=True)
+            return model.apply(
+                {"params": full(tp)}, chunk, method=method_b, train=True, rngs=enc_rngs
+            )
 
         def loss_of_embs(tp, ea, eb):
             return model.apply(

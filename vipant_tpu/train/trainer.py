@@ -94,20 +94,24 @@ class Trainer:
     # ------------------------------------------------------------------ data
     def loader_device_put(self, batch: Dict) -> Dict:
         """Runs in the loader thread: shard/upload batch arrays so H2D
-        overlaps the previous step's compute (double buffering)."""
-        from ..parallel import batch_sharding
+        overlaps the previous step's compute (double buffering). Uses
+        parallel.shard_batch, which assembles the cross-process global array
+        on multi-host topologies."""
+        from ..parallel import shard_batch as _shard
 
-        sharding = batch_sharding(self.mesh)
-        ndata = self.mesh.shape["data"]
+        ndata = self.mesh.shape["data"] // max(jax.process_count(), 1) or 1
+        arrays = {}
         for k in self.batch_keys:
             v = batch.get(k)
             if (
                 v is not None
                 and hasattr(v, "shape")
                 and v.ndim >= 1
-                and v.shape[0] % ndata == 0
+                and v.shape[0] % max(ndata, 1) == 0
             ):
-                batch[k] = jax.device_put(v, sharding)
+                arrays[k] = v
+        placed = _shard(arrays, self.mesh)
+        batch.update(placed)
         return batch
 
     def build_data(self):
@@ -328,7 +332,6 @@ class Trainer:
         """Waveform → normalized log-mel (+ SpecAugment at train) and
         uint8 image → CLIP normalization, inside the jitted step — the fused
         TPU-native frontend."""
-        from ..ops import spec_augment
         from ..ops.fbank import fbank_fixed_len
 
         import jax.numpy as jnp
@@ -440,8 +443,8 @@ class Trainer:
                     dt = time.time() - t_epoch
                     self.echo.info(
                         f"epoch {ie} step {self.global_step} loss {loss:.4f} "
-                        f"lr {lr:.2e} {nsample / dt:.1f} samples/s "
-                        f"({self.timer.summary()})"
+                        f"(avg {meter.avg:.4f}) lr {lr:.2e} "
+                        f"{nsample / dt:.1f} samples/s ({self.timer.summary()})"
                     )
                 if save_rate > 0 and self.global_step % save_rate == 0:
                     self.save()
@@ -457,7 +460,10 @@ class Trainer:
     def collect_features(self, loader) -> Dict[str, np.ndarray]:
         from .step import make_eval_step
 
-        eval_step = make_eval_step(self.model, ties=self.ties)
+        # memoize: a fresh jit closure per call would recompile every eval
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = make_eval_step(self.model, ties=self.ties)
+        eval_step = self._eval_step
         feats: Dict[str, List[np.ndarray]] = {}
         names: List[str] = []
         variables = self.eval_variables()
