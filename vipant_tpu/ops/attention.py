@@ -64,7 +64,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = _bdot((p / l).astype(v.dtype), v, (((2,), (1,))))  # [h, T, D]
     o_ref[...] = o.astype(o_ref.dtype)
-    lse_ref[...] = (m + jnp.log(l))[..., 0]
+    lse_ref[0] = (m + jnp.log(l))[..., 0]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
@@ -77,7 +77,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
     v = v_ref[...]
     o = o_ref[...].astype(jnp.float32)
     do = do_ref[...]
-    lse = lse_ref[...]
+    lse = lse_ref[0]
 
     s = _bdot(q, k, (((2,), (2,)))) * scale
     if has_bias:
@@ -105,7 +105,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
 
 def _specs(T, D, hpb):
     head = pl.BlockSpec((hpb, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((hpb, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # lse lives as [num_blocks, hpb, T]: the (hpb, T) block equals the array's
+    # trailing dims, which is always tile-legal (hpb may be < 8)
+    lse = pl.BlockSpec((1, hpb, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     bias = pl.BlockSpec((T, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return head, lse, bias
 
@@ -135,7 +137,7 @@ def _fwd_call(q3, k3, v3, bias, scale):
         out_specs=(head, lse),
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, D), q3.dtype),
-            jax.ShapeDtypeStruct((BH, T), jnp.float32),
+            jax.ShapeDtypeStruct((BH // hpb, hpb, T), jnp.float32),
         ),
     )(*args)
 
