@@ -27,13 +27,18 @@ WORKER = textwrap.dedent(
 
     assert jax.process_count() == 2
     assert jax.device_count() == 4  # 2 local × 2 processes
-    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 1), ("data", "model"))
+    from vipant_tpu.parallel import make_mesh, shard_batch
 
-    # every process contributes its local shard of a global [8, 4] batch
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 4
+
+    # every process contributes its local shard of a global [8, 4] batch —
+    # the production path (parallel.shard_batch) must assemble the global
+    # array across processes
     pid = jax.process_index()
     local = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)[pid * 4 : (pid + 1) * 4]
-    sharding = NamedSharding(mesh, P("data"))
-    garr = jax.make_array_from_process_local_data(sharding, local, (8, 4))
+    (garr,) = shard_batch((local,), mesh)
+    assert garr.shape == (8, 4), garr.shape
 
     @jax.jit
     def total(x):
