@@ -49,11 +49,17 @@ class LayerNorm(nn.Module):
 class MultiHeadAttention(nn.Module):
     """Packed-QKV multi-head attention (torch ``nn.MultiheadAttention``
     semantics: one [D, 3D] input projection, one [D, D] output projection),
-    so ported CLIP checkpoints drop in without weight splitting."""
+    so ported CLIP checkpoints drop in without weight splitting.
+
+    ``n_layers`` (when set) enables CLIP's from-scratch init scheme:
+    qkv ~ N(0, d^-0.5), out ~ N(0, d^-0.5·(2L)^-0.5)
+    (parity: `/root/reference/clip/model.py:330-350`,
+    `/root/reference/cvap/module/txt.py:44-58`)."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    n_layers: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -68,17 +74,30 @@ class MultiHeadAttention(nn.Module):
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
 
+        if self.n_layers:
+            attn_init = nn.initializers.normal(stddev=d ** -0.5)
+            proj_init = nn.initializers.normal(
+                stddev=(d ** -0.5) * ((2 * self.n_layers) ** -0.5)
+            )
+        else:
+            attn_init = proj_init = nn.initializers.lecun_normal()
+
         if kv is None:
             qkv = nn.DenseGeneral(
-                3 * d, dtype=self.dtype, param_dtype=self.param_dtype, name="qkv"
+                3 * d, dtype=self.dtype, param_dtype=self.param_dtype,
+                kernel_init=attn_init, name="qkv",
             )(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             # cross-attention: q from x, k/v from memory — still packed
             # layout per-projection for porting symmetry
-            q = nn.DenseGeneral(d, dtype=self.dtype, param_dtype=self.param_dtype, name="q")(x)
-            k = nn.DenseGeneral(d, dtype=self.dtype, param_dtype=self.param_dtype, name="k")(kv)
-            v = nn.DenseGeneral(d, dtype=self.dtype, param_dtype=self.param_dtype, name="v")(kv)
+            mk = lambda name: nn.DenseGeneral(
+                d, dtype=self.dtype, param_dtype=self.param_dtype,
+                kernel_init=attn_init, name=name,
+            )
+            q = mk("q")(x)
+            k = mk("k")(kv)
+            v = mk("v")(kv)
 
         B, T, _ = q.shape
         S = k.shape[1]
@@ -103,26 +122,40 @@ class MultiHeadAttention(nn.Module):
         out = attention(q, k, v, bias=bias, mask=bool_mask)  # [B, T, H, head_dim]
         out = out.reshape(B, T, d)
         return nn.DenseGeneral(
-            d, dtype=self.dtype, param_dtype=self.param_dtype, name="out"
+            d, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=proj_init, name="out",
         )(out)
 
 
 class MLP(nn.Module):
-    """4×-expansion MLP with QuickGELU (CLIP) or exact GELU (DeiT)."""
+    """4×-expansion MLP with QuickGELU (CLIP) or exact GELU (DeiT).
+    ``n_layers`` enables CLIP's depth-scaled from-scratch init."""
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     expansion: int = 4
     act: str = "quick_gelu"
+    n_layers: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
+        if self.n_layers:
+            fc_init = nn.initializers.normal(stddev=(2 * d) ** -0.5)
+            proj_init = nn.initializers.normal(
+                stddev=(d ** -0.5) * ((2 * self.n_layers) ** -0.5)
+            )
+        else:
+            fc_init = proj_init = nn.initializers.lecun_normal()
         h = nn.Dense(
-            self.expansion * d, dtype=self.dtype, param_dtype=self.param_dtype, name="fc"
+            self.expansion * d, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=fc_init, name="fc",
         )(x)
         h = quick_gelu(h) if self.act == "quick_gelu" else jax.nn.gelu(h, approximate=False)
-        return nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="proj")(h)
+        return nn.Dense(
+            d, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=proj_init, name="proj",
+        )(h)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -135,6 +168,7 @@ class ResidualAttentionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     cross_attn: bool = False
     act: str = "quick_gelu"
+    n_layers: Optional[int] = None  # enables CLIP's depth-scaled init
 
     @nn.compact
     def __call__(
@@ -143,7 +177,7 @@ class ResidualAttentionBlock(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         memory: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, n_layers=self.n_layers)
         x = x + MultiHeadAttention(self.num_heads, name="attn", **kw)(
             LayerNorm(param_dtype=self.param_dtype, name="ln_1")(x), mask=mask
         )
@@ -192,6 +226,7 @@ class Transformer(nn.Module):
                 param_dtype=self.param_dtype,
                 cross_attn=self.cross_attn,
                 act=self.act,
+                n_layers=self.layers if self.act == "quick_gelu" else None,
                 name=f"block_{i}",
             )(x, mask, memory)
         return x
