@@ -173,4 +173,5 @@ def build_audio_text_dataloader(
         num_workers=int(cfg.get("num_proc", 4)),
         seed=int(cfg.get("seed", 0)),
         device_put_fn=device_put_fn,
+        pad_last=not train,  # fixed eval shapes → one compile
     )

@@ -34,6 +34,7 @@ class DataLoader:
         seed: int = 0,
         device_put_fn: Optional[Callable[[Any], Any]] = None,
         sample_weights: Optional[np.ndarray] = None,
+        pad_last: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,6 +46,10 @@ class DataLoader:
         self.seed = seed
         self.device_put_fn = device_put_fn
         self.sample_weights = sample_weights
+        # pad the final partial batch (repeating its last item) so every
+        # batch has a fixed shape — one jit compile instead of one per
+        # remainder size; dict batches carry the true count under "_count"
+        self.pad_last = pad_last
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -95,8 +100,15 @@ class DataLoader:
                     for idxs in batches:
                         if stop.is_set():
                             return
+                        true_count = len(idxs)
+                        if self.pad_last and true_count < self.batch_size:
+                            idxs = np.concatenate(
+                                [idxs, np.repeat(idxs[-1:], self.batch_size - true_count)]
+                            )
                         items = list(pool.map(self.dataset.__getitem__, idxs))
                         batch = self.collate_fn(items)
+                        if self.pad_last and isinstance(batch, dict):
+                            batch["_count"] = true_count
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)
                         if not safe_put(batch):

@@ -147,7 +147,8 @@ class LATrainer(Trainer):
             ids, _ = self.model.apply(
                 variables, jax.numpy.asarray(batch["audio"]), method="decode"
             )
-            for row in np.asarray(ids):
+            n = int(batch.get("_count", len(batch["name"])))
+            for row in np.asarray(ids)[:n]:
                 toks = [int(t) for t in row[1:] if t not in (0, 49406)]
                 if 49407 in toks:
                     toks = toks[: toks.index(49407)]
@@ -265,8 +266,9 @@ class VASTrainer(Trainer):
                 jax.numpy.asarray(batch["image"]),
                 jax.numpy.asarray(batch["audio_v1"]),
             )
-            vs.append(np.asarray(v))
-            aas.append(np.asarray(a))
+            n = int(batch.get("_count", len(batch["name"])))
+            vs.append(np.asarray(v)[:n])
+            aas.append(np.asarray(a)[:n])
         return {"v": np.concatenate(vs), "a": np.concatenate(aas)}
 
     def collect_model_export(self):

@@ -473,10 +473,16 @@ class Trainer:
                 if self.needs_device_frontend:
                     args = self.device_frontend(args, None, train=False)
                 out = eval_step(variables, *args)
+                n_items = len(batch["name"])
+                n_true = int(batch.get("_count", n_items))
                 for key, val in zip(("x1", "x2", "x3"), out if isinstance(out, tuple) else (out,)):
                     if val is not None:
-                        feats.setdefault(key, []).append(np.asarray(val))
-                names.extend(batch["name"])
+                        arr = np.asarray(val)
+                        if n_true < n_items:  # drop pad rows (k per item)
+                            per_item = arr.shape[0] // n_items
+                            arr = arr[: n_true * per_item]
+                        feats.setdefault(key, []).append(arr)
+                names.extend(batch["name"][:n_true])
         return {k: np.concatenate(v) for k, v in feats.items()} | {"names": names}
 
     def eval_variables(self):
