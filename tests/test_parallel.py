@@ -87,10 +87,10 @@ def test_grad_cache_matches_direct():
         "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
     }
 
-    def encode_a(p, x):
+    def encode_a(p, x, idx):
         return l2_normalize(jnp.tanh(x @ p["enc_a"]))
 
-    def encode_b(p, x):
+    def encode_b(p, x, idx):
         return l2_normalize(jnp.tanh(x @ p["enc_b"]))
 
     def loss_of_embs(p, ea, eb):
@@ -99,7 +99,7 @@ def test_grad_cache_matches_direct():
         return cross_entropy(logits, labels) + cross_entropy(logits.T, labels)
 
     def direct(p):
-        return loss_of_embs(p, encode_a(p, xa), encode_b(p, xb))
+        return loss_of_embs(p, encode_a(p, xa, 0), encode_b(p, xb, 0))
 
     loss_d, grads_d = jax.value_and_grad(direct)(params)
 
@@ -121,7 +121,7 @@ def test_grad_cache_sharded():
     xa = rng.standard_normal((b, 4)).astype(np.float32)
     xb = rng.standard_normal((b, 4)).astype(np.float32)
 
-    enc = lambda p, x: l2_normalize(x @ p["w"])
+    enc = lambda p, x, idx: l2_normalize(x @ p["w"])
 
     def loss_of_embs(p, ea, eb):
         logits = 10.0 * ea @ eb.T

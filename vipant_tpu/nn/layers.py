@@ -208,6 +208,9 @@ class Transformer(nn.Module):
     cross_attn: bool = False
     remat: bool = False
     act: str = "quick_gelu"
+    # CLIP depth-scaled from-scratch init; None = on for CLIP-style
+    # (quick_gelu) stacks, off for DeiT-style (exact gelu)
+    clip_init: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -216,6 +219,9 @@ class Transformer(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         memory: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        use_clip_init = (
+            self.clip_init if self.clip_init is not None else self.act == "quick_gelu"
+        )
         block_cls = ResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
@@ -226,7 +232,7 @@ class Transformer(nn.Module):
                 param_dtype=self.param_dtype,
                 cross_attn=self.cross_attn,
                 act=self.act,
-                n_layers=self.layers if self.act == "quick_gelu" else None,
+                n_layers=self.layers if use_clip_init else None,
                 name=f"block_{i}",
             )(x, mask, memory)
         return x

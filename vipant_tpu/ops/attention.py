@@ -67,9 +67,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
     lse_ref[0] = (m + jnp.log(l))[..., 0]
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
-    if has_bias:
+def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias, want_dbias=False):
+    dbias_ref = None
+    if has_bias and want_dbias:
         (bias_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref) = rest
+    elif has_bias:
+        (bias_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
     else:
         (o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
     q = q_ref[...]
@@ -95,7 +98,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale, has_bias):
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
-    if has_bias:  # accumulate across sequential grid steps
+    if dbias_ref is not None:  # accumulate across sequential grid steps
         @pl.when(pl.program_id(0) == 0)
         def _init():
             dbias_ref[...] = jnp.zeros_like(dbias_ref)
@@ -142,17 +145,20 @@ def _fwd_call(q3, k3, v3, bias, scale):
     )(*args)
 
 
-def _bwd_call(q3, k3, v3, bias, o3, lse, do3, scale):
+def _bwd_call(q3, k3, v3, bias, o3, lse, do3, scale, want_dbias=True):
     BH, T, D = q3.shape
     hpb = _pick_hpb(BH, T, D)
     head, lse_spec, bias_spec = _specs(T, D, hpb)
     has_bias = bias is not None
-    kernel = functools.partial(_bwd_kernel, scale=scale, has_bias=has_bias)
+    want_dbias = want_dbias and has_bias
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, has_bias=has_bias, want_dbias=want_dbias
+    )
     args = (q3, k3, v3) + ((bias,) if has_bias else ()) + (o3, lse, do3)
-    out_specs = (head,) * 3 + ((bias_spec,) if has_bias else ())
+    out_specs = (head,) * 3 + ((bias_spec,) if want_dbias else ())
     out_shape = tuple(
         jax.ShapeDtypeStruct((BH, T, D), q3.dtype) for _ in range(3)
-    ) + ((jax.ShapeDtypeStruct((T, T), jnp.float32),) if has_bias else ())
+    ) + ((jax.ShapeDtypeStruct((T, T), jnp.float32),) if want_dbias else ())
     return pl.pallas_call(
         kernel,
         grid=(BH // hpb,),
@@ -307,22 +313,26 @@ _attend4.defvjp(_attend4_fwd, _attend4_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _attend(q3, k3, v3, bias, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attend(q3, k3, v3, bias, scale, bias_grad):
     out, _ = _fwd_call(q3, k3, v3, bias, scale)
     return out
 
 
-def _attend_fwd(q3, k3, v3, bias, scale):
+def _attend_fwd(q3, k3, v3, bias, scale, bias_grad):
     out, lse = _fwd_call(q3, k3, v3, bias, scale)
     return out, (q3, k3, v3, bias, out, lse)
 
 
-def _attend_bwd(scale, res, g):
+def _attend_bwd(scale, bias_grad, res, g):
     q3, k3, v3, bias, out, lse = res
     if bias is None:
         dq, dk, dv = _bwd_call(q3, k3, v3, bias, out, lse, g, scale)
         return dq, dk, dv, None
+    if not bias_grad:  # constant mask: bias stays in the softmax recompute,
+        # only the dbias accumulation output is skipped
+        dq, dk, dv = _bwd_call(q3, k3, v3, bias, out, lse, g, scale, want_dbias=False)
+        return dq, dk, dv, jnp.zeros_like(bias)
     dq, dk, dv, dbias = _bwd_call(q3, k3, v3, bias, out, lse, g, scale)
     return dq, dk, dv, dbias
 
@@ -336,6 +346,7 @@ def flash_attention(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    bias_grad: bool = True,
 ) -> jnp.ndarray:
     """q, k, v: [B, T, H, D] (``jax.nn.dot_product_attention`` layout);
     ``bias``: optional additive [T, T] (e.g. a causal mask). Returns
@@ -357,12 +368,12 @@ def flash_attention(
     if os.environ.get("VIPANT_ATTN") == "4d" and _fits_vmem4(
         T, H, D, bytes_per=q.dtype.itemsize
     ):
-        return _attend4(q, k, v, bias, scale)
+        return _attend4(q, k, v, bias, scale)  # 4-d variant keeps full dbias
 
     def to3(x):
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, T, D)
 
-    out3 = _attend(to3(q), to3(k), to3(v), bias, scale)
+    out3 = _attend(to3(q), to3(k), to3(v), bias, scale, bias_grad)
     out = out3.reshape(B, H, T, D)
     return jnp.transpose(out, (0, 2, 1, 3))
 

@@ -42,15 +42,19 @@ def _chunk(x: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
 
 
 def grad_cache_value_and_grad(
-    encode_a: Callable[[Any, jnp.ndarray], jnp.ndarray],
-    encode_b: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    encode_a: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    encode_b: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray],
     loss_of_embs: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray],
     n_chunks: int,
 ):
     """Returns ``f(params, batch_a, batch_b) -> (loss, grads)`` with the
     memory profile of ``batch/n_chunks`` activations.
 
-    * ``encode_a(params, xa_chunk)`` / ``encode_b`` produce embeddings.
+    * ``encode_a(params, xa_chunk, chunk_idx)`` / ``encode_b`` produce
+      embeddings; ``chunk_idx`` lets stochastic encoders (dropout/patchout)
+      fold per-chunk randomness — the SAME index is passed in the embedding
+      pass and the re-forward pass, which is what keeps the cached gradients
+      exact.
     * ``loss_of_embs(params, emb_a, emb_b)`` computes the contrastive loss
       over the **full** embedding matrices (global negatives) — loss-head
       params (logit_scale …) are read from the same ``params``.
@@ -62,10 +66,11 @@ def grad_cache_value_and_grad(
     def f(params, batch_a, batch_b):
         ca = _chunk(batch_a, n_chunks)
         cb = _chunk(batch_b, n_chunks)
+        idxs = jnp.arange(n_chunks)
 
         # 1. cached embeddings, chunked (no grad)
-        emb_a = jax.lax.map(lambda c: encode_a(params, c), ca)
-        emb_b = jax.lax.map(lambda c: encode_b(params, c), cb)
+        emb_a = jax.lax.map(lambda ci: encode_a(params, ci[0], ci[1]), (ca, idxs))
+        emb_b = jax.lax.map(lambda ci: encode_b(params, ci[0], ci[1]), (cb, idxs))
         ea = emb_a.reshape(-1, emb_a.shape[-1])
         eb = emb_b.reshape(-1, emb_b.shape[-1])
 
@@ -78,14 +83,14 @@ def grad_cache_value_and_grad(
 
         # 3. re-forward each chunk with VJP, accumulate encoder grads
         def body(acc, inp):
-            xa, xb, cta, ctb = inp
-            _, vjp_a = jax.vjp(lambda p: encode_a(p, xa), params)
-            _, vjp_b = jax.vjp(lambda p: encode_b(p, xb), params)
+            xa, xb, cta, ctb, idx = inp
+            _, vjp_a = jax.vjp(lambda p: encode_a(p, xa, idx), params)
+            _, vjp_b = jax.vjp(lambda p: encode_b(p, xb, idx), params)
             g = _tree_add(vjp_a(cta)[0], vjp_b(ctb)[0])
             return _tree_add(acc, g), None
 
         enc_grads, _ = jax.lax.scan(
-            body, _tree_zeros_like(params), (ca, cb, d_ea, d_eb)
+            body, _tree_zeros_like(params), (ca, cb, d_ea, d_eb, idxs)
         )
         grads = _tree_add(enc_grads, d_params_loss)
         return loss, grads

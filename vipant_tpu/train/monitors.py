@@ -250,14 +250,12 @@ class VASTrainer(Trainer):
     def _collect_pivot_features(self, loader):
         variables = self.eval_variables()
 
-        if not hasattr(self, "_pivot_step"):
-            def _enc(variables, image, audio):
-                v = self.model.apply(variables, image, method="encode_pivot_image")
-                a = self.model.apply(variables, audio, method="encode_audio_view")
-                return v, a
+        def _enc(variables, image, audio):
+            v = self.model.apply(variables, image, method="encode_pivot_image")
+            a = self.model.apply(variables, audio, method="encode_audio_view")
+            return v, a
 
-            self._pivot_step = jax.jit(_enc)
-        enc = self._pivot_step
+        enc = self.memo("pivot_step", lambda: jax.jit(_enc))
 
         vs, aas = [], []
         for batch in loader:
@@ -307,13 +305,14 @@ class ASTrainer(Trainer):
         (parity: `/root/reference/cvap/module/decoder/loss_more.py:92-131`)."""
         variables = self.eval_variables()
 
-        if not hasattr(self, "_score_step"):
-            self._score_step = jax.jit(
+        score = self.memo(
+            "score_step",
+            lambda: jax.jit(
                 lambda variables, image, audio, label: self.model.apply(
                     variables, image, audio, label, train=False
                 )
-            )
-        score = self._score_step
+            ),
+        )
 
         scores, labels = [], []
         for batch in loader:

@@ -124,19 +124,26 @@ def make_grad_cache_step(
             )
             return restore_tied(p, ties) if ties else p
 
-        enc_rngs = {
-            "dropout": jax.random.fold_in(rng, 3),
-            "patchout": jax.random.fold_in(rng, 4),
-        }
+        def _chunk_rngs(idx):
+            # per-chunk randomness, identical between the embedding pass and
+            # the re-forward VJP pass (exactness), distinct across chunks
+            base = jax.random.fold_in(rng, 3)
+            key = jax.random.fold_in(base, idx)
+            return {
+                "dropout": jax.random.fold_in(key, 0),
+                "patchout": jax.random.fold_in(key, 1),
+            }
 
-        def encode_a(tp, chunk):
+        def encode_a(tp, chunk, idx):
             return model.apply(
-                {"params": full(tp)}, chunk, method=method_a, train=True, rngs=enc_rngs
+                {"params": full(tp)}, chunk, method=method_a, train=True,
+                rngs=_chunk_rngs(idx),
             )
 
-        def encode_b(tp, chunk):
+        def encode_b(tp, chunk, idx):
             return model.apply(
-                {"params": full(tp)}, chunk, method=method_b, train=True, rngs=enc_rngs
+                {"params": full(tp)}, chunk, method=method_b, train=True,
+                rngs=_chunk_rngs(jax.lax.add(idx, n_chunks)),
             )
 
         def loss_of_embs(tp, ea, eb):

@@ -457,13 +457,22 @@ class Trainer:
         )
 
     # ---------------------------------------------------------------- eval
+    def memo(self, name: str, builder):
+        """Per-trainer memoization for jitted closures — a fresh jit
+        closure per call would recompile on every eval."""
+        cache = getattr(self, "_memo_cache", None)
+        if cache is None:
+            cache = self._memo_cache = {}
+        if name not in cache:
+            cache[name] = builder()
+        return cache[name]
+
     def collect_features(self, loader) -> Dict[str, np.ndarray]:
         from .step import make_eval_step
 
-        # memoize: a fresh jit closure per call would recompile every eval
-        if not hasattr(self, "_eval_step"):
-            self._eval_step = make_eval_step(self.model, ties=self.ties)
-        eval_step = self._eval_step
+        eval_step = self.memo(
+            "eval_step", lambda: make_eval_step(self.model, ties=self.ties)
+        )
         feats: Dict[str, List[np.ndarray]] = {}
         names: List[str] = []
         variables = self.eval_variables()
