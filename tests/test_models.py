@@ -128,3 +128,11 @@ def test_siamese_ties_from_config():
     mask = tunable_mask(cfg, variables["params"], ties)
     assert all(jax.tree_util.tree_leaves(mask["image"]["encoder"]))
     assert not any(jax.tree_util.tree_leaves(mask["image"]["pre"]))
+
+
+def test_cvasp_view_tower_tied():
+    from vipant_tpu.models import siamese_ties
+
+    cfg = make("CVASP", ["+model/loss=ce_va"])
+    ties = siamese_ties(cfg)
+    assert ("image_v", "image") in ties

@@ -244,11 +244,17 @@ def tunable_mask(cfg, params: Dict, ties: Sequence[Tuple[str, str]] = ()) -> Dic
 def siamese_ties(cfg) -> List[Tuple[str, str]]:
     """running.siamese.{amodules,lmodules} → tie path pairs: the audio/text
     tower's listed stages share the image tower's parameters
-    (parity: `/root/reference/cvap/model/cvalp.py:147-180`)."""
+    (parity: `/root/reference/cvap/model/cvalp.py:147-180`).
+
+    CVASP additionally ties the whole view image tower to the pivot tower —
+    the reference encodes pivot and augmented views with one image head
+    (`/root/reference/cvap/model/siamese_va.py:33-66`)."""
+    ties: List[Tuple[str, str]] = []
+    if cfg.get("worker") == "CVASP":
+        ties.append(("image_v", "image"))
     run = cfg.get("running", None)
     if run is None or "siamese" not in run or not bool(run.siamese.get("alive", False)):
-        return []
-    ties: List[Tuple[str, str]] = []
+        return ties
     for key, tower in (("amodules", "audio"), ("lmodules", "text")):
         for name in run.siamese.get(key, []) or []:
             stage = _STAGE_ALIASES.get(name, name)
