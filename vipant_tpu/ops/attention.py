@@ -118,9 +118,12 @@ def _specs(T, D, hpb):
 def _pick_hpb(BH: int, T: int, D: int) -> int:
     """Heads per grid step, bounded by a VMEM budget for the [h, T, T] fp32
     probability tensor."""
-    budget = 8 * 1024 * 1024
+    import os
+
+    budget = int(os.environ.get("VIPANT_ATTN_VMEM_MB", "8")) * 1024 * 1024
+    max_hpb = int(os.environ.get("VIPANT_ATTN_HPB", "8"))
     per_head = T * T * 4 * 2 + 3 * T * D * 4
-    hpb = max(1, min(8, budget // max(per_head, 1)))
+    hpb = max(1, min(max_hpb, budget // max(per_head, 1)))
     while BH % hpb != 0:
         hpb -= 1
     return max(hpb, 1)
@@ -142,6 +145,7 @@ def _fwd_call(q3, k3, v3, bias, scale):
             jax.ShapeDtypeStruct((BH, T, D), q3.dtype),
             jax.ShapeDtypeStruct((BH // hpb, hpb, T), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
 
@@ -167,6 +171,7 @@ def _bwd_call(q3, k3, v3, bias, o3, lse, do3, scale, want_dbias=True):
         + [head, lse_spec, head],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
 
