@@ -1,0 +1,100 @@
+"""Parity of the fused qkv+attention+projection kernel (ops/fused_attn.py)
+against the plain XLA composition — values and all gradients, with and
+without an additive (causal) bias. Runs in Pallas interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipant_tpu.ops.fused_attn import fused_attention_block, fused_block_applicable
+
+B, T, C, H = 3, 40, 64, 4
+
+
+def reference(x, wqkv, bqkv, wout, bout, bias=None, heads=H):
+    d = x.shape[-1]
+    hd = d // heads
+    qkv = x.astype(jnp.float32) @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hs = lambda z: z.reshape(z.shape[0], z.shape[1], heads, hd).transpose(0, 2, 1, 3)
+    q, k, v = hs(q), hs(k), hs(v)
+    s = jnp.einsum("bhid,bhjd->bhij", q, k) / np.sqrt(hd)
+    if bias is not None:
+        s = s + bias
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhij,bhjd->bhid", p, v)
+    o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], d)
+    return o @ wout + bout
+
+
+def make(seed=0, b=B):
+    r = np.random.default_rng(seed)
+    x = jnp.asarray(r.standard_normal((b, T, C)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(r.standard_normal((C, 3 * C)) * C ** -0.5, jnp.float32)
+    bqkv = jnp.asarray(r.standard_normal(3 * C) * 0.02, jnp.float32)
+    wout = jnp.asarray(r.standard_normal((C, C)) * C ** -0.5, jnp.float32)
+    bout = jnp.asarray(r.standard_normal(C) * 0.02, jnp.float32)
+    return x, wqkv, bqkv, wout, bout
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_fused_block_forward_and_grads(use_bias):
+    x, wqkv, bqkv, wout, bout = make()
+    bias = (
+        jnp.triu(jnp.full((T, T), -1e30, jnp.float32), k=1) if use_bias else None
+    )
+    assert fused_block_applicable(T, C, H, have_bool_mask=False)
+
+    out = fused_attention_block(x, wqkv, bqkv, wout, bout, bias=bias, heads=H)
+    want = reference(x, wqkv, bqkv, wout, bout, bias=bias)
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-4)
+
+    def loss_fused(*args):
+        return jnp.sum(fused_attention_block(*args, bias=bias, heads=H) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(reference(*args, bias=bias) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wout, bout)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wout, bout)
+    for gf, gr, name in zip(g_fused, g_ref, ["x", "wqkv", "bqkv", "wout", "bout"]):
+        np.testing.assert_allclose(
+            gf, gr, rtol=5e-3, atol=5e-3 * float(jnp.max(jnp.abs(gr))) + 1e-6,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_fused_block_sharded_matches_single():
+    """Under a data-sharded mesh the op shard_maps the batch and psums the
+    weight grads — results must equal the unsharded run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    x, wqkv, bqkv, wout, bout = make(1, b=4)
+
+    def loss(*args):
+        return jnp.sum(fused_attention_block(*args, heads=H) ** 2)
+
+    g_single = jax.grad(loss, argnums=(1, 2))(x, wqkv, bqkv, wout, bout)
+
+    devs = np.array(jax.devices()[:2]).reshape(2, 1)
+    mesh = Mesh(devs, ("data", "model"))
+    with jax.sharding.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        g_sharded = jax.jit(jax.grad(loss, argnums=(1, 2)))(xs, wqkv, bqkv, wout, bout)
+    for gs, g1 in zip(g_sharded, g_single):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(g1), rtol=5e-3, atol=1e-4)
+
+
+def test_mha_module_tree_unchanged():
+    """The restructured MultiHeadAttention must keep DenseGeneral-compatible
+    param paths (attn/qkv/kernel, attn/out/bias, ...) for the porters."""
+    from vipant_tpu.nn.layers import MultiHeadAttention
+
+    m = MultiHeadAttention(num_heads=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 64)))
+    p = v["params"]
+    assert p["qkv"]["kernel"].shape == (64, 192)
+    assert p["qkv"]["bias"].shape == (192,)
+    assert p["out"]["kernel"].shape == (64, 64)
+    assert p["out"]["bias"].shape == (64,)

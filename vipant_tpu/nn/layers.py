@@ -46,10 +46,34 @@ class LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class _DenseParams(nn.Module):
+    """Param holder with an ``nn.DenseGeneral``-compatible tree
+    ({kernel [in, out], bias [out]}), so the packed projections can be fed
+    raw into the fused attention kernel while ported checkpoints keep their
+    exact param paths (attn/qkv/kernel etc.)."""
+
+    in_features: int
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features), self.param_dtype
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Packed-QKV multi-head attention (torch ``nn.MultiheadAttention``
     semantics: one [D, 3D] input projection, one [D, D] output projection),
     so ported CLIP checkpoints drop in without weight splitting.
+
+    On TPU the self-attention path runs as ONE fused Pallas kernel
+    (qkv projection + attention + output projection, ops/fused_attn.py) —
+    no head-major layout ever exists, killing XLA's relayout copies.
 
     ``n_layers`` (when set) enables CLIP's from-scratch init scheme:
     qkv ~ N(0, d^-0.5), out ~ N(0, d^-0.5·(2L)^-0.5)
@@ -82,28 +106,9 @@ class MultiHeadAttention(nn.Module):
         else:
             attn_init = proj_init = nn.initializers.lecun_normal()
 
-        if kv is None:
-            qkv = nn.DenseGeneral(
-                3 * d, dtype=self.dtype, param_dtype=self.param_dtype,
-                kernel_init=attn_init, name="qkv",
-            )(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-        else:
-            # cross-attention: q from x, k/v from memory — still packed
-            # layout per-projection for porting symmetry
-            mk = lambda name: nn.DenseGeneral(
-                d, dtype=self.dtype, param_dtype=self.param_dtype,
-                kernel_init=attn_init, name=name,
-            )
-            q = mk("q")(x)
-            k = mk("k")(kv)
-            v = mk("v")(kv)
-
-        B, T, _ = q.shape
-        S = k.shape[1]
-        q = q.reshape(B, T, self.num_heads, head_dim)
-        k = k.reshape(B, S, self.num_heads, head_dim)
-        v = v.reshape(B, S, self.num_heads, head_dim)
+        def dense(z, kernel, bias):
+            y = z @ kernel.astype(self.dtype)
+            return y + bias.astype(self.dtype)
 
         bias = None
         bool_mask = None
@@ -117,14 +122,57 @@ class MultiHeadAttention(nn.Module):
                 while bias.ndim < 4:
                     bias = bias[None]
 
+        if kv is None:
+            wqkv, bqkv = _DenseParams(
+                d, 3 * d, kernel_init=attn_init, param_dtype=self.param_dtype, name="qkv"
+            )()
+            wout, bout = _DenseParams(
+                d, d, kernel_init=proj_init, param_dtype=self.param_dtype, name="out"
+            )()
+
+            from ..ops.fused_attn import fused_attention_block, fused_block_applicable
+
+            T = x.shape[1]
+            if jax.default_backend() not in ("cpu",) and fused_block_applicable(
+                T, d, self.num_heads, bool_mask is not None
+            ):
+                bias2d = None
+                if bias is not None:
+                    b = bias
+                    while b.ndim > 2:
+                        assert b.shape[0] == 1, "fused path expects a [T, T] bias"
+                        b = b[0]
+                    bias2d = b
+                return fused_attention_block(
+                    x, wqkv, bqkv, wout, bout, bias=bias2d, heads=self.num_heads
+                )
+
+            qkv = dense(x, wqkv, bqkv)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            # cross-attention: q from x, k/v from memory — still packed
+            # layout per-projection for porting symmetry
+            mk = lambda name: _DenseParams(
+                d, d, kernel_init=attn_init, param_dtype=self.param_dtype, name=name
+            )()
+            q = dense(x, *mk("q"))
+            k = dense(kv, *mk("k"))
+            v = dense(kv, *mk("v"))
+            wout, bout = _DenseParams(
+                d, d, kernel_init=proj_init, param_dtype=self.param_dtype, name="out"
+            )()
+
+        B, T, _ = q.shape
+        S = k.shape[1]
+        q = q.reshape(B, T, self.num_heads, head_dim)
+        k = k.reshape(B, S, self.num_heads, head_dim)
+        v = v.reshape(B, S, self.num_heads, head_dim)
+
         from ..ops.attention import attention
 
         out = attention(q, k, v, bias=bias, mask=bool_mask)  # [B, T, H, head_dim]
         out = out.reshape(B, T, d)
-        return nn.DenseGeneral(
-            d, dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=proj_init, name="out",
-        )(out)
+        return dense(out, wout, bout)
 
 
 class MLP(nn.Module):
