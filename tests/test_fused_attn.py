@@ -86,6 +86,111 @@ def test_fused_block_sharded_matches_single():
         np.testing.assert_allclose(np.asarray(gs), np.asarray(g1), rtol=5e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_fused_ln_block_forward_and_grads(use_bias):
+    """Full sub-block x + proj(attn(LN(x))): values and grads incl. LN."""
+    from vipant_tpu.ops.fused_attn import fused_ln_attention_block
+
+    x, wqkv, bqkv, wout, bout = make(2)
+    r = np.random.default_rng(7)
+    lns = jnp.asarray(1.0 + 0.1 * r.standard_normal(C), jnp.float32)
+    lnb = jnp.asarray(0.05 * r.standard_normal(C), jnp.float32)
+    bias = (
+        jnp.triu(jnp.full((T, T), -1e30, jnp.float32), k=1) if use_bias else None
+    )
+
+    def ln(z):
+        mu = jnp.mean(z, -1, keepdims=True)
+        var = jnp.var(z, -1, keepdims=True)
+        return (z - mu) * jax.lax.rsqrt(var + 1e-5) * lns_ + lnb_
+
+    def ref(x, wqkv, bqkv, wout, bout, lns_in, lnb_in):
+        global lns_, lnb_
+        lns_, lnb_ = lns_in, lnb_in
+        return x + reference(ln(x), wqkv, bqkv, wout, bout, bias=bias)
+
+    out = fused_ln_attention_block(
+        x, lns, lnb, wqkv, bqkv, wout, bout, bias=bias, heads=H
+    )
+    want = ref(x, wqkv, bqkv, wout, bout, lns, lnb)
+    np.testing.assert_allclose(out, want, rtol=3e-4, atol=3e-4)
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_ln_attention_block(a[0], a[5], a[6], *a[1:5], bias=bias, heads=H) ** 2
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(ref(*a) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(x, wqkv, bqkv, wout, bout, lns, lnb)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(x, wqkv, bqkv, wout, bout, lns, lnb)
+    for a, b, name in zip(gf, gr, ["x", "wqkv", "bqkv", "wout", "bout", "lns", "lnb"]):
+        np.testing.assert_allclose(
+            a, b, rtol=5e-3, atol=5e-3 * float(jnp.max(jnp.abs(b))) + 1e-6,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+@pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
+def test_fused_ln_mlp_forward_and_grads(act):
+    from vipant_tpu.ops.fused_mlp import fused_ln_mlp_block
+
+    r = np.random.default_rng(5)
+    x = jnp.asarray(r.standard_normal((B, T, C)) * 0.5, jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * r.standard_normal(C), jnp.float32)
+    lnb = jnp.asarray(0.05 * r.standard_normal(C), jnp.float32)
+    wfc = jnp.asarray(r.standard_normal((C, 4 * C)) * C ** -0.5, jnp.float32)
+    bfc = jnp.asarray(r.standard_normal(4 * C) * 0.02, jnp.float32)
+    wproj = jnp.asarray(r.standard_normal((4 * C, C)) * (4 * C) ** -0.5, jnp.float32)
+    bproj = jnp.asarray(r.standard_normal(C) * 0.02, jnp.float32)
+
+    def ref(x, lns, lnb, wfc, bfc, wproj, bproj):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.var(x, -1, keepdims=True)
+        h = (x - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+        a = h @ wfc + bfc
+        g = a * jax.nn.sigmoid(1.702 * a) if act == "quick_gelu" else jax.nn.gelu(a, approximate=False)
+        return x + (g @ wproj + bproj)
+
+    args = (x, lns, lnb, wfc, bfc, wproj, bproj)
+    out = fused_ln_mlp_block(*args, act=act)
+    want = ref(*args)
+    np.testing.assert_allclose(out, want, rtol=3e-4, atol=3e-4)
+
+    gf = jax.grad(lambda *a: jnp.sum(fused_ln_mlp_block(*a, act=act) ** 2), argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=tuple(range(7)))(*args)
+    for a_, b_, name in zip(gf, gr, ["x", "lns", "lnb", "wfc", "bfc", "wproj", "bproj"]):
+        np.testing.assert_allclose(
+            a_, b_, rtol=5e-3, atol=5e-3 * float(jnp.max(jnp.abs(b_))) + 1e-6,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_block_module_matches_manual_composition():
+    """ResidualAttentionBlock (holder-based ln_1 path) must equal the
+    explicit LayerNorm->MHA->residual composition numerically."""
+    from vipant_tpu.nn.layers import (
+        LayerNorm, MLP, MultiHeadAttention, ResidualAttentionBlock,
+    )
+    import flax.linen as nn
+
+    class Manual(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = x + MultiHeadAttention(4, name="attn")(LayerNorm(name="ln_1")(x))
+            return h + MLP(name="mlp")(LayerNorm(name="ln_2")(h))
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 10, 64)), jnp.float32)
+    blk = ResidualAttentionBlock(num_heads=4)
+    vb = blk.init(jax.random.PRNGKey(0), x)
+    man = Manual()
+    # identical param trees -> reuse the block's params directly
+    got = blk.apply(vb, x)
+    want = man.apply(vb, x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_mha_module_tree_unchanged():
     """The restructured MultiHeadAttention must keep DenseGeneral-compatible
     param paths (attn/qkv/kernel, attn/out/bias, ...) for the porters."""

@@ -46,6 +46,29 @@ class LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+def functional_layer_norm(x, scale, bias, eps: float = 1e-5):
+    """Same math as the LayerNorm module (fp32 stats, cast back), on raw
+    params — used by the fused attention sub-block's fallback path."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+class _LNParams(nn.Module):
+    """Param holder with a LayerNorm-compatible tree ({scale, bias})."""
+
+    dim: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
+        return scale, bias
+
+
 class _DenseParams(nn.Module):
     """Param holder with an ``nn.DenseGeneral``-compatible tree
     ({kernel [in, out], bias [out]}), so the packed projections can be fed
@@ -91,9 +114,12 @@ class MultiHeadAttention(nn.Module):
         x: jnp.ndarray,
         kv: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
+        ln_residual: Optional[tuple] = None,
     ) -> jnp.ndarray:
         """x: [B, T, D]; kv: optional [B, S, D] for cross-attention;
-        mask: optional additive [T, S] or boolean [..., T, S] (True = keep)."""
+        mask: optional additive [T, S] or boolean [..., T, S] (True = keep);
+        ln_residual: optional (scale, bias) — compute the full pre-LN
+        residual sub-block ``x + proj(attn(LN(x)))`` (fused on TPU)."""
         d = x.shape[-1]
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
@@ -130,7 +156,11 @@ class MultiHeadAttention(nn.Module):
                 d, d, kernel_init=proj_init, param_dtype=self.param_dtype, name="out"
             )()
 
-            from ..ops.fused_attn import fused_attention_block, fused_block_applicable
+            from ..ops.fused_attn import (
+                fused_attention_block,
+                fused_block_applicable,
+                fused_ln_attention_block,
+            )
 
             T = x.shape[1]
             if jax.default_backend() not in ("cpu",) and fused_block_applicable(
@@ -143,13 +173,24 @@ class MultiHeadAttention(nn.Module):
                         assert b.shape[0] == 1, "fused path expects a [T, T] bias"
                         b = b[0]
                     bias2d = b
+                if ln_residual is not None:
+                    return fused_ln_attention_block(
+                        x, *ln_residual, wqkv, bqkv, wout, bout,
+                        bias=bias2d, heads=self.num_heads,
+                    )
                 return fused_attention_block(
                     x, wqkv, bqkv, wout, bout, bias=bias2d, heads=self.num_heads
                 )
 
+            residual = None
+            if ln_residual is not None:
+                residual = x
+                x = functional_layer_norm(x, *ln_residual)
             qkv = dense(x, wqkv, bqkv)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
+            assert ln_residual is None, "ln_residual is a self-attention feature"
+            residual = None
             # cross-attention: q from x, k/v from memory — still packed
             # layout per-projection for porting symmetry
             mk = lambda name: _DenseParams(
@@ -172,12 +213,17 @@ class MultiHeadAttention(nn.Module):
 
         out = attention(q, k, v, bias=bias, mask=bool_mask)  # [B, T, H, head_dim]
         out = out.reshape(B, T, d)
-        return dense(out, wout, bout)
+        out = dense(out, wout, bout)
+        return out if residual is None else residual + out
 
 
 class MLP(nn.Module):
     """4×-expansion MLP with QuickGELU (CLIP) or exact GELU (DeiT).
-    ``n_layers`` enables CLIP's depth-scaled from-scratch init."""
+    ``n_layers`` enables CLIP's depth-scaled from-scratch init.
+
+    With ``ln_residual`` the whole pre-LN sub-block x + proj(act(fc(LN(x))))
+    runs as one fused Pallas kernel on TPU (the [T, 4C] intermediate never
+    leaves VMEM)."""
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -186,7 +232,9 @@ class MLP(nn.Module):
     n_layers: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, ln_residual: Optional[tuple] = None
+    ) -> jnp.ndarray:
         d = x.shape[-1]
         if self.n_layers:
             fc_init = nn.initializers.normal(stddev=(2 * d) ** -0.5)
@@ -195,15 +243,43 @@ class MLP(nn.Module):
             )
         else:
             fc_init = proj_init = nn.initializers.lecun_normal()
-        h = nn.Dense(
-            self.expansion * d, dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=fc_init, name="fc",
-        )(x)
+
+        wfc, bfc = _DenseParams(
+            d, self.expansion * d, kernel_init=fc_init,
+            param_dtype=self.param_dtype, name="fc",
+        )()
+        wproj, bproj = _DenseParams(
+            self.expansion * d, d, kernel_init=proj_init,
+            param_dtype=self.param_dtype, name="proj",
+        )()
+
+        if ln_residual is not None:
+            # NOTE: routing training through the fused MLP kernel measured
+            # SLOWER end-to-end (617 vs 675 clips/s): XLA's MLP matmuls are
+            # already at the roofline and the kernel's flash-style backward
+            # recompute costs more than the [T,4C] HBM round-trip it saves.
+            # Kept opt-in for forward-only workloads (eval/serving).
+            import os
+
+            from ..ops.fused_mlp import fused_ln_mlp_block, fused_mlp_applicable
+
+            if (
+                os.environ.get("VIPANT_FUSED_MLP") == "1"
+                and jax.default_backend() not in ("cpu",)
+                and fused_mlp_applicable(x.shape[1], d, self.expansion)
+            ):
+                return fused_ln_mlp_block(
+                    x, *ln_residual, wfc, bfc, wproj, bproj, act=self.act
+                )
+            residual = x
+            x = functional_layer_norm(x, *ln_residual)
+        else:
+            residual = None
+
+        h = x @ wfc.astype(self.dtype) + bfc.astype(self.dtype)
         h = quick_gelu(h) if self.act == "quick_gelu" else jax.nn.gelu(h, approximate=False)
-        return nn.Dense(
-            d, dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=proj_init, name="proj",
-        )(h)
+        out = h @ wproj.astype(self.dtype) + bproj.astype(self.dtype)
+        return out if residual is None else residual + out
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -226,17 +302,19 @@ class ResidualAttentionBlock(nn.Module):
         memory: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, n_layers=self.n_layers)
-        x = x + MultiHeadAttention(self.num_heads, name="attn", **kw)(
-            LayerNorm(param_dtype=self.param_dtype, name="ln_1")(x), mask=mask
+        # ln_1 + attention + residual run as one fused sub-block on TPU;
+        # the param holder keeps LayerNorm's exact tree (ln_1/{scale,bias})
+        ln1 = _LNParams(x.shape[-1], param_dtype=self.param_dtype, name="ln_1")()
+        x = MultiHeadAttention(self.num_heads, name="attn", **kw)(
+            x, mask=mask, ln_residual=ln1
         )
         if self.cross_attn:
             assert memory is not None, "cross-attention block requires memory"
             x = x + MultiHeadAttention(self.num_heads, name="cross_attn", **kw)(
                 LayerNorm(param_dtype=self.param_dtype, name="ln_c")(x), kv=memory
             )
-        x = x + MLP(name="mlp", act=self.act, **kw)(
-            LayerNorm(param_dtype=self.param_dtype, name="ln_2")(x)
-        )
+        ln2 = _LNParams(x.shape[-1], param_dtype=self.param_dtype, name="ln_2")()
+        x = MLP(name="mlp", act=self.act, **kw)(x, ln_residual=ln2)
         return x
 
 

@@ -1,25 +1,33 @@
-"""Fused qkv-projection + multi-head attention + output-projection kernel.
+"""Fused (LayerNorm +) qkv-projection + attention + out-projection
+(+ residual) Pallas kernel — the whole attention sub-block of a pre-LN
+transformer layer in one VMEM-resident pass.
 
 The round-1 attention path computed the qkv matmul in XLA, then relayouted
 [B,T,H,D] -> [B*H,T,D] for the Pallas kernel and back — ~8 HBM-size copies
-per layer per direction (the dominant non-matmul cost in the op profile).
-This kernel removes the head-major layout from existence: one grid step per
-batch item computes, entirely in VMEM,
+per layer per direction (the dominant non-matmul cost in the op profile),
+plus separate fp32 LayerNorm and residual passes. This kernel removes the
+head-major layout from existence: one grid step per batch item computes,
+entirely in VMEM,
 
-    qkv_t [3C,T] = Wqkv^T · x^T        (TT-orientation dot — no transposes)
-    per head h (64-row sublane-aligned slices of qkv_t):
-        s [Ti,Tj] = q_h^T·k_h · scale (+bias);  p = softmax_j(s)
-        o_h [D,Ti] = v_h · p^T
-    y [T,C] = out_t^T · Wout + bout     (the TN dot un-transposes for free)
+    h   [T,C]  = LN(x)·s + b            (fp32 stats, optional)
+    qkv_t [3C,T] = Wqkv^T · h^T         (TT-orientation dot — no transposes)
+    all heads at once via the free view [3C,T] -> [3H,D,T]:
+        s [H,Ti,Tj] = q^T·k · scale (+bias);  p = softmax_j(s)
+        o [H,D,Ti]  = v · p^T
+    y   [T,C]  = out_t^T · Wout + bout  (the TN dot un-transposes for free)
+    out        = x + y                  (optional residual)
 
 Every step is an MXU dot with varied contraction dims; head slices are
-sublane slices (D=64 = 8x sublane tile). The backward kernel recomputes the
-softmax from x (flash-style — nothing quadratic or head-major ever touches
-HBM) and accumulates the weight gradients across the sequential grid.
+sublane slices (D = 8x sublane tile multiples). The backward kernel
+recomputes the softmax from x (flash-style — nothing quadratic or
+head-major ever touches HBM) and accumulates weight/LN gradients across
+the sequential grid; under a data-sharded mesh the op shard_maps the
+batch and psums those grads.
 
-Capability parity: torch ``nn.MultiheadAttention`` packed projections as
-used by the reference towers (`/root/reference/clip/model.py:167-200`).
-Falls back transparently off-TPU (see nn/layers.py dispatcher).
+Capability parity: torch ``nn.MultiheadAttention`` packed projections +
+fp32-island LayerNorm as used by the reference towers
+(`/root/reference/clip/model.py:154-200`). Falls back transparently
+off-TPU (see nn/layers.py dispatcher).
 """
 
 from __future__ import annotations
@@ -33,20 +41,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LN_EPS = 1e-5
+
 
 def _dg(a, b, dims):
     return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
-
-
-def _softmax_rows(s):
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
-
-
-# ---------------------------------------------------------------------------
-# kernels (grid over batch items)
-# ---------------------------------------------------------------------------
 
 
 def _bdg(a, b, dims):
@@ -56,36 +55,75 @@ def _bdg(a, b, dims):
     )
 
 
-def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, *rest, scale, heads, has_bias):
-    bias_ref, (o_ref,) = (rest[0], rest[1:]) if has_bias else (None, rest)
+def _softmax_rows(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _ln_fwd(x, lns, lnb):
+    """fp32-island LayerNorm. Returns (h(bf16), xhat(f32), rstd(f32))."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * rstd
+    h = (xhat * lns + lnb).astype(x.dtype)
+    return h, xhat, rstd
+
+
+# ---------------------------------------------------------------------------
+# kernels (grid over batch items)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    lns_ref = refs.pop(0) if has_ln else None
+    lnb_ref = refs.pop(0) if has_ln else None
+    wqkv_ref, bqkv_ref, wout_ref, bout_ref = refs[:4]
+    refs = refs[4:]
+    bias_ref = refs.pop(0) if has_bias else None
+    (o_ref,) = refs
+
     x = x_ref[0]  # [T, C]
-    C = x.shape[1]
+    T, C = x.shape
     D = C // heads
-    qkv = _dg(wqkv_ref[...], x, ((0,), (1,))) + bqkv_ref[...]  # [3C, T] f32
+    h = _ln_fwd(x, lns_ref[...], lnb_ref[...])[0] if has_ln else x
+    qkv = _dg(wqkv_ref[...], h, ((0,), (1,))) + bqkv_ref[...]  # [3C, T] f32
     # [3C,T] -> [3H,D,T] is a pure view (leading-dim split; tiles live on the
     # trailing [D,T]), so all heads run in ONE batched MXU dot per stage
-    qkv3 = qkv.astype(x.dtype).reshape(3 * heads, D, x.shape[0])
+    qkv3 = qkv.astype(x.dtype).reshape(3 * heads, D, T)
     q3, k3, v3 = qkv3[:heads], qkv3[heads:2 * heads], qkv3[2 * heads:]
     s = _bdg(q3, k3, ((1,), (1,))) * scale  # [H, Ti, Tj]
     if has_bias:
         s = s + bias_ref[...][None]
     p = _softmax_rows(s).astype(x.dtype)
     o3 = _bdg(v3, p, ((2,), (2,)))  # [H, D, Ti]
-    out_t = o3.astype(x.dtype).reshape(C, x.shape[0])  # [C, T]
+    out_t = o3.astype(x.dtype).reshape(C, T)
     y = _dg(out_t, wout_ref[...], ((0,), (0,))) + bout_ref[...]  # [T, C]
-    o_ref[0] = y.astype(o_ref.dtype)
+    y = y.astype(o_ref.dtype)
+    o_ref[0] = x + y if has_res else y
 
 
-def _bwd_kernel(
-    x_ref, wqkv_ref, bqkv_ref, wout_ref, g_ref, *rest, scale, heads, has_bias
-):
-    if has_bias:
-        (bias_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref) = rest
-    else:
-        (dx_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref) = rest
+def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    lns_ref = refs.pop(0) if has_ln else None
+    lnb_ref = refs.pop(0) if has_ln else None
+    wqkv_ref, bqkv_ref, wout_ref, g_ref = refs[:4]
+    refs = refs[4:]
+    bias_ref = refs.pop(0) if has_bias else None
+    dx_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref = refs[:5]
+    refs = refs[5:]
+    dlns_ref = refs.pop(0) if has_ln else None
+    dlnb_ref = refs.pop(0) if has_ln else None
+
     x = x_ref[0]  # [T, C] bf16
     g = g_ref[0]  # [T, C] bf16
-    C = x.shape[1]
+    T, C = x.shape
     D = C // heads
 
     @pl.when(pl.program_id(0) == 0)
@@ -94,10 +132,16 @@ def _bwd_kernel(
         dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
         dwout_ref[...] = jnp.zeros_like(dwout_ref)
         dbout_ref[...] = jnp.zeros_like(dbout_ref)
+        if has_ln:
+            dlns_ref[...] = jnp.zeros_like(dlns_ref)
+            dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
 
     # recompute the forward entirely in VMEM (flash-style)
-    T = x.shape[0]
-    qkv = _dg(wqkv_ref[...], x, ((0,), (1,))) + bqkv_ref[...]
+    if has_ln:
+        h, xhat, rstd = _ln_fwd(x, lns_ref[...], lnb_ref[...])
+    else:
+        h = x
+    qkv = _dg(wqkv_ref[...], h, ((0,), (1,))) + bqkv_ref[...]
     qkv3 = qkv.astype(x.dtype).reshape(3 * heads, D, T)  # free view
     q3, k3, v3 = qkv3[:heads], qkv3[heads:2 * heads], qkv3[2 * heads:]
     s = _bdg(q3, k3, ((1,), (1,))) * scale  # [H, Ti, Tj]
@@ -120,8 +164,22 @@ def _bwd_kernel(
     dqkv = jnp.concatenate([dq3, dk3, dv3], axis=0).reshape(3 * C, T)  # f32
     dbqkv_ref[...] += jnp.sum(dqkv, axis=1, keepdims=True)  # [3C, 1]
     dqkv_b = dqkv.astype(x.dtype)
-    dx = _dg(dqkv_b, wqkv_ref[...], ((0,), (1,)))  # [T, C]
-    dwqkv_ref[...] += _dg(x, dqkv_b, ((0,), (1,)))  # [C, 3C]
+    dh = _dg(dqkv_b, wqkv_ref[...], ((0,), (1,)))  # [T, C] f32
+    dwqkv_ref[...] += _dg(h, dqkv_b, ((0,), (1,)))  # [C, 3C]
+
+    if has_ln:
+        dlns_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)  # [1, C]
+        dlnb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)  # [1, C]
+        dxhat = dh * lns_ref[...]
+        dx = rstd * (
+            dxhat
+            - jnp.mean(dxhat, axis=1, keepdims=True)
+            - xhat * jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+        )
+    else:
+        dx = dh
+    if has_res:
+        dx = dx + g.astype(jnp.float32)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
@@ -140,15 +198,20 @@ def _item_spec(T, C):
     return pl.BlockSpec((1, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _fwd_call(x, wqkv, bqkv, wout, bout, bias, scale, heads):
+def _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res):
     B, T, C = x.shape
-    has_bias = bias is not None
-    args = (x, wqkv, bqkv, wout, bout) + ((bias,) if has_bias else ())
+    has_bias, has_ln = bias is not None, lns is not None
+    args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, bout)
+    args += (bias,) if has_bias else ()
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, heads=heads, has_bias=has_bias),
+        functools.partial(
+            _fwd_kernel, scale=scale, heads=heads, has_bias=has_bias,
+            has_ln=has_ln, has_res=has_res,
+        ),
         grid=(B,),
-        in_specs=[
-            _item_spec(T, C),
+        in_specs=[_item_spec(T, C)]
+        + ([_const_spec((1, C))] * 2 if has_ln else [])
+        + [
             _const_spec((C, 3 * C)),
             _const_spec((3 * C, 1)),
             _const_spec((C, C)),
@@ -162,35 +225,44 @@ def _fwd_call(x, wqkv, bqkv, wout, bout, bias, scale, heads):
     )(*args)
 
 
-def _bwd_call(x, wqkv, bqkv, wout, bias, g, scale, heads):
+def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res):
     B, T, C = x.shape
-    has_bias = bias is not None
-    args = (x, wqkv, bqkv, wout, g) + ((bias,) if has_bias else ())
+    has_bias, has_ln = bias is not None, lns is not None
+    args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, g)
+    args += (bias,) if has_bias else ()
+    out_specs = (
+        _item_spec(T, C),
+        _const_spec((C, 3 * C)),
+        _const_spec((3 * C, 1)),
+        _const_spec((C, C)),
+        _const_spec((1, C)),
+    ) + ((_const_spec((1, C)), _const_spec((1, C))) if has_ln else ())
+    out_shape = (
+        jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+        jax.ShapeDtypeStruct((3 * C, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    ) + (
+        (jax.ShapeDtypeStruct((1, C), jnp.float32),) * 2 if has_ln else ()
+    )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, heads=heads, has_bias=has_bias),
+        functools.partial(
+            _bwd_kernel, scale=scale, heads=heads, has_bias=has_bias,
+            has_ln=has_ln, has_res=has_res,
+        ),
         grid=(B,),
-        in_specs=[
-            _item_spec(T, C),
+        in_specs=[_item_spec(T, C)]
+        + ([_const_spec((1, C))] * 2 if has_ln else [])
+        + [
             _const_spec((C, 3 * C)),
             _const_spec((3 * C, 1)),
             _const_spec((C, C)),
             _item_spec(T, C),
         ]
         + ([_const_spec((T, T))] if has_bias else []),
-        out_specs=(
-            _item_spec(T, C),
-            _const_spec((C, 3 * C)),
-            _const_spec((3 * C, 1)),
-            _const_spec((C, C)),
-            _const_spec((1, C)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, T, C), x.dtype),
-            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
-            jax.ShapeDtypeStruct((3 * C, 1), jnp.float32),
-            jax.ShapeDtypeStruct((C, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
     )(*args)
@@ -228,90 +300,124 @@ def _smap(f, mesh, in_specs, out_specs):
         return sm2(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
 
 
-def _fwd_sharded(x, wqkv, bqkv, wout, bout, bias, scale, heads):
+def _fwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res):
     mesh = _data_mesh()
     if mesh is None:
-        return _fwd_call(x, wqkv, bqkv, wout, bout, bias, scale, heads)
+        return _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res)
     from jax.sharding import PartitionSpec as P
 
     d, r = P("data"), P()
-    has_bias = bias is not None
-    args = (x, wqkv, bqkv, wout, bout) + ((bias,) if has_bias else ())
+    has_ln, has_bias = lns is not None, bias is not None
+    args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, bout)
+    args += (bias,) if has_bias else ()
+
+    def local(*a):
+        a = list(a)
+        xs = a.pop(0)
+        ls, lb = (a.pop(0), a.pop(0)) if has_ln else (None, None)
+        wq, bq, wo, bo = a[:4]
+        bb = a[4] if has_bias else None
+        return _fwd_call(xs, ls, lb, wq, bq, wo, bo, bb, scale, heads, has_res)
+
     fn = _smap(
-        lambda *a: _fwd_call(*a[:5], a[5] if has_bias else None, scale, heads),
+        local,
         mesh,
-        in_specs=(d, r, r, r, r) + ((r,) if has_bias else ()),
+        in_specs=(d,) + ((r, r) if has_ln else ()) + (r, r, r, r) + ((r,) if has_bias else ()),
         out_specs=d,
     )
     return fn(*args)
 
 
-def _bwd_sharded(x, wqkv, bqkv, wout, bias, g, scale, heads):
+def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res):
     mesh = _data_mesh()
     if mesh is None:
-        return _bwd_call(x, wqkv, bqkv, wout, bias, g, scale, heads)
+        return _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res)
     from jax.sharding import PartitionSpec as P
 
     d, r = P("data"), P()
-    has_bias = bias is not None
+    has_ln, has_bias = lns is not None, bias is not None
+    args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, g)
+    args += (bias,) if has_bias else ()
 
     def local(*a):
-        xs, wq, bq, wo, gs = a[:5]
-        bb = a[5] if has_bias else None
-        dx, dwqkv, dbqkv, dwout, dbout = _bwd_call(xs, wq, bq, wo, bb, gs, scale, heads)
-        # weight grads are partial sums over this shard's batch items
-        dwqkv, dbqkv, dwout, dbout = jax.lax.psum(
-            (dwqkv, dbqkv, dwout, dbout), axis_name="data"
-        )
-        return dx, dwqkv, dbqkv, dwout, dbout
+        a = list(a)
+        xs = a.pop(0)
+        ls, lb = (a.pop(0), a.pop(0)) if has_ln else (None, None)
+        wq, bq, wo, gs = a[:4]
+        bb = a[4] if has_bias else None
+        outs = _bwd_call(xs, ls, lb, wq, bq, wo, bb, gs, scale, heads, has_res)
+        # weight/LN grads are partial sums over this shard's batch items
+        dx, rest = outs[0], jax.lax.psum(outs[1:], axis_name="data")
+        return (dx,) + tuple(rest)
 
-    args = (x, wqkv, bqkv, wout, g) + ((bias,) if has_bias else ())
+    n_acc = 4 + (2 if has_ln else 0)
     fn = _smap(
         local,
         mesh,
-        in_specs=(d, r, r, r, d) + ((r,) if has_bias else ()),
-        out_specs=(d, r, r, r, r),
+        in_specs=(d,) + ((r, r) if has_ln else ()) + (r, r, r, d) + ((r,) if has_bias else ()),
+        out_specs=(d,) + (r,) * n_acc,
     )
     return fn(*args)
 
 
 # ---------------------------------------------------------------------------
-# public op
+# public ops
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _fused(x, wqkv, bqkv, wout, bout, bias, scale, heads):
-    xw, bq1 = wqkv.astype(x.dtype), bqkv.astype(jnp.float32).reshape(-1, 1)
-    wo, bo1 = wout.astype(x.dtype), bout.astype(jnp.float32).reshape(1, -1)
-    return _fwd_sharded(x, xw, bq1, wo, bo1, bias, scale, heads)
+def _prep(x, wqkv, bqkv, wout, bout, lns, lnb):
+    cw = lambda w: w.astype(x.dtype)
+    out = (
+        cw(wqkv),
+        bqkv.astype(jnp.float32).reshape(-1, 1),
+        cw(wout),
+        bout.astype(jnp.float32).reshape(1, -1),
+    )
+    if lns is None:
+        return (None, None) + out
+    return (
+        lns.astype(jnp.float32).reshape(1, -1),
+        lnb.astype(jnp.float32).reshape(1, -1),
+    ) + out
 
 
-def _fused_fwd(x, wqkv, bqkv, wout, bout, bias, scale, heads):
-    out = _fused(x, wqkv, bqkv, wout, bout, bias, scale, heads)
-    return out, (x, wqkv, bqkv, wout, bout, bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads):
+    has_res = lns is not None  # LN variant is the full residual sub-block
+    ls, lb, wq, bq, wo, bo = _prep(x, wqkv, bqkv, wout, bout, lns, lnb)
+    return _fwd_sharded(x, ls, lb, wq, bq, wo, bo, bias, scale, heads, has_res)
+
+
+def _fused_fwd(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads):
+    out = _fused(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads)
+    return out, (x, wqkv, bqkv, wout, bout, lns, lnb, bias)
 
 
 def _fused_bwd(scale, heads, res, g):
-    x, wqkv, bqkv, wout, bout, bias = res
-    dx, dwqkv, dbqkv, dwout, dbout = _bwd_sharded(
-        x,
-        wqkv.astype(x.dtype),
-        bqkv.astype(jnp.float32).reshape(-1, 1),
-        wout.astype(x.dtype),
-        bias,
-        g.astype(x.dtype),
-        scale,
-        heads,
+    x, wqkv, bqkv, wout, bout, lns, lnb, bias = res
+    has_ln = lns is not None
+    ls, lb, wq, bq, wo, _ = _prep(x, wqkv, bqkv, wout, bout, lns, lnb)
+    outs = _bwd_sharded(
+        x, ls, lb, wq, bq, wo, bias, g.astype(x.dtype), scale, heads, has_ln
     )
-    return (
+    dx, dwqkv, dbqkv, dwout, dbout = outs[:5]
+    ret = (
         dx,
         dwqkv.astype(wqkv.dtype),
         dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
         dwout.astype(wout.dtype),
         dbout.reshape(bout.shape).astype(bout.dtype),
-        None,  # bias is a constant mask (causal/padding); no grad
     )
+    if has_ln:
+        dlns, dlnb = outs[5:]
+        ret += (
+            dlns.reshape(lns.shape).astype(lns.dtype),
+            dlnb.reshape(lnb.shape).astype(lnb.dtype),
+        )
+    else:
+        ret += (None, None)
+    # bias is a constant mask (causal/padding); no grad
+    return ret + (None,)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -321,14 +427,20 @@ def _vmem_estimate(T, C, heads):
     """Rough fwd+bwd VMEM high-water estimate (bytes) for one grid step."""
     Tp = -(-T // 8) * 8
     Tl = -(-T // 128) * 128
-    f32tt = Tp * Tl * 4
+    f32tt = heads * Tp * Tl * 4
     return (
-        4 * 3 * C * Tl * 4  # qkv_t + dqkv(f32) + parts
-        + 6 * f32tt  # s, p, dp, ds (+slack)
+        4 * 3 * C * Tl * 4  # qkv_t + dqkv(f32) + views
+        + 4 * f32tt  # s, p, dp, ds
         + 2 * (C * 3 * C) * 4  # wqkv + dwqkv accum
         + 3 * (C * C) * 4
-        + 6 * Tp * C * 4
+        + 8 * Tp * C * 4
     )
+
+
+def _canon_bias(bias):
+    if bias is None:
+        return None
+    return jnp.maximum(bias.astype(jnp.float32), -1e30)
 
 
 def fused_attention_block(
@@ -340,25 +452,44 @@ def fused_attention_block(
     bias: Optional[jnp.ndarray] = None,
     heads: int = 12,
 ) -> jnp.ndarray:
-    """x: [B, T, C]; wqkv: [C, 3C]; bqkv: [3C]; wout: [C, C]; bout: [C];
-    bias: optional constant additive [T, T] (e.g. causal mask — treated as
-    non-differentiable). Returns [B, T, C]."""
-    B, T, C = x.shape
-    D = C // heads
-    scale = 1.0 / float(np.sqrt(D))
-    if bias is not None:
-        bias = jnp.maximum(bias.astype(jnp.float32), -1e30)
-    return _fused(x, wqkv, bqkv, wout, bout, bias, scale, heads)
+    """Packed attention (no LN / residual). x: [B, T, C]; wqkv: [C, 3C];
+    bqkv: [3C]; wout: [C, C]; bout: [C]; bias: optional constant additive
+    [T, T] (e.g. causal mask — non-differentiable). Returns [B, T, C]."""
+    D = x.shape[-1] // heads
+    return _fused(
+        x, wqkv, bqkv, wout, bout, None, None, _canon_bias(bias),
+        1.0 / float(np.sqrt(D)), heads,
+    )
+
+
+def fused_ln_attention_block(
+    x: jnp.ndarray,
+    lns: jnp.ndarray,
+    lnb: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wout: jnp.ndarray,
+    bout: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    heads: int = 12,
+) -> jnp.ndarray:
+    """The full pre-LN attention sub-block: x + proj(attn(LN(x))).
+    lns/lnb: LayerNorm scale/bias [C] (fp32-island semantics)."""
+    D = x.shape[-1] // heads
+    return _fused(
+        x, wqkv, bqkv, wout, bout, lns, lnb, _canon_bias(bias),
+        1.0 / float(np.sqrt(D)), heads,
+    )
 
 
 def fused_block_applicable(T: int, C: int, heads: int, have_bool_mask: bool) -> bool:
     """The fused path needs sublane-aligned head slices and a VMEM-resident
-    [T, T] score matrix."""
-    D = C // heads
+    [H, T, T] score tensor."""
+    D = C // max(heads, 1)
     return (
         not have_bool_mask
         and C % heads == 0
         and D % 8 == 0
         and C % 8 == 0
-        and _vmem_estimate(T, C, heads) < 100 * 1024 * 1024
+        and _vmem_estimate(T, C, heads) < 95 * 1024 * 1024
     )
