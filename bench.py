@@ -1,26 +1,50 @@
-"""Benchmark: VA pre-training throughput (audio clips/sec/chip).
+"""Benchmark: VA pre-training throughput (audio clips/sec/chip) + MFU.
 
-Runs the flagship CVAP training step (ViT-B/32 image tower frozen +
-rectangular-grid audio tower + InfoNCE, LARS) on the available device,
-steady-state, batch resident on device. Prints ONE JSON line.
+Measures the flagship CVAP training step (ViT-B/32 image tower frozen +
+rectangular-grid audio tower + InfoNCE, LARS) on the available device:
+
+1. device-resident synthetic batch (pure-compute ceiling) with a
+   fwd / fwd+bwd / full-step breakdown,
+2. END-TO-END through the real input pipeline: synthetic wav/jpg files on
+   disk -> threaded loader (decode + host fbank + CLIP preprocess) -> H2D
+   -> train step (SURVEY.md §7's host-starvation risk, measured).
+
+MFU uses analytic model FLOPs (matmul terms only, fwd+bwd = 3x fwd for the
+trainable audio tower, fwd-only for the frozen image tower) against the
+v5e bf16 peak. Prints ONE JSON line on stdout; the human-readable
+breakdown goes to stderr.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+PEAK_BF16_TFLOPS = {"v5e": 197.0, "v4": 275.0, "v5p": 459.0, "v6e": 918.0}
 
-def main() -> None:
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def model_flops_per_clip(audio_T=306, image_T=50, C=768, L=12, a_patch=16 * 24, i_patch=32 * 32 * 3):
+    """Matmul FLOPs per clip. Per token per layer: qkv 6C^2 + out-proj 2C^2
+    + MLP 16C^2 + attention dots 4TC; patchify 2*C*patch_in per token."""
+
+    def tower_fwd(T):
+        return T * (L * (24 * C * C + 4 * T * C))
+
+    audio = 3 * (tower_fwd(audio_T) + audio_T * 2 * C * a_patch)  # fwd+bwd
+    image = tower_fwd(image_T) + image_T * 2 * C * i_patch  # frozen: fwd only
+    return audio + image
+
+
+def build(B):
     import jax
-
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from vipant_tpu.config import compose
@@ -28,9 +52,6 @@ def main() -> None:
     from vipant_tpu.optim import build_optimizer
     from vipant_tpu.optim.partition import partition_params
     from vipant_tpu.train import TrainState, make_train_step
-
-    B = int(os.environ.get("BENCH_BATCH", "64"))
-    STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 
     cfg = compose([
         "+running=bimodal",
@@ -49,58 +70,219 @@ def main() -> None:
     mask = tunable_mask(cfg, variables["params"])
     trainable, frozen = partition_params(variables["params"], mask)
     tx, _ = build_optimizer(cfg.optimizer, steps_per_epoch=1000)
+    step = make_train_step(model, tx, donate=True)
+    state = TrainState.create(trainable, tx, frozen_params=frozen)
+    return cfg, model, tx, step, state, trainable, frozen
 
+
+def time_device_loop(fn, args, steps, read):
+    """Steady-state seconds/iter. NOTE: timings use a host read of the last
+    result — through the remote-device relay, block_until_ready acknowledges
+    before execution finishes, so only a D2H read is an honest barrier."""
+    out = fn(*args)
+    read(out)
+    out = fn(*args)
+    read(out)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(steps):
+        out = fn(*args)
+    read(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def bench_synthetic(B, STEPS):
+    import jax
+    import jax.numpy as jnp
+
+    from vipant_tpu.train import TrainState
+
+    cfg, model, tx, step, state, trainable, frozen = build(B)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((B, 3, 224, 224)), jnp.float32)
     audios = jnp.asarray(rng.standard_normal((B, 1, 1000, 128)), jnp.float32)
 
-    step = make_train_step(model, tx, donate=True)
-    state = TrainState.create(trainable, tx, frozen_params=frozen)
+    # --- breakdown pieces (separate compiles, non-donated) ---------------
+    from vipant_tpu.optim.partition import merge_params
 
-    # compile + warmup; NOTE: timings use a host read (float()) of the last
-    # step's loss — through the remote-device relay, block_until_ready
-    # acknowledges before execution finishes, so only a D2H read is an
-    # honest barrier.
+    keys = {"dropout": jax.random.PRNGKey(0), "patchout": jax.random.PRNGKey(1)}
+
+    def loss_of(params, frozen, images, audios):
+        out = model.apply(
+            {"params": merge_params(params, frozen)}, images, audios,
+            train=True, rngs=keys,
+        )
+        loss = out[0] if isinstance(out, tuple) else out
+        return loss
+
+    fwd = jax.jit(loss_of)
+    grad = jax.jit(jax.grad(loss_of))
+    fwd_ms = bwd_ms = None
+    try:
+        args = (state.params, state.frozen_params, images, audios)
+        fwd_ms = time_device_loop(fwd, args, STEPS, lambda o: float(o))
+        bwd_ms = time_device_loop(
+            grad, args, STEPS,
+            lambda o: float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(o)[0])).ravel()[0]),
+        )
+    except Exception as e:  # pragma: no cover - breakdown is best-effort
+        log(f"breakdown skipped: {type(e).__name__}: {e}")
+
+    # full step donates + threads the state
     state, metrics = step(state, images, audios)
     float(metrics["loss"])
     state, metrics = step(state, images, audios)
     float(metrics["loss"])
-
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, images, audios)
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / STEPS
+    return cfg, dt, fwd_ms, bwd_ms
 
+
+def bench_e2e(B, n_clips, epochs=2):
+    """Disk -> loader threads (wav decode + image preprocess) -> H2D ->
+    production VATrainer step (on-device fbank frontend, uint8 images,
+    int16 waveforms — the TPU-native low-transfer pipeline). Returns
+    sustained clips/s of the last epoch, plus the host items/s and H2D MB/s
+    ceilings so a starved number is diagnosable."""
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from data_synth import make_synth_va_index
+
+    from vipant_tpu.config import compose
+    from vipant_tpu.train import build_monitor
+
+    root = "/tmp/vipant_bench_data"
+    marker = os.path.join(root, f"ok_{n_clips}")
+    if not os.path.exists(marker):
+        os.system(f"rm -rf {root}")
+        os.makedirs(root, exist_ok=True)
+        t0 = time.perf_counter()
+        make_synth_va_index(root, "train", n=n_clips, seconds=10.3)
+        log(f"e2e: fabricated {n_clips} x 10.3s wav+jpg in {time.perf_counter()-t0:.1f}s")
+        open(marker, "w").close()
+
+    cfg = compose([
+        "+running=bimodal",
+        "+model/image=vit_val",
+        "+model/audio=vit_val",
+        "+model/text=dummy",
+        "+model/loss=ce",
+        "+optimizer=standard",
+        "+running/audio=default",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "worker=CVAP",
+        "monitor=VAMonitor",
+        f"running.batch_size={B}",
+        f"running.data_root={root}",
+        "running.data_name=train",
+        "running.eval_name=",
+        "running.epochs=0",
+        "running.peep_rate=1000000",
+        "running.save_rate=1000000000",
+        "running.audio.on_device=True",   # fbank on TPU (1-CPU host)
+        "running.audio.wav_int16=True",   # ship raw PCM: half the bytes
+        "running.image_uint8=True",       # normalize on device: quarter
+        f"num_proc={min(8, os.cpu_count() or 4)}",
+        "halt_on_nan=False",
+        "alias_root=/tmp/vipant_bench_run",
+        "model_root=/tmp/vipant_bench_run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    host_rate = None
+    try:
+        ds = mon.loader.dataset
+        t0 = time.perf_counter()
+        for i in range(16):
+            ds[i % len(ds)]
+        host_rate = 16 / (time.perf_counter() - t0) * (os.cpu_count() or 1)
+    except Exception:
+        pass
+
+    clips_per_sec = None
+    n = len(mon.loader) * B
+    for ep in range(epochs):
+        t0 = time.perf_counter()
+        mon.epoch(ep)
+        dt = time.perf_counter() - t0
+        clips_per_sec = n / dt
+        log(f"e2e epoch {ep}: {n} clips in {dt:.2f}s -> {clips_per_sec:.1f} clips/s")
+    if host_rate:
+        log(f"e2e host item ceiling ~{host_rate:.0f} clips/s ({os.cpu_count()} cpu)")
+    return clips_per_sec
+
+
+def main() -> None:
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    STEPS = int(os.environ.get("BENCH_STEPS", "20"))
     n_chips = max(jax.device_count(), 1)
-    clips_per_sec_per_chip = B / dt / n_chips
 
-    # baseline: reference repo publishes no throughput number
-    # (BASELINE.md); compare against the previous round's record if present.
+    cfg, dt, fwd_ms, bwd_ms = bench_synthetic(B, STEPS)
+    clips = B / dt / n_chips
+
+    flops = model_flops_per_clip() * clips
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    peak = PEAK_BF16_TFLOPS.get(gen, PEAK_BF16_TFLOPS["v5e"]) * 1e12
+    mfu = flops / peak
+
+    log(f"synthetic: {dt*1e3:.2f} ms/step @ B={B} -> {clips:.1f} clips/s/chip")
+    if fwd_ms:
+        log(f"  fwd {fwd_ms*1e3:.2f} ms | fwd+bwd {bwd_ms*1e3:.2f} ms | optimizer+loss rest {dt*1e3 - bwd_ms*1e3:.2f} ms")
+    log(f"  MFU {100*mfu:.1f}% of {gen} bf16 peak ({model_flops_per_clip()/1e9:.0f} GFLOP/clip)")
+
+    e2e = None
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        try:
+            e2e = bench_e2e(B, n_clips=int(os.environ.get("BENCH_E2E_CLIPS", "512")))
+        except Exception as e:  # pragma: no cover
+            log(f"e2e bench failed: {type(e).__name__}: {e}")
+
+    # baseline: the reference publishes no absolute throughput (BASELINE.md),
+    # so vs_baseline compares against the newest previous-round record.
     vs = 1.0
-    prev = None
+    prev_round = None
     for i in range(9, 0, -1):
-        p = os.path.join(os.path.dirname(__file__), f"BENCH_r{i}.json")
+        p = os.path.join(os.path.dirname(__file__), f"BENCH_r{i:02d}.json")
         if os.path.exists(p):
             try:
-                prev = json.load(open(p)).get("value")
+                rec = json.load(open(p))
+                prev = rec.get("value") or rec.get("parsed", {}).get("value")
             except Exception:
                 prev = None
             if prev:
+                vs = clips / float(prev)
+                prev_round = f"r{i:02d}"
                 break
-    if prev:
-        vs = clips_per_sec_per_chip / float(prev)
 
-    print(
-        json.dumps(
-            {
-                "metric": "va_pretrain_clips_per_sec_per_chip",
-                "value": round(clips_per_sec_per_chip, 2),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "va_pretrain_clips_per_sec_per_chip",
+        "value": round(clips, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(vs, 3),
+        "mfu": round(mfu, 4),
+        "step_ms": round(dt * 1e3, 2),
+        "batch": B,
+    }
+    if prev_round:
+        out["baseline_round"] = prev_round
+    if fwd_ms:
+        out["fwd_ms"] = round(fwd_ms * 1e3, 2)
+        out["fwd_bwd_ms"] = round(bwd_ms * 1e3, 2)
+    if e2e:
+        out["e2e_clips_per_sec"] = round(e2e, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -75,3 +75,62 @@ def test_va_trainer_on_device_end_to_end(tmp_path):
     mon.learn()
     report = mon.infer(mon.evalloader)
     assert "I->A" in report
+
+
+def test_wav_int16_path_matches_f32(tmp_path):
+    """int16 waveform shipping (half H2D): dataset emits int16, the device
+    frontend rescales + zero-means, and features match the f32 path."""
+    make_synth_va_index(str(tmp_path), "train", n=4, seconds=1.1)
+    base = [
+        "+running=bimodal",
+        *TINY_MODEL,
+        "+model/loss=ce",
+        "worker=CVAP",
+        f"running.data_root={tmp_path}",
+        "running.batch_size=4",
+        "running.audio.on_device=True",
+    ]
+    cfg16 = compose(base + ["running.audio.wav_int16=True"])
+    cfg32 = compose(base)
+    l16 = build_image_audio_dataloader(cfg16, "train", train=False)
+    l32 = build_image_audio_dataloader(cfg32, "train", train=False)
+    b16 = next(iter(l16))
+    b32 = next(iter(l32))
+    assert b16["audio"].dtype == np.int16
+    assert b32["audio"].dtype == np.float32
+
+    wav = b16["audio"].astype(np.float32) / 32767.0
+    wav = wav - wav.mean(axis=-1, keepdims=True)
+    f_from16 = np.asarray(fbank_fixed_len(wav, FbankParams(), 100, norms=None))
+    f_from32 = np.asarray(fbank_fixed_len(b32["audio"], FbankParams(), 100, norms=None))
+    # int16 quantization noise only
+    assert np.max(np.abs(f_from16 - f_from32)) < 2e-2
+
+
+def test_va_trainer_int16_uint8_end_to_end(tmp_path):
+    """One epoch through the low-transfer production pipeline
+    (uint8 images + int16 waveforms + on-device fbank)."""
+    make_synth_va_index(str(tmp_path / "d"), "train", n=8, seconds=1.1)
+    cfg = compose([
+        "+running=bimodal",
+        *TINY_MODEL,
+        "+model/loss=ce",
+        "worker=CVAP",
+        "monitor=VAMonitor",
+        f"running.data_root={tmp_path}/d",
+        "running.data_name=train",
+        "running.eval_name=",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.audio.on_device=True",
+        "running.audio.wav_int16=True",
+        "running.image_uint8=True",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    mon.epoch(0)

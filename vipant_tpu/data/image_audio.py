@@ -137,7 +137,11 @@ class ImageAudioDatasetSrc:
 
     def _audio_waveform(self, fname: str) -> np.ndarray:
         """Decode + crop + zero-mean to a fixed sample count; featurization
-        happens on device."""
+        happens on device.
+
+        With ``audio.wav_int16`` (and no waveform augmentations pending) the
+        clip ships as raw int16 — half the H2D bytes — and the device
+        frontend rescales + zero-means inside the jitted step."""
         from .transforms_audio import random_crop
         from .wav import read_wav
 
@@ -148,6 +152,11 @@ class ImageAudioDatasetSrc:
                 wav = t(wav)
         desired = int((float(self.cfg.max_audio_len) / 100 + 0.05) * sr)
         wav = random_crop(wav, desired, train=self.train)
+        if bool(self.acfg.get("wav_int16", False)):
+            out = np.zeros((desired,), np.int16)
+            n = min(desired, wav.shape[-1])
+            out[:n] = np.clip(np.round(wav[0, :n] * 32767.0), -32768, 32767).astype(np.int16)
+            return out
         if bool(self.acfg.get("zero_mean_wf", True)):
             wav = wav - wav.mean()
         out = np.zeros((desired,), np.float32)
@@ -240,7 +249,9 @@ class ImageAudioCollator:
         )
         for key in keys:
             arr = np.stack([it[key] for it in items])
-            if arr.dtype != np.uint8:  # uint8 images normalize on device
+            # uint8 images and int16 waveforms convert on device (4x / 2x
+            # smaller host->device transfers)
+            if arr.dtype not in (np.dtype(np.uint8), np.dtype(np.int16)):
                 arr = arr.astype(np.float32)
             if key.startswith("audio") and arr.ndim == 3:
                 arr = arr[:, None]  # [B, 1, T, M]

@@ -351,6 +351,10 @@ class Trainer:
         wav = args[idx]
         if wav.ndim != 2:  # already featurized
             return args
+        if wav.dtype == jnp.int16:  # raw PCM shipped to cut H2D in half
+            wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
+            if bool(self.cfg.running.audio.get("zero_mean_wf", True)):
+                wav = wav - jnp.mean(wav, axis=-1, keepdims=True)
         feats = fbank_fixed_len(wav, params, max_len, norms=norms)
         if train and (freq_p or time_p) and rngs:
             import jax as _jax
