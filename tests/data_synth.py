@@ -89,3 +89,49 @@ def make_synth_audioset(root, name="as_train", n=8, seconds=1.0):
     with open(os.path.join(root, f"{name}.jsonl"), "w") as f:
         for r in records:
             f.write(json.dumps(r) + "\n")
+
+
+def make_synth_audioset_eval(root, name="audioset", n=6, seconds=1.0):
+    """Dedicated AudioSet zero-shot eval format: ontology + eval_segments
+    (for the label map) + a JSONL-lines `{name}.csv` index whose records
+    carry multi-label `labels` lists."""
+    make_synth_audioset(root, "unused_train", n=2, seconds=seconds)  # ontology+segments
+    os.makedirs(os.path.join(root, "aclip"), exist_ok=True)
+    with open(os.path.join(root, f"{name}.csv"), "w") as f:
+        for i in range(n):
+            _tone_wav(os.path.join(root, "aclip", f"z{i}.wav"), seconds, freq=260 + 45 * i, seed=i)
+            labels = [["/m/dog"], ["/m/rain"], ["/m/dog", "/m/rain"]][i % 3]
+            f.write(json.dumps({"id": f"z{i}", "dir": "", "aclip": ["wav"], "labels": labels}) + "\n")
+
+
+def make_synth_voxceleb2(root, name="voxceleb2", n_speakers=3, n_vids=2, n_clips=3, seconds=1.0):
+    """VoxCeleb2 eval format: `{name}.csv` (JSONL speaker/video rows with
+    vggface2 face fields) + `{name}_list.csv` (JSONL vox_id -> [[file, sub]])
+    + aac/{vox_id}/{sub}/{file} audio clips."""
+    rows, lists = [], []
+    for s in range(n_speakers):
+        vox_id = f"id{s:05d}"
+        clips = []
+        for v in range(n_vids):
+            sub = f"vid{v}"
+            for c in range(n_clips):
+                fname = f"{c:05d}.wav"
+                d = os.path.join(root, "aac", vox_id, sub)
+                os.makedirs(d, exist_ok=True)
+                _tone_wav(os.path.join(d, fname), seconds, freq=250 + 37 * (s * 7 + v * 3 + c), seed=s * 100 + v * 10 + c)
+                clips.append([fname, sub])
+        lists.append({vox_id: clips})
+        rows.append({
+            "split": "test", "name": f"speaker_{s}", "vox_id": vox_id,
+            "vgg_split": "test", "vgg_id": f"n{s:06d}", "face": "0001.jpg",
+        })
+    rows.append({  # a dev row the builder must skip
+        "split": "dev", "name": "dev_speaker", "vox_id": "id99999",
+        "vgg_split": "dev", "vgg_id": "n999999", "face": "0001.jpg",
+    })
+    with open(os.path.join(root, f"{name}.csv"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(root, f"{name}_list.csv"), "w") as f:
+        for r in lists:
+            f.write(json.dumps(r) + "\n")

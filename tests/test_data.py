@@ -83,7 +83,8 @@ def test_audio_text_dataloader(tmp_path):
 def test_esc50_xfold(tmp_path):
     make_synth_esc50(str(tmp_path), seconds=1.05)
     cfg = base_cfg(str(tmp_path), ["running.prompt=the sound of ", "running.data_name=esc50"])
-    loaders, classes, label_ids = build_xfold_dataloader_list(cfg)
+    loaders, classes, label_ids, extras = build_xfold_dataloader_list(cfg)
+    assert extras.get("label_map") is None  # single-prompt: no collapse map
     assert len(loaders) == 2  # 2 folds in the synthetic meta
     assert classes == ["dog", "rain"]
     assert label_ids.shape == (2, 77)

@@ -52,7 +52,9 @@ class AudioLabelDataset:
             norms=self.norms,
             transform_fbank=self.transform_fbank if self.train else None,
         )
-        return {"audio": audio, "label": int(rec["label"]), "name": rec["id"]}
+        label = rec["label"]
+        label = label if isinstance(label, np.ndarray) else int(label)  # multi-hot (AudioSet) or int
+        return {"audio": audio, "label": label, "name": rec["id"]}
 
 
 class AudioLabelCollator:
@@ -69,6 +71,39 @@ def _label_texts(classes: List[str], prompt: str) -> Tuple[List[str], np.ndarray
     underscores become spaces (US8K/ESC conventions)."""
     texts = [f"{prompt}{c.replace('_', ' ')}".strip() for c in classes]
     return texts, tokenize(texts)
+
+
+def _prompted_label_texts(
+    cfg, classes: List[str], topk: int = 4
+) -> Tuple[List[str], np.ndarray, Optional[Dict[int, int]]]:
+    """Zero-shot label texts with optional multi-prompt expansion.
+
+    When ``{data_root}/meta/{prompt}.json`` exists it maps each class name
+    to a list of prompt rewrites; the first ``topk`` are kept per class
+    (with the image-prompt prefix "a photo of" rewritten to "the sound of")
+    and a ``label_map`` {prompt row -> class id} collapses predictions
+    (parity: `/root/reference/cvap/data/esc50.py:258-276`). Otherwise one
+    "{prompt} {class}" text per class and no map."""
+    import json as _json
+    import re as _re
+
+    prompt = str(cfg.get("prompt", "") or "").strip()
+    label_path = os.path.join(str(cfg.data_root), "meta", f"{prompt}.json")
+    if prompt and os.path.isfile(label_path):
+        with open(label_path) as f:
+            by_class = _json.load(f)
+        texts: List[str] = []
+        for c in classes:
+            variants = by_class[c.replace("_", " ")][:topk]
+            assert len(variants) == topk, (
+                f"unbalanced label mapping for `{c}`: want {topk}, got {len(variants)}"
+            )
+            texts.extend(_re.sub("^a photo of", "the sound of", t) for t in variants)
+        label_map = {i: i // topk for i in range(len(classes) * topk)}
+        return texts, tokenize(texts), label_map
+    pfx = "" if prompt == "" else prompt + " "
+    texts = [f"{pfx}{c.replace('_', ' ')}" for c in classes]
+    return texts, tokenize(texts), None
 
 
 def build_esc50_folds(cfg, data_name: str = "esc50"):
@@ -91,15 +126,14 @@ def build_esc50_folds(cfg, data_name: str = "esc50"):
             }
         )
     class_list = [classes[i] for i in sorted(classes)]
-    prompt = str(cfg.get("prompt", "") or "")
-    texts, label_ids = _label_texts(class_list, prompt)
+    texts, label_ids, label_map = _prompted_label_texts(cfg, class_list)
     nfold = max(r["fold"] for r in records)
     folds = []
     for f in range(1, nfold + 1):
         train = [r for r in records if r["fold"] != f]
         evals = [r for r in records if r["fold"] == f]
         folds.append((train, evals))
-    return folds, class_list, label_ids
+    return folds, class_list, label_ids, {"label_map": label_map}
 
 
 def build_us8k_folds(cfg, data_name: str = "us8k"):
@@ -121,8 +155,7 @@ def build_us8k_folds(cfg, data_name: str = "us8k"):
             }
         )
     class_list = [classes[i] for i in sorted(classes)]
-    prompt = str(cfg.get("prompt", "") or "")
-    texts, label_ids = _label_texts(class_list, prompt)
+    texts, label_ids, label_map = _prompted_label_texts(cfg, class_list)
     nfold = max(r["fold"] for r in records)
     folds = [
         (
@@ -131,13 +164,12 @@ def build_us8k_folds(cfg, data_name: str = "us8k"):
         )
         for f in range(1, nfold + 1)
     ]
-    return folds, class_list, label_ids
+    return folds, class_list, label_ids, {"label_map": label_map}
 
 
 def build_jsonl_eval_fold(cfg, data_name: str):
-    """Single-fold eval set from a JSONL index with ``label`` (int) and
-    ``classes`` resolved externally — covers the AudioSet-eval and
-    VoxCeleb2 paths (parity: `/root/reference/cvap/data/esc50.py:326-446`)."""
+    """Single-fold eval set from a generic JSONL index with a ``class``
+    field — the catch-all for ad-hoc eval sets."""
     rows = load_jsonl(os.path.join(cfg.data_root, f"{data_name}.jsonl"))
     classes = sorted({r["class"] for r in rows})
     cls_to_int = {c: i for i, c in enumerate(classes)}
@@ -150,9 +182,106 @@ def build_jsonl_eval_fold(cfg, data_name: str):
         }
         for r in rows
     ]
-    prompt = str(cfg.get("prompt", "") or "")
-    texts, label_ids = _label_texts(classes, prompt)
-    return [([], records)], classes, label_ids
+    texts, label_ids, label_map = _prompted_label_texts(cfg, classes)
+    return [([], records)], classes, label_ids, {"label_map": label_map}
+
+
+def build_audioset_eval_fold(cfg, data_name: str = "audioset"):
+    """Dedicated AudioSet zero-shot eval: JSONL-lines index at
+    ``{data_root}/{eval_name}.csv`` with ``{id, dir, aclip|clip, labels}``,
+    labels resolved through the ontology label map to MULTI-HOT vectors and
+    an "<O>"-joined label string
+    (parity: `/root/reference/cvap/data/esc50.py:326-375`)."""
+    from .audioset import build_audioset_label_map
+
+    label_map = build_audioset_label_map(cfg)
+    n_class = len(label_map)
+    classes = [""] * n_class
+    tok_rows = [None] * n_class
+    for lid, (idx, text, toks) in label_map.items():
+        classes[idx] = text
+        tok_rows[idx] = toks
+    label_ids = np.zeros((n_class, 77), np.int32)
+    for i, toks in enumerate(tok_rows):
+        label_ids[i, : min(len(toks), 77)] = toks[:77]
+
+    eval_name = str(cfg.get("eval_name", "") or data_name)
+    records = []
+    for r in load_jsonl(os.path.join(cfg.data_root, f"{eval_name}.csv")):
+        sub = r.get("dir", "")
+        sub = "" if not sub else f"{sub}/"
+        akey = "clip" if "clip" in r else "aclip"
+        hot = np.zeros((n_class,), np.int32)
+        names = set()
+        for cat in r["labels"]:
+            idx, text, _ = label_map[cat]
+            hot[idx] = 1
+            names.add(text)
+        records.append(
+            {
+                "id": r["id"],
+                "path": os.path.join(
+                    cfg.data_root, f"{sub}{akey}", f"{r['id']}.{r[akey][0]}"
+                ),
+                "label": hot,
+                "label_str": "<O>".join(sorted(names)),
+                "fold": 1,
+            }
+        )
+    return [([], records)], classes, label_ids, {"label_map": None}
+
+
+def build_voxceleb2_eval_fold(cfg, data_name: str = "voxceleb2"):
+    """Dedicated VoxCeleb2 speaker-id eval: samples ``nsample_per_vid``
+    clips per video from ``{data_name}_list.csv`` (JSONL lines mapping
+    vox_id -> [[file, subdir], ...]), synthesizes aac clip paths, builds the
+    test split from ``{data_name}.csv`` (JSONL lines with split/name/vox_id
+    and vggface2 face fields), and returns a speaker-id -> face-file map
+    (parity: `/root/reference/cvap/data/esc50.py:377-446`)."""
+    rng = np.random.default_rng(int(cfg.get("seed", 0)))
+    nsample_per_vid = int(cfg.get("nsample_per_vid", 1))
+
+    samples_by_vid: Dict[str, List[str]] = defaultdict(list)
+    for rec in load_jsonl(os.path.join(cfg.data_root, f"{data_name}_list.csv")):
+        (vox_id, clips), = rec.items()
+        n = min(nsample_per_vid, len(clips))
+        for idx in rng.choice(len(clips), n, replace=False):
+            fname, sub = clips[int(idx)]
+            samples_by_vid[vox_id].append(f"{sub}/{fname}")
+
+    str2lid: Dict[str, int] = {}
+    lid2str: Dict[int, str] = {}
+    lid2face: Dict[int, str] = {}
+    records = []
+    for rec in load_jsonl(os.path.join(cfg.data_root, f"{data_name}.csv")):
+        if rec["split"] != "test":  # dev rows are skipped like the reference
+            continue
+        name, vox_id = rec["name"], rec["vox_id"]
+        lid = str2lid.setdefault(name, len(str2lid))
+        lid2str.setdefault(lid, name)
+        lid2face.setdefault(
+            lid,
+            os.path.join(
+                cfg.data_root, "vggface2",
+                f'{rec["vgg_split"]}/{rec["vgg_id"]}/{rec["face"]}',
+            ),
+        )
+        for sample in samples_by_vid.get(vox_id, []):
+            records.append(
+                {
+                    "id": f"{vox_id}/{sample}",
+                    "path": os.path.join(cfg.data_root, "aac", vox_id, sample),
+                    "label": lid,
+                    "fold": 1,
+                }
+            )
+
+    classes = [lid2str[i] for i in range(len(lid2str))]
+    texts, label_ids, label_map = _prompted_label_texts(cfg, classes)
+    return [([], records)], classes, label_ids, {
+        "label_map": label_map,
+        "faces": lid2face,
+    }
 
 
 def build_xfold_dataloader_list(
@@ -164,11 +293,15 @@ def build_xfold_dataloader_list(
     run = cfg.running
     data_name = data_name or run.data_name
     if data_name.startswith("esc"):
-        folds, classes, label_ids = build_esc50_folds(run, data_name)
-    elif data_name.startswith("us8k"):
-        folds, classes, label_ids = build_us8k_folds(run, data_name)
+        folds, classes, label_ids, extras = build_esc50_folds(run, data_name)
+    elif data_name.startswith("us8k") or data_name == "UrbanSound8K":
+        folds, classes, label_ids, extras = build_us8k_folds(run, data_name)
+    elif data_name.startswith("audioset"):
+        folds, classes, label_ids, extras = build_audioset_eval_fold(run, data_name)
+    elif data_name.startswith("voxceleb"):
+        folds, classes, label_ids, extras = build_voxceleb2_eval_fold(run, data_name)
     else:
-        folds, classes, label_ids = build_jsonl_eval_fold(run, data_name)
+        folds, classes, label_ids, extras = build_jsonl_eval_fold(run, data_name)
 
     loaders = []
     collate = AudioLabelCollator()
@@ -182,9 +315,10 @@ def build_xfold_dataloader_list(
                 drop_last=train,
                 num_workers=num_workers or int(cfg.get("num_proc", 4)),
                 seed=int(cfg.get("seed", 0)),
+                pad_last=not train,  # fixed eval shapes -> one jit compile
             )
             if recs
             else None
         )
         loaders.append((mk(train_recs, True), mk(eval_recs, False)))
-    return loaders, classes, label_ids
+    return loaders, classes, label_ids, extras

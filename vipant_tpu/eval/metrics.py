@@ -112,6 +112,10 @@ def zero_shot_classification(
     pred = np.argmax(audio_emb @ text_emb.T, axis=1)
     if label_map is not None:
         pred = np.asarray([label_map[int(p)] for p in pred])
+    labels = np.asarray(labels)
+    if labels.ndim == 2:  # multi-hot gold sets (AudioSet): top-1 in gold
+        hits = labels[np.arange(labels.shape[0]), pred]
+        return float(hits.sum()) / labels.shape[0] * 100.0
     return float((pred == labels).sum()) / labels.shape[0] * 100.0
 
 

@@ -407,7 +407,13 @@ class ESCTrainer(Trainer):
     def build_data(self):
         from ..data import build_xfold_dataloader_list
 
-        self.folds, self.classes, self.label_ids = build_xfold_dataloader_list(self.cfg)
+        self.folds, self.classes, self.label_ids, extras = build_xfold_dataloader_list(
+            self.cfg
+        )
+        # multi-prompt zero-shot collapse map (prompt row -> class id) and
+        # the VoxCeleb2 speaker-id -> face-file map, when the builder has one
+        self.zs_label_map = extras.get("label_map")
+        self.faces = extras.get("faces")
         self.output_dim = len(self.classes)
         first_train, first_eval = self.folds[0]
         self.loader = first_train
@@ -415,39 +421,44 @@ class ESCTrainer(Trainer):
 
     def encode_label_texts(self) -> np.ndarray:
         variables = self.eval_variables()
-        z = self.model.apply(
-            variables, jax.numpy.asarray(self.label_ids), method="encode_text"
+        enc = self.memo(
+            "esc_text_step",
+            lambda: jax.jit(
+                lambda v, ids: self.model.apply(v, ids, method="encode_text")
+            ),
         )
-        return np.asarray(z)
+        return np.asarray(enc(variables, jax.numpy.asarray(self.label_ids)))
+
+    def _fold_apply(self, loader, method: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-batch jitted ``method`` over an eval loader (padded final
+        batch trimmed by its true count)."""
+        variables = self.eval_variables()
+        step = self.memo(
+            f"esc_{method}_step",
+            lambda: jax.jit(
+                lambda v, a: self.model.apply(v, a, method=method)
+            ),
+        )
+        outs, labels = [], []
+        for batch in loader:
+            n = int(batch.get("_count", batch["audio"].shape[0]))
+            o = np.asarray(step(variables, jax.numpy.asarray(batch["audio"])))
+            outs.append(o[:n])
+            labels.append(batch["label"][:n])
+        return np.concatenate(outs), np.concatenate(labels)
 
     def _fold_predictions(self, loader) -> Tuple[np.ndarray, np.ndarray]:
-        variables = self.eval_variables()
-        preds, labels = [], []
-        for batch in loader:
-            p = self.model.apply(
-                variables, jax.numpy.asarray(batch["audio"]), method="predictions"
-            )
-            preds.append(np.asarray(p))
-            labels.append(batch["label"])
-        return np.concatenate(preds), np.concatenate(labels)
+        return self._fold_apply(loader, "predictions")
 
     def _fold_audio_features(self, loader) -> Tuple[np.ndarray, np.ndarray]:
-        variables = self.eval_variables()
-        embs, labels = [], []
-        for batch in loader:
-            a = self.model.apply(
-                variables, jax.numpy.asarray(batch["audio"]), method="encode_audio"
-            )
-            embs.append(np.asarray(a))
-            labels.append(batch["label"])
-        return np.concatenate(embs), np.concatenate(labels)
+        return self._fold_apply(loader, "encode_audio")
 
     def zero_shot(self, loader) -> float:
         """Per-fold zero-shot P@1
         (parity: `/root/reference/cvap/monitor/esc50_clf.py:260-292`)."""
         text = self.encode_label_texts()
         audio, labels = self._fold_audio_features(loader)
-        return zero_shot_classification(audio, text, labels)
+        return zero_shot_classification(audio, text, labels, label_map=self.zs_label_map)
 
     def repeated_zero_shot(self) -> List[str]:
         """Zero-shot every checkpoint in the log manifest
@@ -473,7 +484,10 @@ class ESCTrainer(Trainer):
             a, l = self._fold_audio_features(eval_loader)
             audios.append(a)
             labels.append(l)
-        p1 = zero_shot_classification(np.concatenate(audios), text, np.concatenate(labels))
+        p1 = zero_shot_classification(
+            np.concatenate(audios), text, np.concatenate(labels),
+            label_map=self.zs_label_map,
+        )
         self.echo.info(f"A->T: p1 = {p1:2.2f} @ {sum(len(l) for l in labels)}")
         return p1
 
@@ -484,6 +498,8 @@ class ESCTrainer(Trainer):
         # (parity: `/root/reference/cvap/monitor/esc50_clf.py:43-102`)
         accs = []
         for fi, (train_loader, eval_loader) in enumerate(self.folds):
+            if train_loader is None:  # eval-only sets (AudioSet, VoxCeleb2)
+                return self.standard_zero_shot()
             # loaders first: reinitialize() derives the LR schedule from
             # len(self.loader) (per-fold steps_per_epoch)
             self.loader, self.evalloader = train_loader, eval_loader
