@@ -135,3 +135,26 @@ def make_synth_voxceleb2(root, name="voxceleb2", n_speakers=3, n_vids=2, n_clips
     with open(os.path.join(root, f"{name}_list.csv"), "w") as f:
         for r in lists:
             f.write(json.dumps(r) + "\n")
+
+
+def make_synth_audioset_captions(root, text_emb="capembs", n=8, embed_dim=32, as_text=False):
+    """External captions for an AudioSet index: `caption/{text_emb}.csv`
+    (json: id -> caption list). With ``as_text`` the captions are raw
+    strings; otherwise they are caption ids with precomputed embeddings at
+    `caption/{text_emb}/{cid}.npz`."""
+    os.makedirs(os.path.join(root, "caption", text_emb), exist_ok=True)
+    rng = np.random.default_rng(7)
+    mapping = {}
+    for i in range(n):
+        if as_text:
+            mapping[f"y{i}"] = [f"a recording of sound {i}", f"clip number {i}"]
+        else:
+            cids = [2 * i, 2 * i + 1]
+            mapping[f"y{i}"] = cids
+            for c in cids:
+                np.savez(
+                    os.path.join(root, "caption", text_emb, f"{c}.npz"),
+                    v=rng.standard_normal(embed_dim).astype(np.float32),
+                )
+    with open(os.path.join(root, "caption", f"{text_emb}.csv"), "w") as f:
+        json.dump(mapping, f)

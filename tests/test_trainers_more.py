@@ -139,3 +139,77 @@ def test_as_trainer_clf_and_zero_shot(tmp_path):
     dump = mon.encode_audios_dump(mon.evalloader, str(tmp_path / "emb.npz"))
     data = np.load(dump)
     assert data["v"].shape[1] == 32
+
+
+@pytest.mark.parametrize("as_text", [True, False])
+def test_val_trainer_external_captions(tmp_path, as_text):
+    """External caption text / precomputed text embeddings replace the label
+    prompts (parity: `/root/reference/cvap/data/audioset_cls.py:253-256,
+    291-297` + `cvalp.py:65-104`)."""
+    from data_synth import make_synth_audioset_captions
+
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    make_synth_audioset_captions(str(tmp_path), "capembs", n=8, embed_dim=32, as_text=as_text)
+    cfg = compose([
+        "+running=trimodal",
+        *TINY_MODEL,
+        "+model/loss=ce_val",
+        "worker=CVALP",
+        "monitor=VALMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=as_train",
+        "running.eval_name=as_train",
+        "running.clf=False",
+        "running.text_emb=capembs",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.eval_samples=8",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    batch = next(iter(mon.loader))
+    if as_text:
+        assert batch["text"].dtype == np.int32 and batch["text"].shape[1] == 77
+    else:
+        # precomputed embeddings pass through the text tower by dtype/rank
+        assert batch["text"].dtype == np.float32 and batch["text"].shape[1] == 32
+    mon.learn()
+    report = mon.infer(mon.evalloader)
+    assert "VA:" in report and "AL:" in report
+
+
+def test_val_trainer_label_map_zero_shot(tmp_path):
+    """The label-map zero-shot report of the trimodal monitor."""
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    cfg = compose([
+        "+running=trimodal",
+        *TINY_MODEL,
+        "+model/loss=ce_val",
+        "worker=CVALP",
+        "monitor=VALMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=as_train",
+        "running.eval_name=as_train",
+        "running.clf=False",
+        "running.zero_shot=True",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.eval_samples=8",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    mon.learn()
+    report = mon.infer(mon.evalloader)
+    assert "A->T: p1 =" in report

@@ -113,10 +113,21 @@ class AudiosetSrc(ImageAudioDatasetSrc):
         clf: bool = True,
         mixup_rate: float = 0.0,
         filter_set: Optional[set] = None,
+        external_text: Optional[Dict] = None,
     ):
         super().__init__(cfg, data_name, train)
         if filter_set:
             self.records = [r for r in self.records if r["id"] in filter_set]
+        # external captions replacing label prompts: id -> list of caption
+        # strings (tokenized on the fly) or caption ids (precomputed text
+        # embeddings under {data_root}/caption/{text_emb}/{cid}.npz)
+        # (parity: `/root/reference/cvap/data/audioset_cls.py:253-256,291-297`).
+        # Records without captions are dropped (the reference substitutes a
+        # '-1' sentinel path that would fail at load time anyway).
+        self.external_text = external_text
+        self.text_emb = cfg.get("text_emb", None)
+        if external_text is not None and not clf:
+            self.records = [r for r in self.records if r["id"] in external_text]
         nper = int(cfg.get("nper_label", -1) or -1)
         if nper > 0:  # cap records per label
             by_label = defaultdict(int)
@@ -198,12 +209,33 @@ class AudiosetSrc(ImageAudioDatasetSrc):
             audio, label = self._audio_clf(index)
             return {"image": image, "audio": audio, "label": label, "name": name}
         audio = self._audio(aclip_file)
+        lids = [l for l in rec.get("labels", []) if l in self.label_map]
+        pick = int(np.random.choice(len(lids))) if (self.train and lids) else 0
+        label = self.label_map[lids[pick]][0] if lids else -1
         return {
             "image": image,
             "audio": audio,
-            "text": self._label_text(rec),
+            "text": self._external_or_label_text(rec),
+            "label": label,
             "name": name,
         }
+
+    def _external_or_label_text(self, rec: Dict) -> np.ndarray:
+        if self.external_text is None:
+            return self._label_text(rec)
+        caps = self.external_text[rec["id"]]
+        pick = int(np.random.choice(len(caps))) if self.train else 0
+        cap = caps[pick]
+        if isinstance(cap, str):  # raw caption text -> tokens
+            toks = tokenize(cap, as_list=True)[0][:77]
+            out = np.zeros(77, np.int32)
+            out[: len(toks)] = toks
+            return out
+        # caption id -> precomputed text embedding
+        path = os.path.join(
+            str(self.cfg.data_root), "caption", str(self.text_emb), f"{cap}.npz"
+        )
+        return np.load(path)["v"].astype(np.float32).reshape(-1)
 
 
 class AudiosetCollator:
@@ -225,7 +257,13 @@ class AudiosetCollator:
         if self.clf:
             out["label"] = np.stack([it["label"] for it in items]).astype(np.float32)
         else:
-            out["text"] = np.stack([it["text"] for it in items]).astype(np.int32)
+            text = np.stack([it["text"] for it in items])
+            # integer rows are BPE tokens; float rows are precomputed
+            # text embeddings (passed through the model by dtype/rank)
+            out["text"] = text.astype(
+                np.int32 if np.issubdtype(text.dtype, np.integer) else np.float32
+            )
+            out["label"] = np.asarray([it.get("label", -1) for it in items], np.int32)
         return out
 
 
@@ -244,6 +282,11 @@ def build_audioset_dataloader(
     label_map = label_map or build_audioset_label_map(run)
     filter_set = build_filter_set(run.get("filter_set"))
     clf = bool(run.get("clf", True))
+    external_text = None
+    if run.get("text_emb"):  # {data_root}/caption/{text_emb}.csv: id -> captions
+        text_file = os.path.join(str(run.data_root), "caption", f"{run.text_emb}.csv")
+        with open(text_file) as f:
+            external_text = json.load(f)
     ds = AudiosetSrc(
         run,
         data_name,
@@ -252,6 +295,7 @@ def build_audioset_dataloader(
         clf=clf,
         mixup_rate=float(run.get("mixup_rate", 0.0)) if train else 0.0,
         filter_set=filter_set,
+        external_text=external_text,
     )
     ds.records = shard_for_host(ds.records, process_id, num_processes)
     weights = None
@@ -267,4 +311,5 @@ def build_audioset_dataloader(
         seed=int(cfg.get("seed", 0)),
         device_put_fn=device_put_fn,
         sample_weights=weights,
+        pad_last=not train,  # fixed eval shapes -> one jit compile
     )

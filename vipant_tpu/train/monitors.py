@@ -125,12 +125,17 @@ class LATrainer(Trainer):
         """Caption-embedding dump to npz
         (parity: `/root/reference/cvap/monitor/clap.py:46-76`)."""
         variables = self.eval_variables()
+        enc = self.memo(
+            "la_text_step",
+            lambda: jax.jit(lambda v, t: self.model.apply(v, t, method="encode_text")),
+        )
         embs = []
         for i in range(0, len(texts), 256):
-            z = self.model.apply(
-                variables, jax.numpy.asarray(texts[i : i + 256]), method="encode_text"
-            )
-            embs.append(np.asarray(z))
+            chunk = np.asarray(texts[i : i + 256])
+            n = chunk.shape[0]
+            if n < 256:  # pad to the jitted shape, trim after
+                chunk = np.concatenate([chunk, np.tile(chunk[-1:], (256 - n, 1))])
+            embs.append(np.asarray(enc(variables, jax.numpy.asarray(chunk)))[:n])
         np.savez(out_path, v=np.concatenate(embs))
         return out_path
 
@@ -140,13 +145,15 @@ class LATrainer(Trainer):
 
         tk = get_tokenizer()
         variables = self.eval_variables()
+        dec = self.memo(
+            "la_decode_step",
+            lambda: jax.jit(lambda v, a: self.model.apply(v, a, method="decode")),
+        )
         out = []
         for bi, batch in enumerate(loader):
             if bi >= max_batches:
                 break
-            ids, _ = self.model.apply(
-                variables, jax.numpy.asarray(batch["audio"]), method="decode"
-            )
+            ids, _ = dec(variables, jax.numpy.asarray(batch["audio"]))
             n = int(batch.get("_count", len(batch["name"])))
             for row in np.asarray(ids)[:n]:
                 toks = [int(t) for t in row[1:] if t not in (0, 49406)]
@@ -191,7 +198,38 @@ class VALTrainer(Trainer):
         if "x2" in data and "x3" in data:
             sym = symmetric_retrieval(data["x2"], data["x3"])
             parts.append(f"AL: A->L t1 {sym['12']['t1']:2.2f} L->A t1 {sym['21']['t1']:2.2f}")
+        if self.label_map is not None and bool(self.cfg.running.get("zero_shot", False)):
+            parts.append(self.zero_shot(loader))
         return " | ".join(parts) + f" @ {data['x1'].shape[0]}"
+
+    def zero_shot(self, loader) -> str:
+        """Audio -> label-prompt P@1 over the label-map space
+        (parity: `/root/reference/cvap/monitor/cvalp.py:273-300` through the
+        VALCE report's ``label_map`` kwarg,
+        `/root/reference/cvap/module/decoder/loss_head.py:371-400`)."""
+        ids = np.zeros((len(self.label_map), 77), np.int32)
+        for lid, (i, _, toks) in self.label_map.items():
+            ids[i, : min(len(toks), 77)] = toks[:77]
+        variables = self.eval_variables()
+        enc_t = self.memo(
+            "val_text_step",
+            lambda: jax.jit(lambda v, t: self.model.apply(v, t, method="encode_text")),
+        )
+        enc_a = self.memo(
+            "val_audio_step",
+            lambda: jax.jit(lambda v, a: self.model.apply(v, a, method="encode_audio")),
+        )
+        text = np.asarray(enc_t(variables, jax.numpy.asarray(ids)))
+        embs, labels = [], []
+        for batch in loader:
+            n = int(batch.get("_count", batch["audio"].shape[0]))
+            a = enc_a(variables, jax.numpy.asarray(batch["audio"]))
+            embs.append(np.asarray(a)[:n])
+            labels.append(np.asarray(batch["label"])[:n])
+        audio, labels = np.concatenate(embs), np.concatenate(labels)
+        keep = labels >= 0
+        p1 = zero_shot_classification(audio[keep], text, labels[keep])
+        return f"A->T: p1 = {p1:2.2f}"
 
     def collect_model_export(self):
         params = self.state.full_params()
@@ -316,6 +354,7 @@ class ASTrainer(Trainer):
 
         scores, labels = [], []
         for batch in loader:
+            n = int(batch.get("_count", batch["label"].shape[0]))
             s = score(
                 variables,
                 jax.numpy.asarray(batch["image"]),
@@ -324,8 +363,8 @@ class ASTrainer(Trainer):
             )
             if isinstance(s, tuple):
                 s = s[0]
-            scores.append(np.asarray(s))
-            labels.append(batch["label"])
+            scores.append(np.asarray(s)[:n])
+            labels.append(batch["label"][:n])
         m = multilabel_report(np.concatenate(scores), np.concatenate(labels))
         return (
             f"Mac-AP = {m['Mac-AP']:2.2f} Mic-AP = {m['Mic-AP']:2.2f} wAP = {m['wAP']:2.2f} "
@@ -340,26 +379,37 @@ class ASTrainer(Trainer):
             toks = toks[:77]
             ids[i, : len(toks)] = toks
         variables = self.eval_variables()
+        enc = self.memo(
+            "as_text_step",
+            lambda: jax.jit(lambda v, t: self.model.apply(v, t, method="encode_text")),
+        )
         embs = []
         for i in range(0, len(ids), 128):
-            z = self.model.apply(
-                variables, jax.numpy.asarray(ids[i : i + 128]), method="encode_text"
-            )
-            embs.append(np.asarray(z))
+            chunk = ids[i : i + 128]
+            n = chunk.shape[0]
+            if n < 128:  # pad to the jitted shape, trim after
+                chunk = np.concatenate([chunk, np.tile(chunk[-1:], (128 - n, 1))])
+            embs.append(np.asarray(enc(variables, jax.numpy.asarray(chunk)))[:n])
         return np.concatenate(embs)
+
+    def _audio_step(self):
+        return self.memo(
+            "as_audio_step",
+            lambda: jax.jit(lambda v, a: self.model.apply(v, a, method="encode_audio")),
+        )
 
     def zero_shot(self, loader) -> str:
         """audio↔label-text similarity → multi-label metrics
         (parity: `/root/reference/cvap/monitor/audioset_clf.py:377-404`)."""
         text = _l2(self.encode_label_texts())
         variables = self.eval_variables()
+        enc = self._audio_step()
         scores, labels = [], []
         for batch in loader:
-            a = self.model.apply(
-                variables, jax.numpy.asarray(batch["audio"]), method="encode_audio"
-            )
-            scores.append(_l2(np.asarray(a)) @ text.T)
-            labels.append(batch["label"])
+            n = int(batch.get("_count", batch["label"].shape[0]))
+            a = enc(variables, jax.numpy.asarray(batch["audio"]))
+            scores.append(_l2(np.asarray(a)[:n]) @ text.T)
+            labels.append(batch["label"][:n])
         m = multilabel_report(np.concatenate(scores), np.concatenate(labels))
         return f"zero-shot mAP = {m['mAP']:2.2f} mAUC = {m['mAUC']:2.2f}"
 
@@ -382,13 +432,13 @@ class ASTrainer(Trainer):
         """Audio-embedding dump
         (parity: `/root/reference/cvap/monitor/audioset_clf.py:70-98`)."""
         variables = self.eval_variables()
+        enc = self._audio_step()
         embs, names = [], []
         for batch in loader:
-            a = self.model.apply(
-                variables, jax.numpy.asarray(batch["audio"]), method="encode_audio"
-            )
-            embs.append(np.asarray(a))
-            names.extend(batch["name"])
+            n = int(batch.get("_count", batch["audio"].shape[0]))
+            a = enc(variables, jax.numpy.asarray(batch["audio"]))
+            embs.append(np.asarray(a)[:n])
+            names.extend(batch["name"][:n])
         np.savez(out_path, v=np.concatenate(embs), names=np.asarray(names))
         return out_path
 
