@@ -66,3 +66,55 @@ def test_clap_captioning_train_and_decode(tmp_path):
     captions = mon.decode_captions(mon.evalloader, max_batches=1)
     assert len(captions) >= 1
     assert all(isinstance(c, str) for c in captions)
+
+
+def test_kv_cache_decode_matches_full_reforward(tmp_path):
+    """greedy_decode_kv must produce the same ids as the O(L^2) re-forward
+    decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from vipant_tpu.nn.seqgen import SeqGenerationHead
+
+    head = SeqGenerationHead(
+        width=32, layers=2, heads=4, ctx_len=16, vocab_size=100,
+        embed_dim=32, mem_width=24, max_len_dec=7,
+    )
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((2, 3, 2, 24)), jnp.float32)
+    ids_init = jnp.asarray(rng.integers(0, 100, (2, 16)), jnp.int32)
+    variables = head.init(jax.random.PRNGKey(0), ids_init, feat)
+
+    ids_a, logits_a = head.apply(variables, feat, method="greedy_decode")
+    ids_b, logits_b = head.apply(variables, feat, method="greedy_decode_kv")
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_allclose(
+        np.asarray(logits_a), np.asarray(logits_b), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_caption_report_bleu(tmp_path):
+    """End-to-end captioning eval asserts a BLEU metric value."""
+    make_synth_clotho(str(tmp_path), "clotho_dev", n=4, seconds=1.05)
+    cfg = caption_cfg(tmp_path)
+    mon = build_monitor(cfg)
+    report = mon.infer(mon.evalloader)
+    assert "BLEU-4 =" in report and "BLEU-1 =" in report
+    import re
+
+    b1 = float(re.search(r"BLEU-1 = ([\d.]+)", report).group(1))
+    assert 0.0 <= b1 <= 100.0
+
+
+def test_corpus_bleu_known_values():
+    from vipant_tpu.eval.metrics import corpus_bleu
+
+    # perfect match -> 100 across orders
+    b = corpus_bleu(["the cat sat on the mat"], [["the cat sat on the mat"]])
+    assert all(abs(v - 100.0) < 1e-6 for v in b.values())
+    # half the unigrams match, no higher-order matches
+    b = corpus_bleu(["the cat"], [["the dog"]])
+    assert abs(b["BLEU-1"] - 50.0) < 1e-6 and b["BLEU-2"] == 0.0
+    # brevity penalty: candidate shorter than reference
+    b = corpus_bleu(["the cat"], [["the cat sat down"]])
+    assert abs(b["BLEU-1"] - 100.0 * np.exp(1 - 4 / 2)) < 1e-4

@@ -208,3 +208,48 @@ def format_retrieval_report(sym: Dict[str, Dict[str, float]], n: int) -> str:
         f"I->A: t1 = {m12['t1']:2.2f} t5 = {m12['t5']:2.2f} "
         f"A->I: t1 = {m21['t1']:2.2f} t5 = {m21['t5']:2.2f} @ {n}"
     )
+
+
+def corpus_bleu(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    max_n: int = 4,
+) -> Dict[str, float]:
+    """Corpus-level BLEU-1..max_n with brevity penalty (whitespace tokens,
+    uniform n-gram weights) — the caption-metric core of the reference's
+    COCO evaluation (`/root/reference/cvap/module/decoder/loss_more.py:328-371`),
+    reimplemented dependency-free in NumPy/stdlib."""
+    from collections import Counter
+
+    def ngrams(tokens, n):
+        return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+
+    assert len(candidates) == len(references)
+    matches = np.zeros(max_n)
+    totals = np.zeros(max_n)
+    cand_len = ref_len = 0
+    for cand, refs in zip(candidates, references):
+        ct = cand.split()
+        rts = [r.split() for r in refs]
+        cand_len += len(ct)
+        # closest reference length (ties -> shorter), per BLEU convention
+        ref_len += min((abs(len(r) - len(ct)), len(r)) for r in rts)[1]
+        for n in range(1, max_n + 1):
+            cn = ngrams(ct, n)
+            if not cn:
+                continue
+            best = Counter()
+            for rt in rts:
+                rn = ngrams(rt, n)
+                for g, c in rn.items():
+                    best[g] = max(best[g], c)
+            matches[n - 1] += sum(min(c, best[g]) for g, c in cn.items())
+            totals[n - 1] += sum(cn.values())
+    precisions = np.where(totals > 0, matches / np.maximum(totals, 1), 0.0)
+    bp = 1.0 if cand_len > ref_len else float(np.exp(1 - ref_len / max(cand_len, 1)))
+    out = {}
+    for n in range(1, max_n + 1):
+        ps = precisions[:n]
+        score = bp * float(np.exp(np.mean(np.log(np.maximum(ps, 1e-12))))) if ps.all() else 0.0
+        out[f"BLEU-{n}"] = score * 100.0
+    return out

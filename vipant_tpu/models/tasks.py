@@ -103,8 +103,9 @@ class CLAP(nn.Module):
         return self.forward_caption(audios, text, train)
 
     def decode(self, audios):
+        """KV-cached greedy decode (O(L) token-forwards)."""
         _, feat = _encode(self.audio, audios, False, require_feature=True)
-        return self.decoder.greedy_decode(feat)
+        return self.decoder.greedy_decode_kv(feat)
 
     def features(self, audios, text, train: bool = False):
         return self.encode_audio(audios, train), self.encode_text(text, train)

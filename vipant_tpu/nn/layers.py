@@ -115,11 +115,16 @@ class MultiHeadAttention(nn.Module):
         kv: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
         ln_residual: Optional[tuple] = None,
+        decode_state: Optional[dict] = None,
     ) -> jnp.ndarray:
         """x: [B, T, D]; kv: optional [B, S, D] for cross-attention;
         mask: optional additive [T, S] or boolean [..., T, S] (True = keep);
         ln_residual: optional (scale, bias) — compute the full pre-LN
-        residual sub-block ``x + proj(attn(LN(x)))`` (fused on TPU)."""
+        residual sub-block ``x + proj(attn(LN(x)))`` (fused on TPU);
+        decode_state: KV-cache for single-position autoregressive decoding —
+        self-attention: {k [B,L,H,Dh], v, pos}; cross-attention: {k, v}
+        (projected memory, or None values to compute-and-return them once).
+        In decode mode returns (out, new_state)."""
         d = x.shape[-1]
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
@@ -155,6 +160,29 @@ class MultiHeadAttention(nn.Module):
             wout, bout = _DenseParams(
                 d, d, kernel_init=proj_init, param_dtype=self.param_dtype, name="out"
             )()
+
+            if decode_state is not None:  # single-position cached self-attn
+                residual = x if ln_residual is not None else None
+                h = functional_layer_norm(x, *ln_residual) if ln_residual else x
+                q, k, v = jnp.split(dense(h, wqkv, bqkv), 3, axis=-1)
+                B = x.shape[0]
+                shp = (B, 1, self.num_heads, head_dim)
+                q, k, v = q.reshape(shp), k.reshape(shp), v.reshape(shp)
+                pos = decode_state["pos"]
+                ck = jax.lax.dynamic_update_slice(
+                    decode_state["k"], k.astype(decode_state["k"].dtype), (0, pos, 0, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    decode_state["v"], v.astype(decode_state["v"].dtype), (0, pos, 0, 0)
+                )
+                L = ck.shape[1]
+                step_bias = jnp.where(
+                    jnp.arange(L)[None, None, None, :] <= pos, 0.0, -1e30
+                ).astype(jnp.float32)
+                out = jax.nn.dot_product_attention(q, ck, cv, bias=step_bias)
+                out = dense(out.reshape(B, 1, d), wout, bout)
+                out = out if residual is None else residual + out
+                return out, {"k": ck, "v": cv, "pos": pos + 1}
 
             from ..ops.fused_attn import (
                 fused_attention_block,
@@ -196,12 +224,24 @@ class MultiHeadAttention(nn.Module):
             mk = lambda name: _DenseParams(
                 d, d, kernel_init=attn_init, param_dtype=self.param_dtype, name=name
             )()
-            q = dense(x, *mk("q"))
-            k = dense(kv, *mk("k"))
-            v = dense(kv, *mk("v"))
+            qh, kh, vh = mk("q"), mk("k"), mk("v")
             wout, bout = _DenseParams(
                 d, d, kernel_init=proj_init, param_dtype=self.param_dtype, name="out"
             )()
+            if decode_state is not None:  # memory k/v projected once, reused
+                B, S = x.shape[0], kv.shape[1]
+                if decode_state.get("k") is None:
+                    mk_ = dense(kv, *kh).reshape(B, S, self.num_heads, head_dim)
+                    mv_ = dense(kv, *vh).reshape(B, S, self.num_heads, head_dim)
+                else:
+                    mk_, mv_ = decode_state["k"], decode_state["v"]
+                q = dense(x, *qh).reshape(B, 1, self.num_heads, head_dim)
+                out = jax.nn.dot_product_attention(q, mk_, mv_)
+                out = dense(out.reshape(B, 1, d), wout, bout)
+                return out, {"k": mk_, "v": mv_}
+            q = dense(x, *qh)
+            k = dense(kv, *kh)
+            v = dense(kv, *vh)
 
         B, T, _ = q.shape
         S = k.shape[1]
@@ -300,22 +340,34 @@ class ResidualAttentionBlock(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         memory: Optional[jnp.ndarray] = None,
+        decode_state: Optional[dict] = None,
     ) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, n_layers=self.n_layers)
         # ln_1 + attention + residual run as one fused sub-block on TPU;
         # the param holder keeps LayerNorm's exact tree (ln_1/{scale,bias})
         ln1 = _LNParams(x.shape[-1], param_dtype=self.param_dtype, name="ln_1")()
-        x = MultiHeadAttention(self.num_heads, name="attn", **kw)(
-            x, mask=mask, ln_residual=ln1
-        )
+        attn = MultiHeadAttention(self.num_heads, name="attn", **kw)
+        new_state = None
+        if decode_state is not None:  # KV-cached single-position decode
+            x, self_state = attn(
+                x, ln_residual=ln1, decode_state=decode_state["self"]
+            )
+            new_state = {"self": self_state}
+        else:
+            x = attn(x, mask=mask, ln_residual=ln1)
         if self.cross_attn:
             assert memory is not None, "cross-attention block requires memory"
-            x = x + MultiHeadAttention(self.num_heads, name="cross_attn", **kw)(
-                LayerNorm(param_dtype=self.param_dtype, name="ln_c")(x), kv=memory
-            )
+            cross = MultiHeadAttention(self.num_heads, name="cross_attn", **kw)
+            h = LayerNorm(param_dtype=self.param_dtype, name="ln_c")(x)
+            if decode_state is not None:
+                y, mem_state = cross(h, kv=memory, decode_state=decode_state["mem"])
+                x = x + y
+                new_state["mem"] = mem_state
+            else:
+                x = x + cross(h, kv=memory)
         ln2 = _LNParams(x.shape[-1], param_dtype=self.param_dtype, name="ln_2")()
         x = MLP(name="mlp", act=self.act, **kw)(x, ln_residual=ln2)
-        return x
+        return x if new_state is None else (x, new_state)
 
 
 def causal_mask(n: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -344,6 +396,7 @@ class Transformer(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         memory: Optional[jnp.ndarray] = None,
+        decode_state: Optional[tuple] = None,
     ) -> jnp.ndarray:
         use_clip_init = (
             self.clip_init if self.clip_init is not None else self.act == "quick_gelu"
@@ -351,8 +404,9 @@ class Transformer(nn.Module):
         block_cls = ResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
+        new_states = []
         for i in range(self.layers):
-            x = block_cls(
+            block = block_cls(
                 num_heads=self.num_heads,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -360,5 +414,10 @@ class Transformer(nn.Module):
                 act=self.act,
                 n_layers=self.layers if use_clip_init else None,
                 name=f"block_{i}",
-            )(x, mask, memory)
-        return x
+            )
+            if decode_state is not None:
+                x, st = block(x, mask, memory, decode_state=decode_state[i])
+                new_states.append(st)
+            else:
+                x = block(x, mask, memory)
+        return x if decode_state is None else (x, tuple(new_states))

@@ -137,3 +137,51 @@ class SeqGenerationHead(nn.Module):
 
         ids, logits = jax.lax.scan(step, ids0, jnp.arange(L))
         return ids, jnp.transpose(logits, (1, 0, 2))
+
+    def greedy_decode_kv(
+        self,
+        audio_feat: jnp.ndarray,
+        sot_token: int = 49406,
+        time_first: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """KV-cached greedy decoding: each step forwards ONE token through
+        the decoder, appending its self-attention keys/values to per-layer
+        caches; the cross-attention memory projections are computed once at
+        step 0 and reused. Produces exactly the same ids as
+        :meth:`greedy_decode` at O(L) instead of O(L^2) token-forwards."""
+        memory = self._memory(audio_feat, time_first)
+        B = audio_feat.shape[0]
+        L = self.max_len_dec
+        hd = self.width // self.heads
+
+        def init_self():
+            z = jnp.zeros((B, L, self.heads, hd), self.dtype)
+            return {"k": z, "v": z, "pos": jnp.int32(0)}
+
+        def one_step(tok, pos, states):
+            x = self.token_embedding[tok][:, None, :].astype(self.dtype)
+            x = x + self.positional_embedding[pos][None, None].astype(self.dtype)
+            x, states = self.transformer(x, memory=memory, decode_state=states)
+            logits = self.predictor(self.ln_final(x))[:, 0]
+            return logits, states
+
+        ids = jnp.full((B, L + 1), 0, jnp.int32).at[:, 0].set(sot_token)
+        # step 0 runs outside the scan: it projects the cross-attention
+        # memory (the carry's pytree structure must not change inside scan)
+        states = tuple({"self": init_self(), "mem": {"k": None, "v": None}} for _ in range(self.layers))
+        logits0, states = one_step(ids[:, 0], jnp.int32(0), states)
+        ids = ids.at[:, 1].set(jnp.argmax(logits0, axis=-1).astype(jnp.int32))
+
+        def step(carry, t):
+            ids, states = carry
+            tok = jax.lax.dynamic_slice_in_dim(ids, t, 1, axis=1)[:, 0]
+            logits, states = one_step(tok, t, states)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            ids = jax.lax.dynamic_update_slice_in_dim(ids, nxt[:, None], t + 1, axis=1)
+            return (ids, states), logits
+
+        (ids, _), logits_rest = jax.lax.scan(step, (ids, states), jnp.arange(1, L))
+        logits = jnp.concatenate(
+            [logits0[:, None], jnp.transpose(logits_rest, (1, 0, 2))], axis=1
+        )
+        return ids, logits

@@ -80,9 +80,7 @@ class LATrainer(Trainer):
         (parity: `/root/reference/cvap/module/decoder/loss_head.py:135-169`);
         captioning configs report decoded samples instead."""
         if getattr(self.model, "text", None) is None:
-            caps = self.decode_captions(loader, max_batches=2)
-            sample = "; ".join(caps[:3])
-            return f"decoded {len(caps)} captions, e.g.: {sample}"
+            return self.caption_report(loader)
         data = self.collect_features(loader)
         a, t = data["x1"], data["x2"]
         k = t.shape[0] // a.shape[0]
@@ -139,16 +137,26 @@ class LATrainer(Trainer):
         np.savez(out_path, v=np.concatenate(embs))
         return out_path
 
+    @staticmethod
+    def _detok_row(tk, row) -> str:
+        toks = [int(t) for t in row if t not in (0, 49406)]
+        if 49407 in toks:
+            toks = toks[: toks.index(49407)]
+        return tk.decode(toks).strip()
+
+    def _decode_step(self):
+        return self.memo(
+            "la_decode_step",
+            lambda: jax.jit(lambda v, a: self.model.apply(v, a, method="decode")),
+        )
+
     def decode_captions(self, loader, max_batches: int = 10) -> List[str]:
-        """Greedy caption decoding through the SeqGenerationHead."""
+        """Greedy caption decoding through the SeqGenerationHead (KV-cached)."""
         from ..tokenizer import get_tokenizer
 
         tk = get_tokenizer()
         variables = self.eval_variables()
-        dec = self.memo(
-            "la_decode_step",
-            lambda: jax.jit(lambda v, a: self.model.apply(v, a, method="decode")),
-        )
+        dec = self._decode_step()
         out = []
         for bi, batch in enumerate(loader):
             if bi >= max_batches:
@@ -156,11 +164,36 @@ class LATrainer(Trainer):
             ids, _ = dec(variables, jax.numpy.asarray(batch["audio"]))
             n = int(batch.get("_count", len(batch["name"])))
             for row in np.asarray(ids)[:n]:
-                toks = [int(t) for t in row[1:] if t not in (0, 49406)]
-                if 49407 in toks:
-                    toks = toks[: toks.index(49407)]
-                out.append(tk.decode(toks).strip())
+                out.append(self._detok_row(tk, row[1:]))
         return out
+
+    def caption_report(self, loader) -> str:
+        """Decode the whole eval set and score corpus BLEU-1..4 against the
+        k gold captions per clip
+        (parity: `/root/reference/cvap/module/decoder/loss_more.py:328-371`,
+        BLEU core of the COCO-caption suite)."""
+        from ..eval.metrics import corpus_bleu
+        from ..tokenizer import get_tokenizer
+
+        tk = get_tokenizer()
+        variables = self.eval_variables()
+        dec = self._decode_step()
+        cands, refs = [], []
+        for batch in loader:
+            B = batch["audio"].shape[0]
+            n = int(batch.get("_count", B))
+            k = batch["text"].shape[0] // B
+            ids, _ = dec(variables, jax.numpy.asarray(batch["audio"]))
+            text = np.asarray(batch["text"])
+            for i, row in enumerate(np.asarray(ids)[:n]):
+                cands.append(self._detok_row(tk, row[1:]))
+                refs.append(
+                    [self._detok_row(tk, text[i * k + j]) for j in range(k)]
+                )
+        bleu = corpus_bleu(cands, refs)
+        sample = "; ".join(cands[:3])
+        scores = " ".join(f"{k_} = {v:2.2f}" for k_, v in bleu.items())
+        return f"{scores} @ {len(cands)} | e.g.: {sample}"
 
 
 @register_monitor("VALMonitor")
