@@ -93,3 +93,64 @@ def test_grad_cache_step_equals_plain_step(tmp_path):
         float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) for a, b in zip(l1, l2)
     )
     assert worst < 1e-5, worst
+
+
+def test_va_grad_cache_with_uint8_and_on_device_audio(tmp_path):
+    """GC composed with BOTH device frontends: uint8 image normalization and
+    waveform->fbank, each applied per-chunk inside the cached encodes."""
+    from data_synth import make_synth_va_index
+
+    make_synth_va_index(str(tmp_path / "d"), "train", n=8, seconds=1.05)
+    cfg = compose([
+        "+running=bimodal",
+        *TINY_MODEL,
+        "+model/loss=ce",
+        "worker=CVAP",
+        "monitor=VAMonitor",
+        f"running.data_root={tmp_path}/d",
+        "running.data_name=train",
+        "running.eval_name=",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.audio.on_device=True",
+        "running.image_uint8=True",
+        "running.grad_cache.alive=True",
+        "running.grad_cache.chunk_size=2",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.train_step is not None
+    mon.epoch(0)
+
+
+def test_grad_cache_with_batch_stats_raises(tmp_path):
+    """An explicitly requested GC must not silently degrade on batch_stats
+    models (ResNet towers)."""
+    make_synth_clotho(str(tmp_path), "clotho_dev", n=4, seconds=1.05)
+    cfg = compose([
+        "+running=clotho",
+        *TINY_MODEL,
+        "+model/loss=ce",
+        "worker=CLAP",
+        "monitor=LAMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=clotho_dev",
+        "running.eval_name=",
+        "running.test_name=",
+        "running.batch_size=4",
+        "running.grad_cache.alive=True",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    mon.has_batch_stats = True  # as a ResNet tower would set
+    with pytest.raises(ValueError, match="batch_stats"):
+        mon.build_optimizer()

@@ -229,8 +229,12 @@ class Trainer:
                 self.echo.info("gradient cache ignored: captioning has no contrastive loss")
                 gc = None
             elif self.has_batch_stats:
-                self.echo.info("gradient cache ignored: model carries batch_stats")
-                gc = None
+                # an explicitly requested feature must not silently degrade
+                raise ValueError(
+                    "gradient_cache.alive=True is incompatible with models "
+                    "carrying batch_stats (the two-pass encode cannot replay "
+                    "mutable batch statistics); set gradient_cache.alive=False"
+                )
         if gc is not None and bool(gc.get("alive", False)):
             from .step import make_grad_cache_step
 
@@ -241,21 +245,29 @@ class Trainer:
             while bsz % n_chunks != 0:
                 n_chunks += 1
             method_a, method_b = self.grad_cache_methods
-            preprocess_a = preprocess_b = None
-            if self.on_device_audio:
-                def _audio_frontend(wav, rng):
-                    idx = self.batch_keys.index("audio")
-                    pre = (None,) * idx
-                    args = pre + (wav,)
-                    out = list(args)
-                    # device_frontend works on the positional tuple
-                    full = self.device_frontend(tuple(out), {"augment": rng}, train=True)
+
+            def _make_frontend(key):
+                """Per-chunk device frontend for one modality (on-device
+                fbank/SpecAugment for audio, uint8 normalize for images),
+                running through the same device_frontend as the plain step."""
+                if key == "audio" and not self.on_device_audio:
+                    return None
+                if key == "image" and not self.image_uint8:
+                    return None
+                if key not in ("audio", "image"):
+                    return None
+                idx = self.batch_keys.index(key)
+
+                def fn(x, rng):
+                    args = [None] * len(self.batch_keys)
+                    args[idx] = x
+                    full = self.device_frontend(tuple(args), {"augment": rng}, train=True)
                     return full[idx]
 
-                if self.batch_keys.index("audio") == 0:
-                    preprocess_a = _audio_frontend
-                else:
-                    preprocess_b = _audio_frontend
+                return fn
+
+            preprocess_a = _make_frontend(self.batch_keys[0])
+            preprocess_b = _make_frontend(self.batch_keys[1])
             self.train_step = make_grad_cache_step(
                 self.model,
                 self.tx,
@@ -349,7 +361,7 @@ class Trainer:
         params, max_len, norms, freq_p, time_p = self._frontend_settings()
         idx = self.batch_keys.index("audio")
         wav = args[idx]
-        if wav.ndim != 2:  # already featurized
+        if wav is None or wav.ndim != 2:  # absent or already featurized
             return args
         if wav.dtype == jnp.int16:  # raw PCM shipped to cut H2D in half
             wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
