@@ -118,3 +118,43 @@ def test_corpus_bleu_known_values():
     # brevity penalty: candidate shorter than reference
     b = corpus_bleu(["the cat"], [["the cat sat down"]])
     assert abs(b["BLEU-1"] - 100.0 * np.exp(1 - 4 / 2)) < 1e-4
+
+
+def test_rouge_l_known_values():
+    from vipant_tpu.eval.metrics import rouge_l
+
+    # perfect match -> 100
+    assert abs(rouge_l(["a b c d"], [["a b c d"]]) - 100.0) < 1e-6
+    # no overlap -> 0
+    assert rouge_l(["a b"], [["c d"]]) == 0.0
+    # LCS "a c" of cand "a b c" (len 3) vs ref "a c d" (len 3):
+    # P = R = 2/3 -> F = 2/3 regardless of beta
+    assert abs(rouge_l(["a b c"], [["a c d"]]) - 100.0 * 2 / 3) < 1e-4
+    # max over references: second ref matches exactly
+    assert abs(rouge_l(["a b"], [["c d", "a b"]]) - 100.0) < 1e-6
+
+
+def test_cider_d_properties():
+    from vipant_tpu.eval.metrics import cider_d
+
+    cands = ["a dog barks loudly", "rain falls on the roof", "a car engine revs"]
+    refs = [
+        ["a dog barks loudly", "a loud dog barking"],
+        ["rain falls on the roof", "rain hitting a rooftop"],
+        ["a car engine revs", "an engine revving"],
+    ]
+    perfect = cider_d(cands, refs)
+    assert perfect > 0.0
+    # corrupting one candidate strictly lowers the consensus score
+    worse = cider_d(["birds sing"] + cands[1:], refs)
+    assert worse < perfect
+    # disjoint vocabulary -> zero
+    assert cider_d(["x y z", "p q r"], [["p q r"], ["x y z"]]) == 0.0
+    # length penalty: same n-grams but padded candidate scores lower
+    # (multi-doc corpus so idf > 0)
+    base = cider_d(["a dog barks"] + cands[1:], [["a dog barks"]] + refs[1:])
+    padded = cider_d(
+        ["a dog barks a dog barks a dog barks"] + cands[1:],
+        [["a dog barks"]] + refs[1:],
+    )
+    assert padded < base

@@ -253,3 +253,109 @@ def corpus_bleu(
         score = bp * float(np.exp(np.mean(np.log(np.maximum(ps, 1e-12))))) if ps.all() else 0.0
         out[f"BLEU-{n}"] = score * 100.0
     return out
+
+
+def rouge_l(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    beta: float = 1.2,
+) -> float:
+    """ROUGE-L F-measure averaged over candidates, taking the max over each
+    candidate's references (the COCO-caption convention used by the
+    reference's metric suite,
+    `/root/reference/cvap/module/decoder/loss_more.py:328-371`).
+    Dependency-free: LCS by dynamic programming over whitespace tokens."""
+
+    def lcs_len(a, b):
+        if not a or not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+            prev = cur
+        return prev[-1]
+
+    assert len(candidates) == len(references)
+    scores = []
+    for cand, refs in zip(candidates, references):
+        ct = cand.split()
+        best = 0.0
+        for r in refs:
+            rt = r.split()
+            l = lcs_len(ct, rt)
+            if l == 0:
+                continue
+            p, rec = l / max(len(ct), 1), l / max(len(rt), 1)
+            f = (1 + beta**2) * p * rec / (rec + beta**2 * p)
+            best = max(best, f)
+        scores.append(best)
+    return float(np.mean(scores)) * 100.0 if scores else 0.0
+
+
+def cider_d(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    max_n: int = 4,
+    sigma: float = 6.0,
+) -> float:
+    """CIDEr-D: consensus caption metric (tf-idf n-gram cosine with length
+    gaussian penalty and count clipping), averaged over 1..max_n — the
+    headline metric of the reference's COCO-caption evaluation
+    (`/root/reference/cvap/module/decoder/loss_more.py:328-371`),
+    reimplemented dependency-free. The document frequency is computed over
+    this corpus's reference sets (standard corpus-level CIDEr)."""
+    from collections import Counter, defaultdict
+
+    def ngrams(tokens, n):
+        return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+
+    assert len(candidates) == len(references)
+    # document frequency per n-gram over reference sets
+    dfs = [defaultdict(float) for _ in range(max_n)]
+    for refs in references:
+        for n in range(1, max_n + 1):
+            seen = set()
+            for r in refs:
+                seen |= set(ngrams(r.split(), n).keys())
+            for g in seen:
+                dfs[n - 1][g] += 1.0
+    n_docs = max(len(references), 1)
+    log_n = np.log(float(n_docs))
+
+    def tfidf_vec(counts, n):
+        vec, norm = {}, 0.0
+        length = sum(counts.values())
+        for g, c in counts.items():
+            idf = log_n - np.log(max(dfs[n - 1][g], 1.0))
+            w = (c / max(length, 1)) * idf
+            vec[g] = w
+            norm += w * w
+        return vec, float(np.sqrt(norm))
+
+    scores = []
+    for cand, refs in zip(candidates, references):
+        ct = cand.split()
+        per_n = np.zeros(max_n)
+        for n in range(1, max_n + 1):
+            cn = ngrams(ct, n)
+            cvec, cnorm = tfidf_vec(cn, n)
+            s = 0.0
+            for r in refs:
+                rt = r.split()
+                rn = ngrams(rt, n)
+                rvec, rnorm = tfidf_vec(rn, n)
+                # CIDEr-D clips candidate counts at reference counts
+                num = 0.0
+                for g, w in cvec.items():
+                    if g in rvec:
+                        num += min(w, rvec[g]) * rvec[g]
+                if cnorm > 0 and rnorm > 0:
+                    delta = len(ct) - len(rt)
+                    penalty = float(np.exp(-(delta**2) / (2 * sigma**2)))
+                    s += penalty * num / (cnorm * rnorm)
+            per_n[n - 1] = 10.0 * s / max(len(refs), 1)
+        scores.append(float(np.mean(per_n)))
+    # standard CIDEr scale: [0, 10] (the 10x factor is part of the metric)
+    return float(np.mean(scores)) if scores else 0.0

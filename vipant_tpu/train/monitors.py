@@ -168,11 +168,11 @@ class LATrainer(Trainer):
         return out
 
     def caption_report(self, loader) -> str:
-        """Decode the whole eval set and score corpus BLEU-1..4 against the
-        k gold captions per clip
+        """Decode the whole eval set and score corpus BLEU-1..4, ROUGE-L and
+        CIDEr-D against the k gold captions per clip
         (parity: `/root/reference/cvap/module/decoder/loss_more.py:328-371`,
-        BLEU core of the COCO-caption suite)."""
-        from ..eval.metrics import corpus_bleu
+        the dependency-free core of the COCO-caption suite)."""
+        from ..eval.metrics import cider_d, corpus_bleu, rouge_l
         from ..tokenizer import get_tokenizer
 
         tk = get_tokenizer()
@@ -190,10 +190,12 @@ class LATrainer(Trainer):
                 refs.append(
                     [self._detok_row(tk, text[i * k + j]) for j in range(k)]
                 )
-        bleu = corpus_bleu(cands, refs)
+        scores = corpus_bleu(cands, refs)
+        scores["ROUGE-L"] = rouge_l(cands, refs)
+        scores["CIDEr-D"] = cider_d(cands, refs)
         sample = "; ".join(cands[:3])
-        scores = " ".join(f"{k_} = {v:2.2f}" for k_, v in bleu.items())
-        return f"{scores} @ {len(cands)} | e.g.: {sample}"
+        line = " ".join(f"{k_} = {v:2.2f}" for k_, v in scores.items())
+        return f"{line} @ {len(cands)} | e.g.: {sample}"
 
 
 @register_monitor("VALMonitor")
