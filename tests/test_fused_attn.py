@@ -203,3 +203,43 @@ def test_mha_module_tree_unchanged():
     assert p["qkv"]["bias"].shape == (192,)
     assert p["out"]["kernel"].shape == (64, 64)
     assert p["out"]["bias"].shape == (64,)
+
+
+def test_saved_qkv_grads_match_recompute():
+    """The saved-qkv backward (fwd stashes the packed projections; bwd skips
+    the recompute dot) must produce identical gradients to the flash-style
+    recompute path. T >= 128 so the save path actually engages."""
+    import os
+
+    from vipant_tpu.ops import fused_attn as fa
+
+    r = np.random.default_rng(7)
+    Tl, Cl, Hl = 160, 64, 8
+    x = jnp.asarray(r.standard_normal((2, Tl, Cl)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(r.standard_normal((Cl, 3 * Cl)) * Cl ** -0.5)
+    bqkv = jnp.asarray(r.standard_normal(3 * Cl) * 0.02)
+    wout = jnp.asarray(r.standard_normal((Cl, Cl)) * Cl ** -0.5)
+    bout = jnp.asarray(r.standard_normal(Cl) * 0.02)
+    lns, lnb = jnp.ones((Cl,)), jnp.zeros((Cl,))
+
+    def run(flag):
+        old = os.environ.get("VIPANT_SAVE_QKV")
+        os.environ["VIPANT_SAVE_QKV"] = flag
+        try:
+            def loss(*a):
+                return jnp.sum(
+                    fa.fused_ln_attention_block(*a, heads=Hl) ** 2
+                )
+            return jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6))(
+                x, lns, lnb, wqkv, bqkv, wout, bout
+            )
+        finally:
+            if old is None:
+                del os.environ["VIPANT_SAVE_QKV"]
+            else:
+                os.environ["VIPANT_SAVE_QKV"] = old
+
+    assert fa._want_save_qkv(Tl)
+    g_save, g_rec = run("1"), run("0")
+    for a, b in zip(g_save, g_rec):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)

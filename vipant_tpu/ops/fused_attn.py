@@ -78,7 +78,7 @@ def _ln_fwd(x, lns, lnb):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
+def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, save_qkv):
     refs = list(refs)
     x_ref = refs.pop(0)
     lns_ref = refs.pop(0) if has_ln else None
@@ -86,7 +86,8 @@ def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
     wqkv_ref, bqkv_ref, wout_ref, bout_ref = refs[:4]
     refs = refs[4:]
     bias_ref = refs.pop(0) if has_bias else None
-    (o_ref,) = refs
+    o_ref = refs.pop(0)
+    qkv_ref = refs.pop(0) if save_qkv else None
 
     x = x_ref[0]  # [T, C]
     T, C = x.shape
@@ -96,6 +97,8 @@ def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
     # [3C,T] -> [3H,D,T] is a pure view (leading-dim split; tiles live on the
     # trailing [D,T]), so all heads run in ONE batched MXU dot per stage
     qkv3 = qkv.astype(x.dtype).reshape(3 * heads, D, T)
+    if save_qkv:  # stash for the backward pass (skips the qkv recompute dot)
+        qkv_ref[0] = qkv3.reshape(3 * C, T)
     q3, k3, v3 = qkv3[:heads], qkv3[heads:2 * heads], qkv3[2 * heads:]
     s = _bdg(q3, k3, ((1,), (1,))) * scale  # [H, Ti, Tj]
     if has_bias:
@@ -108,7 +111,7 @@ def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
     o_ref[0] = x + y if has_res else y
 
 
-def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
+def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, saved_qkv):
     refs = list(refs)
     x_ref = refs.pop(0)
     lns_ref = refs.pop(0) if has_ln else None
@@ -116,6 +119,7 @@ def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
     wqkv_ref, bqkv_ref, wout_ref, g_ref = refs[:4]
     refs = refs[4:]
     bias_ref = refs.pop(0) if has_bias else None
+    sqkv_ref = refs.pop(0) if saved_qkv else None
     dx_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref = refs[:5]
     refs = refs[5:]
     dlns_ref = refs.pop(0) if has_ln else None
@@ -136,13 +140,18 @@ def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
             dlns_ref[...] = jnp.zeros_like(dlns_ref)
             dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
 
-    # recompute the forward entirely in VMEM (flash-style)
+    # recompute the forward in VMEM (flash-style); with a saved qkv the
+    # expensive projection dot is skipped (LN stats recompute is VPU-cheap
+    # and still needed for the LN backward)
     if has_ln:
         h, xhat, rstd = _ln_fwd(x, lns_ref[...], lnb_ref[...])
     else:
         h = x
-    qkv = _dg(wqkv_ref[...], h, ((0,), (1,))) + bqkv_ref[...]
-    qkv3 = qkv.astype(x.dtype).reshape(3 * heads, D, T)  # free view
+    if saved_qkv:
+        qkv3 = sqkv_ref[0].reshape(3 * heads, D, T)
+    else:
+        qkv = _dg(wqkv_ref[...], h, ((0,), (1,))) + bqkv_ref[...]
+        qkv3 = qkv.astype(x.dtype).reshape(3 * heads, D, T)  # free view
     q3, k3, v3 = qkv3[:heads], qkv3[heads:2 * heads], qkv3[2 * heads:]
     s = _bdg(q3, k3, ((1,), (1,))) * scale  # [H, Ti, Tj]
     if has_bias:
@@ -198,15 +207,22 @@ def _item_spec(T, C):
     return pl.BlockSpec((1, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res):
+def _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res,
+              save_qkv=False):
     B, T, C = x.shape
     has_bias, has_ln = bias is not None, lns is not None
     args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, bout)
     args += (bias,) if has_bias else ()
+    out_specs = _item_spec(T, C)
+    out_shape = jax.ShapeDtypeStruct((B, T, C), x.dtype)
+    if save_qkv:
+        qspec = pl.BlockSpec((1, 3 * C, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        out_specs = (out_specs, qspec)
+        out_shape = (out_shape, jax.ShapeDtypeStruct((B, 3 * C, T), x.dtype))
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, heads=heads, has_bias=has_bias,
-            has_ln=has_ln, has_res=has_res,
+            has_ln=has_ln, has_res=has_res, save_qkv=save_qkv,
         ),
         grid=(B,),
         in_specs=[_item_spec(T, C)]
@@ -218,18 +234,20 @@ def _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res):
             _const_spec((1, C)),
         ]
         + ([_const_spec((T, T))] if has_bias else []),
-        out_specs=_item_spec(T, C),
-        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
     )(*args)
 
 
-def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res):
+def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
+              saved_qkv=None):
     B, T, C = x.shape
     has_bias, has_ln = bias is not None, lns is not None
     args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, g)
     args += (bias,) if has_bias else ()
+    args += (saved_qkv,) if saved_qkv is not None else ()
     out_specs = (
         _item_spec(T, C),
         _const_spec((C, 3 * C)),
@@ -249,7 +267,7 @@ def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res):
     return pl.pallas_call(
         functools.partial(
             _bwd_kernel, scale=scale, heads=heads, has_bias=has_bias,
-            has_ln=has_ln, has_res=has_res,
+            has_ln=has_ln, has_res=has_res, saved_qkv=saved_qkv is not None,
         ),
         grid=(B,),
         in_specs=[_item_spec(T, C)]
@@ -260,7 +278,12 @@ def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res):
             _const_spec((C, C)),
             _item_spec(T, C),
         ]
-        + ([_const_spec((T, T))] if has_bias else []),
+        + ([_const_spec((T, T))] if has_bias else [])
+        + (
+            [pl.BlockSpec((1, 3 * C, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+            if saved_qkv is not None
+            else []
+        ),
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -300,10 +323,14 @@ def _smap(f, mesh, in_specs, out_specs):
         return sm2(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
 
 
-def _fwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res):
+def _fwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res,
+                 save_qkv=False):
     mesh = _data_mesh()
     if mesh is None:
-        return _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res)
+        return _fwd_call(
+            x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res,
+            save_qkv=save_qkv,
+        )
     from jax.sharding import PartitionSpec as P
 
     d, r = P("data"), P()
@@ -317,35 +344,48 @@ def _fwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_re
         ls, lb = (a.pop(0), a.pop(0)) if has_ln else (None, None)
         wq, bq, wo, bo = a[:4]
         bb = a[4] if has_bias else None
-        return _fwd_call(xs, ls, lb, wq, bq, wo, bo, bb, scale, heads, has_res)
+        return _fwd_call(
+            xs, ls, lb, wq, bq, wo, bo, bb, scale, heads, has_res,
+            save_qkv=save_qkv,
+        )
 
     fn = _smap(
         local,
         mesh,
         in_specs=(d,) + ((r, r) if has_ln else ()) + (r, r, r, r) + ((r,) if has_bias else ()),
-        out_specs=d,
+        out_specs=(d, d) if save_qkv else d,
     )
     return fn(*args)
 
 
-def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res):
+def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
+                 saved_qkv=None):
     mesh = _data_mesh()
     if mesh is None:
-        return _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res)
+        return _bwd_call(
+            x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
+            saved_qkv=saved_qkv,
+        )
     from jax.sharding import PartitionSpec as P
 
     d, r = P("data"), P()
     has_ln, has_bias = lns is not None, bias is not None
+    has_saved = saved_qkv is not None
     args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, g)
     args += (bias,) if has_bias else ()
+    args += (saved_qkv,) if has_saved else ()
 
     def local(*a):
         a = list(a)
         xs = a.pop(0)
         ls, lb = (a.pop(0), a.pop(0)) if has_ln else (None, None)
         wq, bq, wo, gs = a[:4]
-        bb = a[4] if has_bias else None
-        outs = _bwd_call(xs, ls, lb, wq, bq, wo, bb, gs, scale, heads, has_res)
+        a = a[4:]
+        bb = a.pop(0) if has_bias else None
+        sq = a.pop(0) if has_saved else None
+        outs = _bwd_call(
+            xs, ls, lb, wq, bq, wo, bb, gs, scale, heads, has_res, saved_qkv=sq
+        )
         # weight/LN grads are partial sums over this shard's batch items
         dx, rest = outs[0], jax.lax.psum(outs[1:], axis_name="data")
         return (dx,) + tuple(rest)
@@ -354,7 +394,8 @@ def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res):
     fn = _smap(
         local,
         mesh,
-        in_specs=(d,) + ((r, r) if has_ln else ()) + (r, r, r, d) + ((r,) if has_bias else ()),
+        in_specs=(d,) + ((r, r) if has_ln else ()) + (r, r, r, d)
+        + ((r,) if has_bias else ()) + ((d,) if has_saved else ()),
         out_specs=(d,) + (r,) * n_acc,
     )
     return fn(*args)
@@ -381,6 +422,16 @@ def _prep(x, wqkv, bqkv, wout, bout, lns, lnb):
     ) + out
 
 
+def _want_save_qkv(T: int) -> bool:
+    """Trade HBM for FLOPs: stash the packed qkv in fwd so bwd skips its
+    recompute dot. Pays off for long sequences (audio tower); off for short
+    ones and off-able via ``VIPANT_SAVE_QKV=0``."""
+    import os
+
+    flag = os.environ.get("VIPANT_SAVE_QKV", "1")
+    return flag == "1" and T >= 128
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _fused(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads):
     has_res = lns is not None  # LN variant is the full residual sub-block
@@ -389,16 +440,23 @@ def _fused(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads):
 
 
 def _fused_fwd(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads):
-    out = _fused(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads)
-    return out, (x, wqkv, bqkv, wout, bout, lns, lnb, bias)
+    has_res = lns is not None
+    save = _want_save_qkv(x.shape[1])
+    ls, lb, wq, bq, wo, bo = _prep(x, wqkv, bqkv, wout, bout, lns, lnb)
+    out = _fwd_sharded(
+        x, ls, lb, wq, bq, wo, bo, bias, scale, heads, has_res, save_qkv=save
+    )
+    out, saved_qkv = out if save else (out, None)
+    return out, (x, wqkv, bqkv, wout, bout, lns, lnb, bias, saved_qkv)
 
 
 def _fused_bwd(scale, heads, res, g):
-    x, wqkv, bqkv, wout, bout, lns, lnb, bias = res
+    x, wqkv, bqkv, wout, bout, lns, lnb, bias, saved_qkv = res
     has_ln = lns is not None
     ls, lb, wq, bq, wo, _ = _prep(x, wqkv, bqkv, wout, bout, lns, lnb)
     outs = _bwd_sharded(
-        x, ls, lb, wq, bq, wo, bias, g.astype(x.dtype), scale, heads, has_ln
+        x, ls, lb, wq, bq, wo, bias, g.astype(x.dtype), scale, heads, has_ln,
+        saved_qkv=saved_qkv,
     )
     dx, dwqkv, dbqkv, dwout, dbout = outs[:5]
     ret = (
@@ -484,12 +542,17 @@ def fused_ln_attention_block(
 
 def fused_block_applicable(T: int, C: int, heads: int, have_bool_mask: bool) -> bool:
     """The fused path needs sublane-aligned head slices and a VMEM-resident
-    [H, T, T] score tensor."""
+    [H, T, T] score tensor. ``VIPANT_FUSED_MIN_T`` (default 0) skips the
+    kernel for short sequences where XLA's batched attention wins (probe
+    with experiments/variants.py)."""
+    import os
+
     D = C // max(heads, 1)
     return (
         not have_bool_mask
         and C % heads == 0
         and D % 8 == 0
         and C % 8 == 0
+        and T >= int(os.environ.get("VIPANT_FUSED_MIN_T", "0"))
         and _vmem_estimate(T, C, heads) < 95 * 1024 * 1024
     )
