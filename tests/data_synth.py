@@ -37,6 +37,26 @@ def make_synth_va_index(root, name="train", n=8, seconds=1.0):
     return records
 
 
+def make_synth_va_npz_index(root, name="npz_train", n=8, frames=120, mel=128):
+    """VA dataset with precomputed-fbank npz audio (the reference's
+    throughput path): {root}/aclip/*.npz under "feat" + frame jpgs."""
+    os.makedirs(os.path.join(root, "aclip"), exist_ok=True)
+    os.makedirs(os.path.join(root, "frame"), exist_ok=True)
+    records = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        np.savez(
+            os.path.join(root, "aclip", f"clip{i}.npz"),
+            feat=rng.standard_normal((frames, mel)).astype(np.float32),
+        )
+        _jpg(os.path.join(root, "frame", f"clip{i}.0.jpg"), seed=i)
+        records.append({"id": f"clip{i}", "dir": "", "aclip": ["npz"], "frame": ["0.jpg"]})
+    with open(os.path.join(root, f"{name}.jsonl"), "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return records
+
+
 def make_synth_clotho(root, name="clotho_dev", n=6, seconds=1.0):
     os.makedirs(os.path.join(root, name, "aclip"), exist_ok=True)
     rows = ["file_name," + ",".join(f"caption_{i}" for i in range(1, 6))]

@@ -16,6 +16,7 @@ from data_synth import (
     make_synth_clotho,
     make_synth_esc50,
     make_synth_va_index,
+    make_synth_va_npz_index,
 )
 
 
@@ -64,6 +65,24 @@ def test_va_dataloader_host_sharding(tmp_path):
     assert not (ids0 & ids1)
     assert len(ids0 | ids1) == 8
     assert l0.batch_size == 2  # global batch divided
+
+
+def test_va_dataloader_npz(tmp_path):
+    """Precomputed-fbank npz path (name-prefix dispatch "npz", parity:
+    `/root/reference/cvap/data/image_audio.py:27-88`): long features get
+    cropped to max_len, short ones zero-padded."""
+    make_synth_va_npz_index(str(tmp_path), "npz_train", n=6, frames=120)
+    cfg = base_cfg(str(tmp_path))
+    loader = build_image_audio_dataloader(cfg, "npz_train", train=True)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 3, 224, 224)
+    assert batch["audio"].shape == (4, 1, 100, 128)
+
+    make_synth_va_npz_index(str(tmp_path), "npz_short", n=4, frames=60)
+    loader = build_image_audio_dataloader(cfg, "npz_short", train=False)
+    batch = next(iter(loader))
+    a = np.asarray(batch["audio"])
+    assert a.shape[2] == 100 and np.all(a[:, :, 60:, :] == 0)
 
 
 def test_audio_text_dataloader(tmp_path):

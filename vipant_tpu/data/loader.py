@@ -95,8 +95,23 @@ class DataLoader:
             return False
 
         def produce():
+            # two-stage pipeline: item decode/collate (CPU) runs ahead while
+            # a dedicated transfer thread owns device_put — H2D waits (which
+            # can be long when transfers serialize behind an executing step)
+            # overlap with building the next batch instead of stalling it
+            from collections import deque
+
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool, \
+                        ThreadPoolExecutor(max_workers=1) as xfer:
+                    pending: deque = deque()
+
+                    def drain(limit: int) -> bool:
+                        while len(pending) > limit:
+                            if not safe_put(pending.popleft().result()):
+                                return False
+                        return True
+
                     for idxs in batches:
                         if stop.is_set():
                             return
@@ -110,9 +125,13 @@ class DataLoader:
                         if self.pad_last and isinstance(batch, dict):
                             batch["_count"] = true_count
                         if self.device_put_fn is not None:
-                            batch = self.device_put_fn(batch)
-                        if not safe_put(batch):
+                            pending.append(xfer.submit(self.device_put_fn, batch))
+                            if not drain(1):
+                                return
+                        elif not safe_put(batch):
                             return
+                    if not drain(0):
+                        return
             except Exception as e:  # surface worker errors to the consumer
                 safe_put(e)
             finally:
