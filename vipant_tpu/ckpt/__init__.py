@@ -13,6 +13,12 @@ from .orbax_io import (
     load_checkpoint_config,
     save_checkpoint,
 )
+from .reference_export import (
+    export_loss_sd,
+    export_reference_pth,
+    export_text_sd,
+    export_visual_sd,
+)
 from .reference_port import (
     load_torch_file,
     port_reference_audio,
@@ -23,6 +29,10 @@ from .reference_port import (
 )
 
 __all__ = [
+    "export_loss_sd",
+    "export_reference_pth",
+    "export_text_sd",
+    "export_visual_sd",
     "extract_model_files",
     "latest_checkpoint",
     "load_checkpoint",

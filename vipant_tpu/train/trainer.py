@@ -585,14 +585,29 @@ class Trainer:
         if jax.process_index() != 0:
             return
         ckpt_dir = os.path.join(str(self.cfg.alias_root), str(self.cfg.model_name))
+        export = self.collect_model_export()
         path = save_checkpoint(
             ckpt_dir,
             self.global_step,
             jax.device_get(self.state),
             cfg=self.cfg,
-            model_only=self.collect_model_export(),
+            model_only=export,
             keep_last=int(self.cfg.get("keep_last_ckpts", 0) or 0),
         )
+        if bool(self.cfg.get("export_pth", False)) and export:
+            # reference-consumable tuple checkpoint beside the Orbax state
+            # (`/root/reference/cvap/monitor/cvap.py:274-281` naming)
+            from ..ckpt.reference_export import export_reference_pth
+
+            try:
+                pth = export_reference_pth(
+                    os.path.join(path, f"{self.global_step:08d}.pth"),
+                    jax.device_get(export),
+                    cfg=self.cfg,
+                )
+                self.echo.info(f"exported reference-format checkpoint {pth}")
+            except Exception as e:  # ResNet/DeiT towers have no .pth mapping
+                self.echo.warning(f"reference .pth export skipped: {e}")
         self.echo.info(f"saving the checkpoint to {path}")
 
     def eval_norms(self, loader) -> Tuple[float, float]:
