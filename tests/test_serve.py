@@ -1,0 +1,111 @@
+"""InferenceEngine: batched fixed-shape encoders, reference-.pth loading,
+multi-prompt zero-shot, and the CLI surface — the packaged equivalent of the
+reference's ad-hoc embedding-dump / zero-shot monitor scripts
+(`/root/reference/cvap/monitor/audioset_clf.py:70-98`,
+`/root/reference/cvap/monitor/esc50_clf.py:294-325`)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vipant_tpu.serve import InferenceEngine  # noqa: E402
+
+TINY = [
+    "+running=clotho",
+    "+model/image=vit_val",
+    "+model/audio=vit_val",
+    "+model/text=transformer_val",
+    "+model/loss=ce",
+    "+optimizer=standard",
+    "+running/audio=default",
+    "worker=CLAP",
+    "model.image.width=64",
+    "model.image.embed_dim=32",
+    "model.image.encoder.layers=2",
+    "model.image.heads=4",
+    "model.text.width=64",
+    "model.text.embed_dim=32",
+    "model.text.encoder.layers=2",
+    "model.text.heads=4",
+    "running.audio.max_len=100",
+    "model_file=",
+    "eval=True",
+]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InferenceEngine(TINY, batch_size=4)
+
+
+def test_embed_audio_batching_and_norm(engine):
+    rng = np.random.default_rng(0)
+    fb = rng.standard_normal((6, 100, 128)).astype(np.float32)  # 6 = 4 + ragged 2
+    emb = engine.embed_audio(fb)
+    assert emb.shape == (6, 32)
+    # bf16 compute: unit norm to ~0.5%
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-2)
+    # padding must not leak into real rows: same inputs, different chunking
+    emb2 = engine.embed_audio(fb[:5])
+    np.testing.assert_allclose(emb[:5], emb2, rtol=1e-4, atol=1e-5)
+
+
+def test_embed_texts_and_zero_shot(engine):
+    t = engine.embed_texts(["a dog barking", "heavy rain"], prompt="the sound of ")
+    assert t.shape == (2, 32)
+    rng = np.random.default_rng(1)
+    fb = rng.standard_normal((3, 100, 128)).astype(np.float32)
+    res = engine.zero_shot(
+        fb, {"dog": ["the sound of a dog", "a dog barking"], "rain": ["rain falling"]}
+    )
+    assert res["scores"].shape == (3, 2)
+    assert set(res["prediction"]) <= {"dog", "rain"}
+    np.testing.assert_allclose(res["probs"].sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_engine_loads_reference_pth(tmp_path, engine):
+    """Export the engine's own towers as a reference .pth; a fresh engine
+    pointed at it must reproduce identical embeddings (not random init)."""
+    from vipant_tpu.ckpt.reference_export import export_reference_pth
+
+    params = engine.variables["params"]
+    path = str(tmp_path / "model.pth")
+    export_reference_pth(
+        path,
+        {"audio": params["audio"], "text": params["text"], "image": None,
+         "loss": {"logit_scale": np.float32(1.0)}},
+    )
+    eng2 = InferenceEngine(TINY[:-2] + [f"model_file={path}", "eval=True"], batch_size=4)
+    rng = np.random.default_rng(2)
+    fb = rng.standard_normal((2, 100, 128)).astype(np.float32)
+    np.testing.assert_allclose(
+        engine.embed_audio(fb), eng2.embed_audio(fb), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        engine.embed_texts(["rain"]), eng2.embed_texts(["rain"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_serve_cli_zero_shot(tmp_path):
+    from data_synth import make_synth_esc50
+
+    from vipant_tpu.serve import main
+
+    root = str(tmp_path)
+    make_synth_esc50(root, "esc50", n_per_class=1, classes=("dog", "rain"), seconds=1.05)
+    out = str(tmp_path / "zs.npz")
+    rc = main([
+        "--task", "zero_shot",
+        "--inputs", os.path.join(root, "audio", "*.wav"),
+        "--labels", "dog;rain",
+        "--output", out,
+        "--batch_size", "2",
+        "--",
+    ] + TINY)
+    assert rc == 0
+    z = np.load(out)
+    assert z["scores"].shape[1] == 2 and len(z["prediction"]) == z["scores"].shape[0]

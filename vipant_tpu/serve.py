@@ -1,0 +1,281 @@
+"""Production batched inference for trained VIP-ANT models.
+
+The reference's deployment story was ad-hoc scripts around the monitors
+(embedding dumps `/root/reference/cvap/monitor/audioset_clf.py:70-98`,
+zero-shot `/root/reference/cvap/monitor/esc50_clf.py:294-325`); this module
+packages the same capabilities as a standalone engine designed for TPU
+serving: every encoder runs as a memoized jitted function at fixed batch
+shapes (pad + trim, one compile per modality), embeddings come back
+L2-normalized, and zero-shot classification reuses the multi-prompt
+label-collapse semantics of the eval suite.
+
+Usage (library)::
+
+    from vipant_tpu.serve import InferenceEngine
+    eng = InferenceEngine([
+        "+running=bimodal", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=transformer_val", "+model/loss=ce", "+optimizer=standard",
+        "+running/audio=default", "worker=CLAP",
+        "model_file=best.pth", "model_root=/ckpts", "model_name=at",
+    ])
+    a = eng.embed_audio_files(["clip1.wav", "clip2.wav"])   # [2, D]
+    t = eng.embed_texts(["a dog barking", "rain"])          # [2, D]
+    probs = a @ t.T
+
+Usage (CLI)::
+
+    python -m vipant_tpu.serve --task embed_audio --inputs '*.wav' \
+        --output embs.npz -- +running=bimodal ... model_file=best.pth
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class InferenceEngine:
+    """Checkpoint-to-embeddings engine with fixed-shape jitted encoders.
+
+    ``cfg``: a composed :class:`vipant_tpu.config.Config` or a list of
+    hydra-style override strings. ``batch_size`` fixes the device batch —
+    inputs are chunked, the final chunk zero-padded and trimmed.
+    """
+
+    def __init__(self, cfg, batch_size: int = 64, echo=None):
+        import jax
+
+        from .config import Config, compose
+        from .models import build_main_model, init_model
+        from .utils import setup_logger
+
+        self.cfg = cfg if isinstance(cfg, Config) else compose(list(cfg))
+        self.batch_size = int(batch_size)
+        self.echo = echo or setup_logger(None, 0, verbose=False)
+        self.model = build_main_model(self.cfg)
+        variables = init_model(self.cfg, self.model)
+        self.variables = self._load(variables)
+        self._jitted: Dict[str, Any] = {}
+        self._jax = jax
+
+    # ------------------------------------------------------------- loading
+    def _load(self, variables):
+        from .ckpt.loading import apply_reference_ckpt, clip_weights_path
+
+        cfg = self.cfg
+        model_file = str(cfg.get("model_file", "") or "")
+        ckpt_path = os.path.join(
+            str(cfg.get("model_root", "") or ""), str(cfg.get("model_name", "") or ""),
+            model_file,
+        )
+        if model_file.endswith(".pth") and os.path.exists(ckpt_path):
+            return apply_reference_ckpt(self.model, variables, ckpt_path, echo=self.echo)
+        if model_file.endswith(".pth") and os.path.exists(model_file):
+            return apply_reference_ckpt(self.model, variables, model_file, echo=self.echo)
+        if model_file and os.path.isdir(ckpt_path):
+            # native Orbax checkpoint: restore the params subtree
+            from .ckpt import load_checkpoint
+            from .train import TrainState  # noqa: F401  (state layout)
+
+            import jax
+
+            abstract = jax.tree_util.tree_map(np.asarray, variables["params"])
+            try:
+                restored = load_checkpoint(ckpt_path, {"params": abstract})
+                return {**variables, "params": restored["params"]}
+            except Exception:
+                # full-train-state checkpoints: merge trainable+frozen
+                from .ckpt.orbax_io import load_checkpoint as _lc  # noqa: F401
+
+                self.echo.warning(
+                    f"could not restore bare params from {ckpt_path}; "
+                    "pass the training config and use the trainer for resume"
+                )
+        clip_path = clip_weights_path(self.cfg)
+        if clip_path and not model_file:
+            from .ckpt import load_torch_file
+            from .models import port_model_from_clip
+
+            _, sd = load_torch_file(clip_path)
+            variables = port_model_from_clip(self.cfg, self.model, variables, sd)
+            self.echo.info(f"initialized towers from CLIP weights {clip_path}")
+        return variables
+
+    # --------------------------------------------------------------- encode
+    def _encoder(self, method: str):
+        import jax
+        import jax.numpy as jnp
+
+        if method not in self._jitted:
+
+            def fn(variables, x):
+                out = self.model.apply(variables, x, train=False, method=method)
+                return out / jnp.linalg.norm(out, axis=-1, keepdims=True).clip(1e-8)
+
+            self._jitted[method] = jax.jit(fn)
+        return self._jitted[method]
+
+    def _run_batched(self, method: str, arr: np.ndarray) -> np.ndarray:
+        """Chunk [N, ...] host array into fixed [B, ...] device batches."""
+        fn = self._encoder(method)
+        B = self.batch_size
+        outs = []
+        for i in range(0, arr.shape[0], B):
+            chunk = arr[i : i + B]
+            n = chunk.shape[0]
+            if n < B:  # pad to the fixed compile shape
+                pad = np.repeat(chunk[-1:], B - n, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            out = np.asarray(fn(self.variables, chunk))
+            outs.append(out[:n])
+        return np.concatenate(outs, axis=0)
+
+    def embed_audio(self, fbanks: np.ndarray) -> np.ndarray:
+        """[N, T, M] or [N, 1, T, M] log-mel batches → [N, D] normalized."""
+        a = np.asarray(fbanks, np.float32)
+        if a.ndim == 3:
+            a = a[:, None]
+        return self._run_batched("encode_audio", a)
+
+    def embed_audio_files(self, paths: Sequence[str]) -> np.ndarray:
+        """wav files → fbank (host frontend, eval crop) → embeddings."""
+        from .data.image_audio import fbank_params_from_cfg
+        from .data.transforms_audio import extract_fbank_features
+
+        acfg = self.cfg.running.audio
+        params = fbank_params_from_cfg(acfg)
+        feats = [
+            extract_fbank_features(
+                p,
+                params,
+                max_audio_len=int(self.cfg.running.max_audio_len),
+                train=False,
+                zero_mean_wf=bool(acfg.get("zero_mean_wf", True)),
+                norms=tuple(acfg.get("norms", []) or []) or None,
+            )
+            for p in paths
+        ]
+        return self.embed_audio(np.stack(feats))
+
+    def embed_texts(self, texts: Sequence[str], prompt: str = "") -> np.ndarray:
+        """Strings → BPE ids (fixed ctx padding) → [N, D] normalized."""
+        from .tokenizer import tokenize
+
+        ctx = int(self.cfg.model.text.get("ctx_len", 77))
+        ids = tokenize([f"{prompt}{t}" for t in texts], context_length=ctx)
+        return self._run_batched("encode_text", ids.astype(np.int32))
+
+    def embed_images(self, images: np.ndarray) -> np.ndarray:
+        """[N, 3, H, W] CLIP-preprocessed images → [N, D] normalized."""
+        return self._run_batched("encode_image", np.asarray(images, np.float32))
+
+    # ------------------------------------------------------------ zero-shot
+    def zero_shot(
+        self,
+        fbanks: np.ndarray,
+        class_prompts: Dict[str, Sequence[str]],
+        temperature: float = 100.0,
+    ) -> Dict[str, Any]:
+        """Multi-prompt zero-shot classification: per-class prompt
+        embeddings are scored and collapsed by max over prompts (the
+        reference's label_map semantics,
+        `/root/reference/cvap/module/decoder/loss_head.py:365-407`)."""
+        classes = list(class_prompts)
+        flat, owner = [], []
+        for ci, c in enumerate(classes):
+            for p in class_prompts[c]:
+                flat.append(p)
+                owner.append(ci)
+        t = self.embed_texts(flat)
+        a = self.embed_audio(fbanks)
+        sims = a @ t.T  # [N, P]
+        owner_arr = np.asarray(owner)
+        per_class = np.stack(
+            [sims[:, owner_arr == ci].max(axis=1) for ci in range(len(classes))], axis=1
+        )
+        probs = _softmax(per_class * temperature)
+        pred = per_class.argmax(axis=1)
+        return {
+            "classes": classes,
+            "scores": per_class,
+            "probs": probs,
+            "prediction": [classes[i] for i in pred],
+        }
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+    import glob as _glob
+    import sys
+
+    ap = argparse.ArgumentParser(
+        description="Batched VIP-ANT inference (embeddings / zero-shot). "
+        "Config overrides follow `--` in hydra-style grammar."
+    )
+    ap.add_argument("--task", required=True, choices=["embed_audio", "embed_text", "zero_shot"])
+    ap.add_argument("--inputs", default="", help="wav glob (embed_audio/zero_shot)")
+    ap.add_argument("--texts", default="", help="newline-separated file or inline ';'-list")
+    ap.add_argument("--labels", default="", help="zero-shot: ';'-separated class names")
+    ap.add_argument("--prompt", default="the sound of ", help="zero-shot prompt prefix")
+    ap.add_argument("--output", default="out.npz")
+    ap.add_argument("--batch_size", type=int, default=64)
+    args, overrides = ap.parse_known_args(argv)
+    overrides = [o for o in overrides if o != "--"]
+
+    eng = InferenceEngine(overrides, batch_size=args.batch_size)
+    if args.task == "embed_audio":
+        paths = sorted(_glob.glob(args.inputs))
+        assert paths, f"no inputs match {args.inputs}"
+        emb = eng.embed_audio_files(paths)
+        np.savez(args.output, embeddings=emb, names=np.array(paths))
+    elif args.task == "embed_text":
+        if os.path.exists(args.texts):
+            texts = [l.strip() for l in open(args.texts) if l.strip()]
+        else:
+            texts = [t for t in args.texts.split(";") if t]
+        emb = eng.embed_texts(texts)
+        np.savez(args.output, embeddings=emb, names=np.array(texts))
+    else:
+        paths = sorted(_glob.glob(args.inputs))
+        labels = [l for l in args.labels.split(";") if l]
+        assert paths and labels, "zero_shot needs --inputs and --labels"
+        from .data.image_audio import fbank_params_from_cfg
+        from .data.transforms_audio import extract_fbank_features
+
+        acfg = eng.cfg.running.audio
+        params = fbank_params_from_cfg(acfg)
+        feats = np.stack([
+            extract_fbank_features(
+                p, params, max_audio_len=int(eng.cfg.running.max_audio_len),
+                train=False,
+                zero_mean_wf=bool(acfg.get("zero_mean_wf", True)),
+                norms=tuple(acfg.get("norms", []) or []) or None,
+            )
+            for p in paths
+        ])
+        res = eng.zero_shot(feats, {l: [f"{args.prompt}{l}"] for l in labels})
+        np.savez(
+            args.output, scores=res["scores"], names=np.array(paths),
+            classes=np.array(res["classes"]),
+            prediction=np.array(res["prediction"]),
+        )
+        for p, c in zip(paths, res["prediction"]):
+            print(f"{p}\t{c}")
+    print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,16 +22,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-from ..ckpt import (
-    load_checkpoint,
-    load_torch_file,
-    port_reference_audio,
-    port_reference_image,
-    port_reference_text,
-    reference_loss_params,
-    save_checkpoint,
-    split_reference_checkpoint,
-)
+from ..ckpt import load_checkpoint, load_torch_file, save_checkpoint
 from ..config import Config
 from ..eval import symmetric_retrieval
 from ..models import (
@@ -169,35 +160,14 @@ class Trainer:
         return variables
 
     def _clip_path(self) -> Optional[str]:
-        run = self.cfg.get("running")
-        if run is None:
-            return None
-        root = str(run.get("clip_model_root", "") or "")
-        name = str(run.get("clip_model_name", "") or "")
-        for ext in (".pt", ".pth"):
-            p = os.path.join(root, name + ext)
-            if os.path.exists(p):
-                return p
-        return None
+        from ..ckpt.loading import clip_weights_path
+
+        return clip_weights_path(self.cfg)
 
     def load_reference_ckpt(self, variables, path: str):
-        ckpt_cfg, payload = load_torch_file(path)
-        parts = split_reference_checkpoint(payload)
-        params = dict(variables["params"])
-        if "audio" in parts and "audio" in params and parts["audio"]:
-            params["audio"] = port_reference_audio(
-                parts["audio"], self.model.audio, ckpt_cfg
-            )["params"]
-        if "image" in parts and "image" in params and parts["image"]:
-            params["image"] = port_reference_image(parts["image"], self.model.image)["params"]
-        if "text" in parts and "text" in params and parts["text"]:
-            params["text"] = port_reference_text(parts["text"], self.model.text)["params"]
-        if "loss" in parts and "loss" in params and parts["loss"]:
-            extra = reference_loss_params(parts["loss"])
-            if "logit_scale" in extra and "logit_scale" in params["loss"]:
-                params["loss"]["logit_scale"] = extra["logit_scale"]
-        self.echo.info(f"loaded reference checkpoint {path} ({sorted(parts)})")
-        return {**variables, "params": params}
+        from ..ckpt.loading import apply_reference_ckpt
+
+        return apply_reference_ckpt(self.model, variables, path, echo=self.echo)
 
     # ------------------------------------------------------------- optimizer
     def build_optimizer(self):
