@@ -90,6 +90,30 @@ def test_engine_loads_reference_pth(tmp_path, engine):
     )
 
 
+def test_engine_loads_native_weight_export(tmp_path, engine):
+    """A native checkpoint dir's model.npz (the weight-only export written
+    beside every Orbax state) must load into the engine."""
+    from vipant_tpu.ckpt.orbax_io import _flatten
+
+    params = engine.variables["params"]
+    step_dir = tmp_path / "run" / "00000005"
+    os.makedirs(step_dir)
+    np.savez(
+        str(step_dir / "model.npz"),
+        **{k: v for k, v in _flatten("", {"audio": params["audio"], "text": params["text"]})},
+    )
+    eng2 = InferenceEngine(
+        TINY[:-2]
+        + [f"model_root={tmp_path}", "model_name=run", "model_file=00000005", "eval=True"],
+        batch_size=4,
+    )
+    rng = np.random.default_rng(3)
+    fb = rng.standard_normal((2, 100, 128)).astype(np.float32)
+    np.testing.assert_allclose(
+        engine.embed_audio(fb), eng2.embed_audio(fb), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_serve_cli_zero_shot(tmp_path):
     from data_synth import make_synth_esc50
 

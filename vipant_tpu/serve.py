@@ -75,24 +75,22 @@ class InferenceEngine:
         if model_file.endswith(".pth") and os.path.exists(model_file):
             return apply_reference_ckpt(self.model, variables, model_file, echo=self.echo)
         if model_file and os.path.isdir(ckpt_path):
-            # native Orbax checkpoint: restore the params subtree
-            from .ckpt import load_checkpoint
-            from .train import TrainState  # noqa: F401  (state layout)
-
-            import jax
-
-            abstract = jax.tree_util.tree_map(np.asarray, variables["params"])
-            try:
-                restored = load_checkpoint(ckpt_path, {"params": abstract})
-                return {**variables, "params": restored["params"]}
-            except Exception:
-                # full-train-state checkpoints: merge trainable+frozen
-                from .ckpt.orbax_io import load_checkpoint as _lc  # noqa: F401
-
-                self.echo.warning(
-                    f"could not restore bare params from {ckpt_path}; "
-                    "pass the training config and use the trainer for resume"
-                )
+            # prefer the weight-only export written beside every Orbax state
+            npz = os.path.join(ckpt_path, "model.npz")
+            if os.path.exists(npz):
+                data = np.load(npz)
+                params = dict(variables["params"])
+                for flat_key in data.files:
+                    node, parts = params, flat_key.split(".")
+                    for p in parts[:-1]:
+                        node = node.setdefault(p, {})
+                    node[parts[-1]] = data[flat_key]
+                self.echo.info(f"loaded weight export {npz} ({len(data.files)} arrays)")
+                return {**variables, "params": params}
+            self.echo.warning(
+                f"{ckpt_path} has no model.npz; full-train-state resume "
+                "belongs to the trainer, not the inference engine"
+            )
         clip_path = clip_weights_path(self.cfg)
         if clip_path and not model_file:
             from .ckpt import load_torch_file
