@@ -239,7 +239,8 @@ def test_saved_qkv_grads_match_recompute():
             else:
                 os.environ["VIPANT_SAVE_QKV"] = old
 
-    assert fa._want_save_qkv(Tl)
+    assert fa._want_save_qkv(2, Tl, Cl)
+    assert not fa._want_save_qkv(100000, Tl, Cl)  # over the HBM budget cap
     g_save, g_rec = run("1"), run("0")
     for a, b in zip(g_save, g_rec):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
