@@ -254,7 +254,7 @@ def main() -> None:
     mfu = flops / peak
 
     log(f"synthetic: {dt*1e3:.2f} ms/step @ B={B} -> {clips:.1f} clips/s/chip")
-    if fwd_ms:
+    if fwd_ms is not None and bwd_ms is not None:
         log(f"  fwd {fwd_ms*1e3:.2f} ms | fwd+bwd {bwd_ms*1e3:.2f} ms | optimizer+loss rest {dt*1e3 - bwd_ms*1e3:.2f} ms")
     log(f"  MFU {100*mfu:.1f}% of {gen} bf16 peak ({model_flops_per_clip()/1e9:.0f} GFLOP/clip)")
 
@@ -298,8 +298,9 @@ def main() -> None:
     }
     if prev_round:
         out["baseline_round"] = prev_round
-    if fwd_ms:
+    if fwd_ms is not None:
         out["fwd_ms"] = round(fwd_ms * 1e3, 2)
+    if bwd_ms is not None:
         out["fwd_bwd_ms"] = round(bwd_ms * 1e3, 2)
     if e2e:
         out["e2e_clips_per_sec"] = round(e2e, 1)

@@ -1,9 +1,15 @@
 """Quick A/B timing of step variants on the real TPU.
 
-Usage: python experiments/variants.py b64 b128 noimgfuse
-  b64 / b96 / b128      — synthetic full-step time at that batch
-  noimgfuse             — disable the fused Pallas path for short sequences
-                          (image tower T=50) via VIPANT_FUSED_MIN_T=100
+Usage: python experiments/variants.py b64 noimgfuse b64
+  bNN        — time the synthetic full step at batch NN (with the env
+               toggles set so far)
+  noimgfuse  — from here on, route short sequences (image tower T=50) to
+               XLA attention (VIPANT_FUSED_MIN_T=100)
+  nosaveqkv  — from here on, flash-style recompute backward
+               (VIPANT_SAVE_QKV=0)
+  fusedmlp   — from here on, fused MLP kernel (VIPANT_FUSED_MLP=1)
+
+Toggles apply to every subsequent bNN, so `b64 noimgfuse b64` is an A/B.
 """
 
 from __future__ import annotations
@@ -45,9 +51,18 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    toggles = {
+        "noimgfuse": ("VIPANT_FUSED_MIN_T", "100"),
+        "nosaveqkv": ("VIPANT_SAVE_QKV", "0"),
+        "fusedmlp": ("VIPANT_FUSED_MLP", "1"),
+    }
     for v in sys.argv[1:]:
         if v.startswith("b") and v[1:].isdigit():
             run(int(v[1:]))
+        elif v in toggles:
+            k, val = toggles[v]
+            os.environ[k] = val
+            print(f"set {k}={val}")
         else:
             print(f"unknown variant {v}")
 

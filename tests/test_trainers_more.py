@@ -184,10 +184,15 @@ def test_val_trainer_external_captions(tmp_path, as_text):
     assert "VA:" in report and "AL:" in report
 
 
-def test_val_trainer_label_map_zero_shot(tmp_path):
-    """The label-map zero-shot report of the trimodal monitor."""
+@pytest.mark.parametrize("on_device", [False, True])
+def test_val_trainer_label_map_zero_shot(tmp_path, on_device):
+    """The label-map zero-shot report of the trimodal monitor — including
+    the waveform-shipping mode, where eval batches carry raw audio that
+    zero_shot must route through the device frontend (regression: it used
+    to feed waveforms straight to encode_audio)."""
     make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
-    cfg = compose([
+    frontend = ["running.audio.on_device=True"] if on_device else []
+    cfg = compose(frontend + [
         "+running=trimodal",
         *TINY_MODEL,
         "+model/loss=ce_val",

@@ -45,6 +45,16 @@ def build_filter_set(path: Optional[str]) -> Optional[set]:
     return ids
 
 
+def label_map_token_matrix(label_map, ctx: int = 77) -> np.ndarray:
+    """[n_class, ctx] int32 token matrix from a label map's bpe rows,
+    ordered by class index — the shared input of every label-prompt
+    zero-shot path."""
+    ids = np.zeros((len(label_map), ctx), np.int32)
+    for _, (i, _, toks) in label_map.items():
+        ids[i, : min(len(toks), ctx)] = toks[:ctx]
+    return ids
+
+
 def build_audioset_label_map(
     cfg, label_map_spec: Optional[str] = None
 ) -> Dict[str, Tuple[int, str, List[int]]]:
@@ -127,7 +137,9 @@ class AudiosetSrc(ImageAudioDatasetSrc):
         self.external_text = external_text
         self.text_emb = cfg.get("text_emb", None)
         if external_text is not None and not clf:
-            self.records = [r for r in self.records if r["id"] in external_text]
+            # non-empty check too: an id mapped to [] must drop like a
+            # missing one, not IndexError inside a loader thread
+            self.records = [r for r in self.records if external_text.get(r["id"])]
         nper = int(cfg.get("nper_label", -1) or -1)
         if nper > 0:  # cap records per label
             by_label = defaultdict(int)

@@ -192,18 +192,14 @@ def build_audioset_eval_fold(cfg, data_name: str = "audioset"):
     labels resolved through the ontology label map to MULTI-HOT vectors and
     an "<O>"-joined label string
     (parity: `/root/reference/cvap/data/esc50.py:326-375`)."""
-    from .audioset import build_audioset_label_map
+    from .audioset import build_audioset_label_map, label_map_token_matrix
 
     label_map = build_audioset_label_map(cfg)
     n_class = len(label_map)
     classes = [""] * n_class
-    tok_rows = [None] * n_class
     for lid, (idx, text, toks) in label_map.items():
         classes[idx] = text
-        tok_rows[idx] = toks
-    label_ids = np.zeros((n_class, 77), np.int32)
-    for i, toks in enumerate(tok_rows):
-        label_ids[i, : min(len(toks), 77)] = toks[:77]
+    label_ids = label_map_token_matrix(label_map)
 
     eval_name = str(cfg.get("eval_name", "") or data_name)
     records = []

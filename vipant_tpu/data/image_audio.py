@@ -152,7 +152,11 @@ class ImageAudioDatasetSrc:
                 wav = t(wav)
         desired = int((float(self.cfg.max_audio_len) / 100 + 0.05) * sr)
         wav = random_crop(wav, desired, train=self.train)
-        if bool(self.acfg.get("wav_int16", False)):
+        # int16 shipping only when no waveform augmentation ran: augmented
+        # samples can exceed [-1, 1] and would be hard-clipped by the
+        # quantization, silently diverging from the f32 path
+        augmented = self.train and bool(self.transform_audio)
+        if bool(self.acfg.get("wav_int16", False)) and not augmented:
             out = np.zeros((desired,), np.int16)
             n = min(desired, wav.shape[-1])
             out[:n] = np.clip(np.round(wav[0, :n] * 32767.0), -32768, 32767).astype(np.int16)

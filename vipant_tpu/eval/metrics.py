@@ -325,11 +325,12 @@ def cider_d(
     log_n = np.log(float(n_docs))
 
     def tfidf_vec(counts, n):
+        # raw counts x idf, matching the official COCO cider_scorer
+        # (counts2vec) — NOT length-normalized term frequency
         vec, norm = {}, 0.0
-        length = sum(counts.values())
         for g, c in counts.items():
             idf = log_n - np.log(max(dfs[n - 1][g], 1.0))
-            w = (c / max(length, 1)) * idf
+            w = c * idf
             vec[g] = w
             norm += w * w
         return vec, float(np.sqrt(norm))

@@ -191,7 +191,9 @@ class MultiHeadAttention(nn.Module):
             )
 
             T = x.shape[1]
-            if jax.default_backend() not in ("cpu",) and fused_block_applicable(
+            # Mosaic kernels lower on TPU only; CPU uses interpret mode in
+            # tests via direct calls, GPU and anything else gets plain XLA
+            if jax.default_backend() == "tpu" and fused_block_applicable(
                 T, d, self.num_heads, bool_mask is not None
             ):
                 bias2d = None
@@ -305,7 +307,7 @@ class MLP(nn.Module):
 
             if (
                 os.environ.get("VIPANT_FUSED_MLP") == "1"
-                and jax.default_backend() not in ("cpu",)
+                and jax.default_backend() == "tpu"
                 and fused_mlp_applicable(x.shape[1], d, self.expansion)
             ):
                 return fused_ln_mlp_block(

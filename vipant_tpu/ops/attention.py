@@ -443,8 +443,9 @@ def attention(
     """Dispatcher: the Pallas kernel on TPU (self-attention, equal lengths),
     XLA attention elsewhere."""
     if use_flash is None:
+        # Mosaic kernels lower on TPU only (GPU etc. use XLA attention)
         use_flash = (
-            jax.default_backend() not in ("cpu",)
+            jax.default_backend() == "tpu"
             and q.shape[1] == k.shape[1]
             and mask is None
         )

@@ -70,10 +70,15 @@ class InferenceEngine:
             str(cfg.get("model_root", "") or ""), str(cfg.get("model_name", "") or ""),
             model_file,
         )
-        if model_file.endswith(".pth") and os.path.exists(ckpt_path):
-            return apply_reference_ckpt(self.model, variables, ckpt_path, echo=self.echo)
-        if model_file.endswith(".pth") and os.path.exists(model_file):
-            return apply_reference_ckpt(self.model, variables, model_file, echo=self.echo)
+        if model_file.endswith(".pth"):
+            for cand in (ckpt_path, model_file):
+                if os.path.exists(cand):
+                    return apply_reference_ckpt(self.model, variables, cand, echo=self.echo)
+            # silently serving random-init weights would look valid
+            # (unit-norm embeddings) — fail loudly instead
+            raise FileNotFoundError(
+                f"model_file {model_file!r} not found at {ckpt_path!r} or as a direct path"
+            )
         if model_file and os.path.isdir(ckpt_path):
             # prefer the weight-only export written beside every Orbax state
             npz = os.path.join(ckpt_path, "model.npz")
@@ -137,14 +142,14 @@ class InferenceEngine:
             a = a[:, None]
         return self._run_batched("encode_audio", a)
 
-    def embed_audio_files(self, paths: Sequence[str]) -> np.ndarray:
-        """wav files → fbank (host frontend, eval crop) → embeddings."""
+    def fbank_files(self, paths: Sequence[str]) -> np.ndarray:
+        """wav files → [N, T, M] log-mel (host frontend, eval crop)."""
         from .data.image_audio import fbank_params_from_cfg
         from .data.transforms_audio import extract_fbank_features
 
         acfg = self.cfg.running.audio
         params = fbank_params_from_cfg(acfg)
-        feats = [
+        return np.stack([
             extract_fbank_features(
                 p,
                 params,
@@ -154,8 +159,11 @@ class InferenceEngine:
                 norms=tuple(acfg.get("norms", []) or []) or None,
             )
             for p in paths
-        ]
-        return self.embed_audio(np.stack(feats))
+        ])
+
+    def embed_audio_files(self, paths: Sequence[str]) -> np.ndarray:
+        """wav files → fbank (host frontend, eval crop) → embeddings."""
+        return self.embed_audio(self.fbank_files(paths))
 
     def embed_texts(self, texts: Sequence[str], prompt: str = "") -> np.ndarray:
         """Strings → BPE ids (fixed ctx padding) → [N, D] normalized."""
@@ -249,21 +257,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         paths = sorted(_glob.glob(args.inputs))
         labels = [l for l in args.labels.split(";") if l]
         assert paths and labels, "zero_shot needs --inputs and --labels"
-        from .data.image_audio import fbank_params_from_cfg
-        from .data.transforms_audio import extract_fbank_features
-
-        acfg = eng.cfg.running.audio
-        params = fbank_params_from_cfg(acfg)
-        feats = np.stack([
-            extract_fbank_features(
-                p, params, max_audio_len=int(eng.cfg.running.max_audio_len),
-                train=False,
-                zero_mean_wf=bool(acfg.get("zero_mean_wf", True)),
-                norms=tuple(acfg.get("norms", []) or []) or None,
-            )
-            for p in paths
-        ])
-        res = eng.zero_shot(feats, {l: [f"{args.prompt}{l}"] for l in labels})
+        res = eng.zero_shot(
+            eng.fbank_files(paths), {l: [f"{args.prompt}{l}"] for l in labels}
+        )
         np.savez(
             args.output, scores=res["scores"], names=np.array(paths),
             classes=np.array(res["classes"]),

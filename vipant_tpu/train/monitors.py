@@ -242,9 +242,9 @@ class VALTrainer(Trainer):
         (parity: `/root/reference/cvap/monitor/cvalp.py:273-300` through the
         VALCE report's ``label_map`` kwarg,
         `/root/reference/cvap/module/decoder/loss_head.py:371-400`)."""
-        ids = np.zeros((len(self.label_map), 77), np.int32)
-        for lid, (i, _, toks) in self.label_map.items():
-            ids[i, : min(len(toks), 77)] = toks[:77]
+        from ..data.audioset import label_map_token_matrix
+
+        ids = label_map_token_matrix(self.label_map)
         variables = self.eval_variables()
         enc_t = self.memo(
             "val_text_step",
@@ -256,9 +256,13 @@ class VALTrainer(Trainer):
         )
         text = np.asarray(enc_t(variables, jax.numpy.asarray(ids)))
         embs, labels = [], []
+        aidx = self.batch_keys.index("audio")
         for batch in loader:
             n = int(batch.get("_count", batch["audio"].shape[0]))
-            a = enc_a(variables, jax.numpy.asarray(batch["audio"]))
+            args = tuple(batch.get(k) for k in self.batch_keys)
+            if self.needs_device_frontend:  # waveform/uint8 shipping modes
+                args = self.device_frontend(args, None, train=False)
+            a = enc_a(variables, jax.numpy.asarray(args[aidx]))
             embs.append(np.asarray(a)[:n])
             labels.append(np.asarray(batch["label"])[:n])
         audio, labels = np.concatenate(embs), np.concatenate(labels)
@@ -409,10 +413,9 @@ class ASTrainer(Trainer):
     def encode_label_texts(self) -> np.ndarray:
         """Label-prompt embeddings, batched
         (parity: `/root/reference/cvap/monitor/audioset_clf.py:362-375`)."""
-        ids = np.zeros((len(self.label_map), 77), np.int32)
-        for lid, (i, _, toks) in self.label_map.items():
-            toks = toks[:77]
-            ids[i, : len(toks)] = toks
+        from ..data.audioset import label_map_token_matrix
+
+        ids = label_map_token_matrix(self.label_map)
         variables = self.eval_variables()
         enc = self.memo(
             "as_text_step",
