@@ -93,6 +93,61 @@ def test_kv_cache_decode_matches_full_reforward(tmp_path):
     )
 
 
+def test_beam_decode(tmp_path):
+    """beam_decode_kv: beam=1 must reduce to greedy; wider beams return a
+    hypothesis with log-prob >= the greedy sequence's (beam search can only
+    find better-or-equal scoring sequences under the same model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vipant_tpu.nn.seqgen import SeqGenerationHead
+
+    V, L = 100, 7
+    head = SeqGenerationHead(
+        width=32, layers=2, heads=4, ctx_len=16, vocab_size=V,
+        embed_dim=32, mem_width=24, max_len_dec=L,
+    )
+    rng = np.random.default_rng(1)
+    feat = jnp.asarray(rng.standard_normal((3, 3, 2, 24)), jnp.float32)
+    ids_init = jnp.asarray(rng.integers(0, V, (3, 16)), jnp.int32)
+    variables = head.init(jax.random.PRNGKey(0), ids_init, feat)
+    sot, eot = 1, 2
+
+    g_ids, g_logits = head.apply(
+        variables, feat, sot_token=sot, method="greedy_decode_kv"
+    )
+    b1_ids, _ = head.apply(
+        variables, feat, beam=1, sot_token=sot, eot_token=eot,
+        method="beam_decode_kv",
+    )
+    np.testing.assert_array_equal(np.asarray(g_ids), np.asarray(b1_ids))
+
+    b4_ids, b4_scores = head.apply(
+        variables, feat, beam=4, sot_token=sot, eot_token=eot,
+        method="beam_decode_kv",
+    )
+    assert b4_ids.shape == g_ids.shape
+
+    def seq_logprob(ids, logits):
+        lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+        out = np.zeros(ids.shape[0])
+        for b in range(ids.shape[0]):
+            for t in range(L):
+                tok = int(ids[b, t + 1])
+                out[b] += float(lp[b, t, tok])
+                if tok == eot:
+                    break
+        return out
+
+    greedy_lp = seq_logprob(np.asarray(g_ids), np.asarray(g_logits))
+    # score the beam sequence by re-forwarding it through the train path
+    pad = jnp.zeros((b4_ids.shape[0], 16 - (L + 1)), jnp.int32)
+    full = jnp.concatenate([jnp.asarray(b4_ids), pad], axis=1)
+    _, relogits = head.apply(variables, full, feat)
+    beam_lp = seq_logprob(np.asarray(b4_ids), np.asarray(relogits)[:, : L])
+    assert np.all(beam_lp >= greedy_lp - 1e-3), (beam_lp, greedy_lp)
+
+
 def test_caption_report_bleu(tmp_path):
     """End-to-end captioning eval asserts a BLEU metric value."""
     make_synth_clotho(str(tmp_path), "clotho_dev", n=4, seconds=1.05)

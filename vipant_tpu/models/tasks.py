@@ -102,9 +102,13 @@ class CLAP(nn.Module):
             return self.forward_retrieval(audios, text, train)
         return self.forward_caption(audios, text, train)
 
-    def decode(self, audios):
-        """KV-cached greedy decode (O(L) token-forwards)."""
+    def decode(self, audios, beam: int = 0):
+        """KV-cached decode (O(L) token-forwards): greedy by default,
+        beam search with ``beam`` > 1 hypotheses (beyond the reference's
+        greedy-only `/root/reference/cvap/module/encoder/text_head.py:80-107`)."""
         _, feat = _encode(self.audio, audios, False, require_feature=True)
+        if beam and beam > 1:
+            return self.decoder.beam_decode_kv(feat, beam=beam)
         return self.decoder.greedy_decode_kv(feat)
 
     def features(self, audios, text, train: bool = False):

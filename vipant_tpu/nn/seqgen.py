@@ -185,3 +185,104 @@ class SeqGenerationHead(nn.Module):
             [logits0[:, None], jnp.transpose(logits_rest, (1, 0, 2))], axis=1
         )
         return ids, logits
+
+    def beam_decode_kv(
+        self,
+        audio_feat: jnp.ndarray,
+        beam: int = 4,
+        sot_token: int = 49406,
+        eot_token: int = 49407,
+        time_first: bool = True,
+        length_penalty: float = 0.0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """KV-cached beam search (beyond the reference's greedy-only
+        decoder): ``beam`` hypotheses per item folded into the batch axis,
+        per-layer caches gathered on beam reorder, finished hypotheses
+        extend only with ``eot`` at zero cost. Returns (ids [B, L+1] of the
+        best beam, its length-penalized log-prob [B]).
+
+        ``length_penalty`` alpha applies GNMT-style ((5+len)/6)^alpha
+        normalization at the final ranking (0 = pure log-prob)."""
+        memory = self._memory(audio_feat, time_first)
+        B = audio_feat.shape[0]
+        K, L, V = int(beam), self.max_len_dec, self.vocab_size
+        hd = self.width // self.heads
+        BK = B * K
+
+        memory = jnp.repeat(memory, K, axis=0)  # [B*K, T_mem, width]
+
+        def init_self():
+            z = jnp.zeros((BK, L, self.heads, hd), self.dtype)
+            return {"k": z, "v": z, "pos": jnp.int32(0)}
+
+        def one_step(tok, pos, states):
+            x = self.token_embedding[tok][:, None, :].astype(self.dtype)
+            x = x + self.positional_embedding[pos][None, None].astype(self.dtype)
+            x, states = self.transformer(x, memory=memory, decode_state=states)
+            logits = self.predictor(self.ln_final(x))[:, 0]
+            return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), states
+
+        ids = jnp.full((BK, L + 1), 0, jnp.int32).at[:, 0].set(sot_token)
+        states = tuple(
+            {"self": init_self(), "mem": {"k": None, "v": None}}
+            for _ in range(self.layers)
+        )
+        logp0, states = one_step(ids[:, 0], jnp.int32(0), states)
+        # beams start identical: keep only beam 0 alive so the first top-k
+        # yields K distinct continuations, not K copies of the argmax
+        beam_mask = jnp.where(jnp.arange(K) == 0, 0.0, -jnp.inf)
+        scores = beam_mask[None, :].repeat(B, axis=0)  # [B, K]
+        finished = jnp.zeros((B, K), bool)
+
+        def gather_beams(tree, flat_idx):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.take(a, flat_idx, axis=0)
+                if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == BK
+                else a,
+                tree,
+            )
+
+        def select(carry, logp, t):
+            ids, states, scores, finished = carry
+            lp = logp.reshape(B, K, V)
+            # finished hypotheses: only eot continues, at zero cost
+            frozen = jnp.full((V,), -jnp.inf).at[eot_token].set(0.0)
+            lp = jnp.where(finished[..., None], frozen[None, None], lp)
+            total = scores[..., None] + lp  # [B, K, V]
+            flat = total.reshape(B, K * V)
+            scores, top = jax.lax.top_k(flat, K)  # [B, K]
+            src_beam = top // V  # [B, K]
+            token = (top % V).astype(jnp.int32)
+            flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+            ids = jnp.take(ids, flat_src, axis=0)
+            states = gather_beams(states, flat_src)
+            finished = jnp.take_along_axis(finished, src_beam, axis=1)
+            ids = jax.lax.dynamic_update_slice_in_dim(
+                ids, token.reshape(-1)[:, None], t + 1, axis=1
+            )
+            finished = finished | (token == eot_token)
+            return ids, states, scores, finished
+
+        carry = select((ids, states, scores, finished), logp0, 0)
+
+        def step(carry, t):
+            ids, states, scores, finished = carry
+            tok = jax.lax.dynamic_slice_in_dim(ids, t, 1, axis=1)[:, 0]
+            logp, states = one_step(tok, t, states)
+            return select((ids, states, scores, finished), logp, t), None
+
+        (ids, _, scores, finished), _ = jax.lax.scan(
+            step, carry, jnp.arange(1, L)
+        )
+        # GNMT length penalty over generated length (first eot position)
+        is_eot = ids[:, 1:].reshape(B, K, L) == eot_token
+        lengths = jnp.where(
+            is_eot.any(axis=-1), is_eot.argmax(axis=-1) + 1, L
+        ).astype(jnp.float32)
+        norm = ((5.0 + lengths) / 6.0) ** length_penalty
+        ranked = scores / norm
+        best = jnp.argmax(ranked, axis=1)  # [B]
+        flat_best = jnp.arange(B) * K + best
+        return jnp.take(ids, flat_best, axis=0), jnp.take_along_axis(
+            ranked, best[:, None], axis=1
+        )[:, 0]

@@ -145,9 +145,12 @@ class LATrainer(Trainer):
         return tk.decode(toks).strip()
 
     def _decode_step(self):
+        beam = int(self.cfg.running.get("beam", 0) or 0)
         return self.memo(
             "la_decode_step",
-            lambda: jax.jit(lambda v, a: self.model.apply(v, a, method="decode")),
+            lambda: jax.jit(
+                lambda v, a: self.model.apply(v, a, beam=beam, method="decode")
+            ),
         )
 
     def decode_captions(self, loader, max_batches: int = 10) -> List[str]:
