@@ -114,6 +114,28 @@ def test_engine_loads_native_weight_export(tmp_path, engine):
     )
 
 
+def test_embed_image_files_cli(tmp_path):
+    """embed_image CLI: jpgs through CLIP preprocessing to embeddings.
+    Uses a CVAP config (image+audio towers)."""
+    from data_synth import make_synth_va_index
+
+    from vipant_tpu.serve import main
+
+    make_synth_va_index(str(tmp_path), "train", n=2, seconds=0.3)
+    out = str(tmp_path / "img.npz")
+    cfg = [o for o in TINY if not o.startswith(("worker", "+model/text", "model.text"))]
+    rc = main([
+        "--task", "embed_image",
+        "--inputs", os.path.join(str(tmp_path), "frame", "*.jpg"),
+        "--output", out,
+        "--batch_size", "2",
+        "--",
+    ] + cfg + ["+model/text=dummy", "worker=CVAP"])
+    assert rc == 0
+    z = np.load(out)
+    assert z["embeddings"].shape == (2, 32)
+
+
 def test_serve_cli_zero_shot(tmp_path):
     from data_synth import make_synth_esc50
 

@@ -177,6 +177,18 @@ class InferenceEngine:
         """[N, 3, H, W] CLIP-preprocessed images → [N, D] normalized."""
         return self._run_batched("encode_image", np.asarray(images, np.float32))
 
+    def embed_image_files(self, paths: Sequence[str]) -> np.ndarray:
+        """Image files → CLIP preprocessing (bicubic resize, center crop,
+        normalize) → [N, D] normalized embeddings."""
+        from PIL import Image
+
+        from .data.transforms_image import clip_preprocess
+
+        res = int(self.cfg.running.get("resolution", 224))
+        return self.embed_images(
+            np.stack([clip_preprocess(Image.open(p), res) for p in paths])
+        )
+
     # ------------------------------------------------------------ zero-shot
     def zero_shot(
         self,
@@ -230,8 +242,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         description="Batched VIP-ANT inference (embeddings / zero-shot). "
         "Config overrides follow `--` in hydra-style grammar."
     )
-    ap.add_argument("--task", required=True, choices=["embed_audio", "embed_text", "zero_shot"])
-    ap.add_argument("--inputs", default="", help="wav glob (embed_audio/zero_shot)")
+    ap.add_argument(
+        "--task", required=True,
+        choices=["embed_audio", "embed_image", "embed_text", "zero_shot"],
+    )
+    ap.add_argument("--inputs", default="", help="wav/image glob (embed_*/zero_shot)")
     ap.add_argument("--texts", default="", help="newline-separated file or inline ';'-list")
     ap.add_argument("--labels", default="", help="zero-shot: ';'-separated class names")
     ap.add_argument("--prompt", default="the sound of ", help="zero-shot prompt prefix")
@@ -241,11 +256,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     overrides = [o for o in overrides if o != "--"]
 
     eng = InferenceEngine(overrides, batch_size=args.batch_size)
-    if args.task == "embed_audio":
+    if args.task in ("embed_audio", "embed_image"):
         paths = sorted(_glob.glob(args.inputs))
         assert paths, f"no inputs match {args.inputs}"
-        emb = eng.embed_audio_files(paths)
-        np.savez(args.output, embeddings=emb, names=np.array(paths))
+        embed = eng.embed_audio_files if args.task == "embed_audio" else eng.embed_image_files
+        np.savez(args.output, embeddings=embed(paths), names=np.array(paths))
     elif args.task == "embed_text":
         if os.path.exists(args.texts):
             texts = [l.strip() for l in open(args.texts) if l.strip()]
