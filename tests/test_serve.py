@@ -136,6 +136,35 @@ def test_embed_image_files_cli(tmp_path):
     assert z["embeddings"].shape == (2, 32)
 
 
+def test_caption_task(tmp_path):
+    """caption task: wavs through the CLAP decoder, greedy and beam."""
+    from data_synth import make_synth_clotho
+
+    make_synth_clotho(str(tmp_path), "clotho_dev", n=2, seconds=1.05)
+    cfg = [
+        o for o in TINY if not o.startswith(("+model/text", "+model/loss"))
+    ] + [
+        "+model/text=transformer_decoder",
+        "+model/loss=ce_lm",
+        "running.retrieval=False",
+        "model.text.width=32",
+        "model.text.heads=4",
+        "model.text.layers=2",
+        "model.text.mem_width=64",
+        "model.text.max_len_dec=6",
+        "model.text.embed_dim=32",
+    ]
+    eng = InferenceEngine(cfg, batch_size=2)
+    wavs = sorted(
+        os.path.join(str(tmp_path), "clotho_dev", "aclip", f)
+        for f in os.listdir(os.path.join(str(tmp_path), "clotho_dev", "aclip"))
+    )
+    caps = eng.caption_files(wavs)
+    assert len(caps) == len(wavs) and all(isinstance(c, str) for c in caps)
+    caps_beam = eng.caption_files(wavs, beam=3)
+    assert len(caps_beam) == len(wavs)
+
+
 def test_serve_cli_zero_shot(tmp_path):
     from data_synth import make_synth_esc50
 

@@ -189,6 +189,47 @@ class InferenceEngine:
             np.stack([clip_preprocess(Image.open(p), res) for p in paths])
         )
 
+    # ------------------------------------------------------------ captioning
+    def caption(self, fbanks: np.ndarray, beam: int = 0) -> List[str]:
+        """[N, T, M] log-mel → decoded caption strings (KV-cached greedy,
+        or beam search with ``beam`` > 1). Requires a captioning model
+        (CLAP with a SeqGenerationHead decoder)."""
+        import jax
+
+        from .tokenizer import get_tokenizer
+
+        key = f"decode_b{int(beam)}"
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                lambda v, a: self.model.apply(v, a, beam=int(beam), method="decode")
+            )
+        fn = self._jitted[key]
+        tk = get_tokenizer()
+        a = np.asarray(fbanks, np.float32)
+        if a.ndim == 3:
+            a = a[:, None]
+        B = self.batch_size
+        out: List[str] = []
+        for i in range(0, a.shape[0], B):
+            chunk = a[i : i + B]
+            n = chunk.shape[0]
+            if n < B:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], B - n, axis=0)], axis=0
+                )
+            ids, _ = fn(self.variables, chunk)
+            for row in np.asarray(ids)[:n]:
+                toks = []
+                for t in row[1:]:
+                    if int(t) in (tk.eot_token, 0):
+                        break
+                    toks.append(int(t))
+                out.append(tk.decode(toks).strip())
+        return out
+
+    def caption_files(self, paths: Sequence[str], beam: int = 0) -> List[str]:
+        return self.caption(self.fbank_files(paths), beam=beam)
+
     # ------------------------------------------------------------ zero-shot
     def zero_shot(
         self,
@@ -244,8 +285,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     ap.add_argument(
         "--task", required=True,
-        choices=["embed_audio", "embed_image", "embed_text", "zero_shot"],
+        choices=["embed_audio", "embed_image", "embed_text", "zero_shot", "caption"],
     )
+    ap.add_argument("--beam", type=int, default=0, help="caption: beam width (0 = greedy)")
     ap.add_argument("--inputs", default="", help="wav/image glob (embed_*/zero_shot)")
     ap.add_argument("--texts", default="", help="newline-separated file or inline ';'-list")
     ap.add_argument("--labels", default="", help="zero-shot: ';'-separated class names")
@@ -261,6 +303,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         assert paths, f"no inputs match {args.inputs}"
         embed = eng.embed_audio_files if args.task == "embed_audio" else eng.embed_image_files
         np.savez(args.output, embeddings=embed(paths), names=np.array(paths))
+    elif args.task == "caption":
+        paths = sorted(_glob.glob(args.inputs))
+        assert paths, f"no inputs match {args.inputs}"
+        caps = eng.caption_files(paths, beam=args.beam)
+        np.savez(args.output, captions=np.array(caps), names=np.array(paths))
+        for p, c in zip(paths, caps):
+            print(f"{p}\t{c}")
     elif args.task == "embed_text":
         if os.path.exists(args.texts):
             texts = [l.strip() for l in open(args.texts) if l.strip()]
