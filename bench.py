@@ -208,6 +208,13 @@ def bench_e2e(B, n_clips, epochs=2, mode="src"):
         "eval=False",
     ])
     mon = build_monitor(cfg)
+    # keep stdout clean for the one JSON line the driver parses: route the
+    # monitor's console logging to stderr
+    import logging
+
+    for h in logging.getLogger("vipant").handlers:
+        if isinstance(h, logging.StreamHandler) and getattr(h, "stream", None) is sys.stdout:
+            h.stream = sys.stderr
     host_rate = None
     try:
         ds = mon.loader.dataset
