@@ -244,3 +244,47 @@ def test_saved_qkv_grads_match_recompute():
     g_save, g_rec = run("1"), run("0")
     for a, b in zip(g_save, g_rec):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "Ts,Cs,Hs",
+    [(24, 64, 8), (130, 64, 4), (306, 128, 8), (96, 256, 4)],
+)
+def test_fused_block_shape_sweep(Ts, Cs, Hs):
+    """Value parity across the (T, C, heads) envelope the towers use:
+    short/long sequences, 8-multiple head dims, T crossing the save-qkv
+    threshold (128) and the lane-tile boundary."""
+    from vipant_tpu.ops.fused_attn import fused_ln_attention_block
+
+    r = np.random.default_rng(Ts + Cs + Hs)
+    x = jnp.asarray(r.standard_normal((2, Ts, Cs)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(r.standard_normal((Cs, 3 * Cs)) * Cs ** -0.5)
+    bqkv = jnp.asarray(r.standard_normal(3 * Cs) * 0.02)
+    wout = jnp.asarray(r.standard_normal((Cs, Cs)) * Cs ** -0.5)
+    bout = jnp.asarray(r.standard_normal(Cs) * 0.02)
+    lns = jnp.asarray(1.0 + 0.1 * r.standard_normal(Cs))
+    lnb = jnp.asarray(0.1 * r.standard_normal(Cs))
+
+    got = fused_ln_attention_block(x, lns, lnb, wqkv, bqkv, wout, bout, heads=Hs)
+
+    def ln(z):
+        z32 = z.astype(jnp.float32)
+        mu = z32.mean(-1, keepdims=True)
+        v = z32.var(-1, keepdims=True)
+        return (z32 - mu) * jax.lax.rsqrt(v + 1e-5) * lns + lnb
+
+    want = x + reference(ln(x), wqkv, bqkv, wout, bout, heads=Hs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+    # gradient parity on the largest case only (interpret mode is slow)
+    if Ts == 306:
+        g1 = jax.grad(
+            lambda *a: jnp.sum(fused_ln_attention_block(*a, heads=Hs) ** 2),
+            argnums=(0, 3),
+        )(x, lns, lnb, wqkv, bqkv, wout, bout)
+        g2 = jax.grad(
+            lambda xx, wq: jnp.sum((xx + reference(ln(xx), wq, bqkv, wout, bout, heads=Hs)) ** 2),
+            argnums=(0, 1),
+        )(x, wqkv)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
