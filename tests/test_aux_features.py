@@ -82,3 +82,28 @@ def test_la_encode_text_dump_and_manifest_eval(tmp_path):
     reports = mon.repeated_retrieval()
     assert len(reports) >= 1
     assert all("A->T" in r for r in reports)
+
+
+def test_checkpoint_retention_and_resave(tmp_path):
+    """keep_last pruning must never delete the checkpoint just written —
+    including a resume that saves an EARLIER step than stale later ones —
+    and re-saving an existing step overwrites instead of crashing."""
+    import numpy as np
+
+    from vipant_tpu.ckpt.orbax_io import save_checkpoint
+
+    state = {"w": np.arange(4, dtype=np.float32)}
+    d = str(tmp_path / "ckpts")
+    for step in (100, 200, 300):
+        save_checkpoint(d, step, state, keep_last=2)
+    import os
+
+    assert sorted(os.listdir(d)) == ["00000200", "00000300"]
+
+    # resume from an earlier point: saving step 150 must keep 00000150
+    save_checkpoint(d, 150, state, keep_last=2)
+    assert "00000150" in os.listdir(d)
+
+    # re-saving the same step overwrites (no existing-directory crash)
+    save_checkpoint(d, 150, {"w": np.ones(4, np.float32)}, keep_last=2)
+    assert "00000150" in os.listdir(d)

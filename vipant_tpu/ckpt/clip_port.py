@@ -21,7 +21,7 @@ collapse (`/root/reference/cvap/module/val.py:240-247`).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 

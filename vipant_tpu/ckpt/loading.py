@@ -37,7 +37,8 @@ def apply_reference_ckpt(model, variables, path: str, echo=None):
     if "loss" in parts and "loss" in params and parts["loss"]:
         extra = reference_loss_params(parts["loss"])
         if "logit_scale" in extra and "logit_scale" in params["loss"]:
-            params["loss"]["logit_scale"] = extra["logit_scale"]
+            # copy the subtree: don't mutate the caller's nested variables
+            params["loss"] = {**params["loss"], "logit_scale": extra["logit_scale"]}
     if echo is not None:
         echo.info(f"loaded reference checkpoint {path} ({sorted(parts)})")
     return {**variables, "params": params}

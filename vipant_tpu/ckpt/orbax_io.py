@@ -34,6 +34,10 @@ def save_checkpoint(
     pruned after a successful save.
     """
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:08d}")
+    if os.path.exists(path):  # re-saving a step (resume) overwrites it
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     ckptr = ocp.StandardCheckpointer()
     payload = jax.device_get(state)
     ckptr.save(os.path.join(path, "state"), payload)
@@ -52,7 +56,12 @@ def save_checkpoint(
         steps = sorted(
             d for d in os.listdir(os.path.abspath(ckpt_dir)) if re.fullmatch(r"\d{8}", d)
         )
+        # keep the newest N by step number, but never delete the checkpoint
+        # just written (a resume from an earlier step saves a lower number
+        # than stale later ones)
         for old in steps[:-keep_last]:
+            if old == f"{step:08d}":
+                continue
             shutil.rmtree(os.path.join(os.path.abspath(ckpt_dir), old), ignore_errors=True)
     return path
 

@@ -60,7 +60,8 @@ class _ScaleMixin:
         else:
             s = jnp.asarray(0.0, jnp.float32)
         s = jnp.exp(s)
-        if getattr(self, "scale_max", None):
+        # `is not None`: scale_max=0.0 must clamp, not silently disable
+        if getattr(self, "scale_max", None) is not None:
             s = jnp.minimum(s, self.scale_max)
         return s
 

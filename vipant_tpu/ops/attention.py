@@ -32,10 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _dot(a, b, dims):
-    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
-
-
 def _bdot(a, b, dims):
     """batched over leading head axis."""
     return jax.lax.dot_general(
@@ -358,8 +354,9 @@ def flash_attention(
     [B, T, H, D]."""
     B, T, H, D = q.shape
     scale = 1.0 / float(np.sqrt(D))
-    if causal and bias is None:
-        bias = jnp.triu(jnp.full((T, T), NEG_INF, jnp.float32), k=1)
+    if causal:  # combines with an explicit bias rather than being dropped
+        causal_bias = jnp.triu(jnp.full((T, T), NEG_INF, jnp.float32), k=1)
+        bias = causal_bias if bias is None else bias.astype(jnp.float32) + causal_bias
     if bias is not None:
         bias = jnp.maximum(bias.astype(jnp.float32), NEG_INF)
 
@@ -383,49 +380,31 @@ def flash_attention(
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def _flash_over_mesh(q, k, v, bias):
+def _flash_over_mesh(q, k, v, bias, bias_grad=True):
     """Partition the Pallas call over the mesh's data axis with shard_map —
     a custom call is opaque to GSPMD, so without this XLA would all-gather
-    the sharded batch around it."""
-    try:
-        mesh = jax.sharding.get_abstract_mesh()
-    except Exception:
-        mesh = None
-    if (
-        mesh is None
-        or getattr(mesh, "empty", True)
-        or "data" not in mesh.axis_names
-        or mesh.shape["data"] <= 1
-    ):
-        return flash_attention(q, k, v, bias=bias)
+    the sharded batch around it. (Mesh probing and the shard_map compat
+    shim are shared with the fused kernel module.)"""
+    from .fused_attn import _data_mesh, _smap
+
+    mesh = _data_mesh()
+    if mesh is None:
+        return flash_attention(q, k, v, bias=bias, bias_grad=bias_grad)
 
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax import shard_map as _shard_map
-
-        def smap(f, in_specs, out_specs):
-            return _shard_map(
-                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
-            )
-    except (ImportError, TypeError):
-        from jax.experimental.shard_map import shard_map as _shard_map2
-
-        def smap(f, in_specs, out_specs):
-            return _shard_map2(
-                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
-            )
-
     data = P("data")
     if bias is None:
-        fn = smap(
+        fn = _smap(
             lambda a, b, c: flash_attention(a, b, c),
+            mesh,
             in_specs=(data, data, data),
             out_specs=data,
         )
         return fn(q, k, v)
-    fn = smap(
-        lambda a, b, c, bb: flash_attention(a, b, c, bias=bb),
+    fn = _smap(
+        lambda a, b, c, bb: flash_attention(a, b, c, bias=bb, bias_grad=bias_grad),
+        mesh,
         in_specs=(data, data, data, P()),
         out_specs=data,
     )
@@ -439,9 +418,12 @@ def attention(
     bias: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     use_flash: Optional[bool] = None,
+    bias_grad: bool = False,
 ) -> jnp.ndarray:
     """Dispatcher: the Pallas kernel on TPU (self-attention, equal lengths),
-    XLA attention elsewhere."""
+    XLA attention elsewhere. Biases reaching this entry point are constant
+    masks (causal/padding, built in layers.py), so the flash backward skips
+    the [T, T] dbias accumulation unless ``bias_grad=True``."""
     if use_flash is None:
         # Mosaic kernels lower on TPU only (GPU etc. use XLA attention)
         use_flash = (
@@ -450,6 +432,10 @@ def attention(
             and mask is None
         )
     if use_flash:
+        assert mask is None, (
+            "the flash path has no boolean-mask support — fold the mask "
+            "into an additive bias or leave use_flash unset"
+        )
         bias2d = None
         if bias is not None:
             b = bias
@@ -457,5 +443,5 @@ def attention(
                 assert b.shape[0] == 1, "flash path expects a [T, T] bias"
                 b = b[0]
             bias2d = b
-        return _flash_over_mesh(q, k, v, bias2d)
+        return _flash_over_mesh(q, k, v, bias2d, bias_grad=bias_grad)
     return jax.nn.dot_product_attention(q, k, v, bias=bias, mask=mask)

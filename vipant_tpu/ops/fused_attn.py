@@ -422,18 +422,18 @@ def _prep(x, wqkv, bqkv, wout, bout, lns, lnb):
     ) + out
 
 
-def _want_save_qkv(B: int, T: int, C: int) -> bool:
+def _want_save_qkv(B: int, T: int, C: int, itemsize: int = 2) -> bool:
     """Trade HBM for FLOPs: stash the packed qkv in fwd so bwd skips its
     recompute dot. Pays off for long sequences (audio tower); off for short
-    ones, off above a per-layer HBM budget (the stash is ``B*3C*T*2`` bytes
-    PER LAYER and lives until the backward — cap keeps giant batches from
-    OOMing), and off-able via ``VIPANT_SAVE_QKV=0``."""
+    ones, off above a per-layer HBM budget (the stash is ``B*3C*T*itemsize``
+    bytes PER LAYER and lives until the backward — cap keeps giant batches
+    from OOMing), and off-able via ``VIPANT_SAVE_QKV=0``."""
     import os
 
     if os.environ.get("VIPANT_SAVE_QKV", "1") != "1" or T < 128:
         return False
     max_mb = float(os.environ.get("VIPANT_SAVE_QKV_MAX_MB", "256"))
-    return B * 3 * C * T * 2 <= max_mb * 1024 * 1024
+    return B * 3 * C * T * itemsize <= max_mb * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -445,7 +445,9 @@ def _fused(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads):
 
 def _fused_fwd(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads):
     has_res = lns is not None
-    save = _want_save_qkv(x.shape[0], x.shape[1], x.shape[2])
+    save = _want_save_qkv(
+        x.shape[0], x.shape[1], x.shape[2], itemsize=x.dtype.itemsize
+    )
     ls, lb, wq, bq, wo, bo = _prep(x, wqkv, bqkv, wout, bout, lns, lnb)
     out = _fwd_sharded(
         x, ls, lb, wq, bq, wo, bo, bias, scale, heads, has_res, save_qkv=save
