@@ -14,6 +14,7 @@ from __future__ import annotations
 import csv
 import json
 import os
+import warnings
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -155,6 +156,15 @@ class AudiosetSrc(ImageAudioDatasetSrc):
         self.nlabel = len(label_map)
         self.clf = clf
         self.mixup_rate = mixup_rate
+        if clf and mixup_rate > 0 and self.on_device:
+            # waveform mixup computes fbank on the host; items taking the
+            # mixup branch would be [T, M] while the rest ship waveforms —
+            # ragged batches. Keep every item on the host fbank path.
+            warnings.warn(
+                "mixup_rate > 0: disabling on-device featurization for this "
+                "dataset (mixup items are host-featurized)"
+            )
+            self.on_device = False
 
     def _label_vector(self, rec: Dict) -> np.ndarray:
         vec = np.zeros(self.nlabel, np.float32)

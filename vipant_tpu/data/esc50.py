@@ -66,13 +66,6 @@ class AudioLabelCollator:
         }
 
 
-def _label_texts(classes: List[str], prompt: str) -> Tuple[List[str], np.ndarray]:
-    """One prompt text per class, tokenized to [C, 77]. Class names with
-    underscores become spaces (US8K/ESC conventions)."""
-    texts = [f"{prompt}{c.replace('_', ' ')}".strip() for c in classes]
-    return texts, tokenize(texts)
-
-
 def _prompted_label_texts(
     cfg, classes: List[str], topk: int = 4
 ) -> Tuple[List[str], np.ndarray, Optional[Dict[int, int]]]:
@@ -210,6 +203,8 @@ def build_audioset_eval_fold(cfg, data_name: str = "audioset"):
         hot = np.zeros((n_class,), np.int32)
         names = set()
         for cat in r["labels"]:
+            if cat not in label_map:  # label absent from eval_segments.csv
+                continue
             idx, text, _ = label_map[cat]
             hot[idx] = 1
             names.add(text)

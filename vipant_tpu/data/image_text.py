@@ -21,6 +21,10 @@ class ImageTextDatasetSrc:
         self.records = records
         self.train = train
         self.ctx_len = ctx_len
+        # uniform caption count at eval: the 1-vs-k grouping assumes exactly
+        # k captions per clip; short lists are padded cyclically (same
+        # convention as AudioTextDatasetSrc)
+        self.eval_k = max((len(r["captions_bpe"]) for r in records), default=1)
 
     def __len__(self) -> int:
         return len(self.records)
@@ -48,6 +52,7 @@ class ImageTextDatasetSrc:
         if self.train:
             text = self._pad(caps[int(np.random.choice(len(caps)))])
         else:
+            caps = [caps[i % len(caps)] for i in range(self.eval_k)]
             text = np.stack([self._pad(c) for c in caps])
         return {"image": image, "text": text, "name": rec["id"]}
 

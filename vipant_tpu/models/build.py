@@ -103,7 +103,16 @@ def build_main_model(cfg, output_dim: Optional[int] = None):
             text=build_text_head(m.text, **kw),
             loss=build_loss_head(m.loss, **loss_kwargs),
         )
-    return MODELS.get(worker)  # custom registrations
+    # custom registrations: the class must know how to build itself from
+    # the config (returning the bare class would crash later in init_model)
+    cls = MODELS.get(worker)
+    if hasattr(cls, "from_config"):
+        return cls.from_config(cfg, output_dim=output_dim)
+    raise ValueError(
+        f"worker {worker!r} is registered but has no from_config(cfg, "
+        "output_dim=...) classmethod; built-in workers: CVAP, CLAP, CVALP, "
+        "CVASP, ASClassifier, ESClassifier, CLVP"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -68,8 +68,11 @@ class LATrainer(Trainer):
         mutable = ["batch_stats"] if self.has_batch_stats else False
         if not hasattr(model, "decoder"):  # e.g. CLVP image↔text
             return model.apply(variables, *batch, train=True, rngs=rngs, mutable=mutable)
+        # default mirrors CLAP's own auto-detect: retrieval requires a text
+        # tower (a caption-only model must not default into
+        # forward_retrieval and call its None text tower)
         retrieval = model.decoder is None or bool(
-            self.cfg.running.get("retrieval", True)
+            self.cfg.running.get("retrieval", model.text is not None)
         )
         return model.apply(
             variables, *batch, retrieval=retrieval, train=True, rngs=rngs, mutable=mutable
@@ -262,10 +265,8 @@ class VALTrainer(Trainer):
         aidx = self.batch_keys.index("audio")
         for batch in loader:
             n = int(batch.get("_count", batch["audio"].shape[0]))
-            args = tuple(batch.get(k) for k in self.batch_keys)
-            if self.needs_device_frontend:  # waveform/uint8 shipping modes
-                args = self.device_frontend(args, None, train=False)
-            a = enc_a(variables, jax.numpy.asarray(args[aidx]))
+            audio = self.eval_frontend_args(batch)[aidx]
+            a = enc_a(variables, jax.numpy.asarray(audio))
             embs.append(np.asarray(a)[:n])
             labels.append(np.asarray(batch["label"])[:n])
         audio, labels = np.concatenate(embs), np.concatenate(labels)
@@ -397,11 +398,12 @@ class ASTrainer(Trainer):
         scores, labels = [], []
         for batch in loader:
             n = int(batch.get("_count", batch["label"].shape[0]))
+            image, audio, label = self.eval_frontend_args(batch)
             s = score(
                 variables,
-                jax.numpy.asarray(batch["image"]),
-                jax.numpy.asarray(batch["audio"]),
-                jax.numpy.asarray(batch["label"]),
+                jax.numpy.asarray(image),
+                jax.numpy.asarray(audio),
+                jax.numpy.asarray(label),
             )
             if isinstance(s, tuple):
                 s = s[0]
@@ -448,7 +450,8 @@ class ASTrainer(Trainer):
         scores, labels = [], []
         for batch in loader:
             n = int(batch.get("_count", batch["label"].shape[0]))
-            a = enc(variables, jax.numpy.asarray(batch["audio"]))
+            audio = self.eval_frontend_args(batch)[1]
+            a = enc(variables, jax.numpy.asarray(audio))
             scores.append(_l2(np.asarray(a)[:n]) @ text.T)
             labels.append(batch["label"][:n])
         m = multilabel_report(np.concatenate(scores), np.concatenate(labels))
@@ -477,7 +480,8 @@ class ASTrainer(Trainer):
         embs, names = [], []
         for batch in loader:
             n = int(batch.get("_count", batch["audio"].shape[0]))
-            a = enc(variables, jax.numpy.asarray(batch["audio"]))
+            audio = self.eval_frontend_args(batch)[1]
+            a = enc(variables, jax.numpy.asarray(audio))
             embs.append(np.asarray(a)[:n])
             names.extend(batch["name"][:n])
         np.savez(out_path, v=np.concatenate(embs), names=np.asarray(names))
@@ -502,7 +506,10 @@ class ESCTrainer(Trainer):
             self.cfg
         )
         # multi-prompt zero-shot collapse map (prompt row -> class id) and
-        # the VoxCeleb2 speaker-id -> face-file map, when the builder has one
+        # the VoxCeleb2 speaker-id -> face-file map. The face map is carried
+        # for index-format parity only — the reference builds lid2face and
+        # never consumes it either (`/root/reference/cvap/data/esc50.py:397-442`,
+        # its only use is a commented-out print)
         self.zs_label_map = extras.get("label_map")
         self.faces = extras.get("faces")
         self.output_dim = len(self.classes)
@@ -533,13 +540,22 @@ class ESCTrainer(Trainer):
         outs, labels = [], []
         for batch in loader:
             n = int(batch.get("_count", batch["audio"].shape[0]))
-            o = np.asarray(step(variables, jax.numpy.asarray(batch["audio"])))
+            audio = self.eval_frontend_args(batch)[0]
+            o = np.asarray(step(variables, jax.numpy.asarray(audio)))
             outs.append(o[:n])
             labels.append(batch["label"][:n])
         return np.concatenate(outs), np.concatenate(labels)
 
     def _fold_predictions(self, loader) -> Tuple[np.ndarray, np.ndarray]:
         return self._fold_apply(loader, "predictions")
+
+    def infer(self, loader) -> str:
+        """Supervised P@1 on a fold's eval loader — the base class's
+        feature-pair retrieval infer does not apply to a single-tower
+        classifier (ESClassifier has no ``features`` method)."""
+        preds, labels = self._fold_predictions(loader)
+        p1 = 100.0 * float(np.mean(preds == labels)) if len(labels) else 0.0
+        return f"P@1 = {p1:2.2f} @ {len(labels)}"
 
     def _fold_audio_features(self, loader) -> Tuple[np.ndarray, np.ndarray]:
         return self._fold_apply(loader, "encode_audio")

@@ -150,6 +150,12 @@ class Trainer:
             variables = self.load_reference_ckpt(variables, ckpt_path)
         elif model_file and os.path.isdir(ckpt_path):
             pass  # native resume handled in build_optimizer (full state)
+        elif model_file and not model_file.endswith(".out"):
+            # a configured-but-missing checkpoint must not silently fall
+            # back to random weights (.out manifests resolve later)
+            raise FileNotFoundError(
+                f"model_file {model_file!r} not found at {ckpt_path!r}"
+            )
         clip_path = self._clip_path()
         if clip_path and not model_file:
             import torch  # noqa: F401  (porter dependency)
@@ -351,6 +357,16 @@ class Trainer:
                 feats = time_mask(kt, feats, time_p)
         feats = feats[:, None]  # [B, 1, T, M]
         return args[:idx] + (feats,) + args[idx + 1 :]
+
+    def eval_frontend_args(self, batch) -> Tuple:
+        """Batch dict → model args for eval, routed through the device
+        frontend when waveform/uint8 shipping is active (every eval path
+        must use this — feeding raw waveforms to encode_* silently hits the
+        precomputed-embedding passthrough)."""
+        args = tuple(batch.get(k) for k in self.batch_keys)
+        if self.needs_device_frontend:
+            args = self.device_frontend(args, None, train=False)
+        return args
 
     def loss_adapter(self, model, variables, batch, rngs):
         if self.needs_device_frontend:
