@@ -207,14 +207,13 @@ def bench_e2e(B, n_clips, epochs=2, mode="src"):
         "model_file=",
         "eval=False",
     ])
-    mon = build_monitor(cfg)
-    # keep stdout clean for the one JSON line the driver parses: route the
-    # monitor's console logging to stderr
-    import logging
+    # keep stdout clean for the one JSON line the driver parses: the
+    # monitor's setup_logger binds sys.stdout at handler creation, so
+    # create it under a redirect and the handler holds stderr permanently
+    from contextlib import redirect_stdout
 
-    for h in logging.getLogger("vipant").handlers:
-        if isinstance(h, logging.StreamHandler) and getattr(h, "stream", None) is sys.stdout:
-            h.stream = sys.stderr
+    with redirect_stdout(sys.stderr):
+        mon = build_monitor(cfg)
     host_rate = None
     try:
         ds = mon.loader.dataset
