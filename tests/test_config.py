@@ -68,3 +68,13 @@ def test_set_and_serialize():
     assert cfg.y.z == 5
     d = cfg.to_dict(resolve=True)
     assert d == {"x": 5, "y": {"z": 5}}
+
+
+def test_leading_zero_values_stay_strings():
+    """YAML 1.1 reads 00000005 as octal 5 — checkpoint-step names must
+    survive CLI overrides verbatim."""
+    from vipant_tpu.config import compose
+
+    cfg = compose(["model_file=00000005", "seed=5"])
+    assert cfg.model_file == "00000005"
+    assert cfg.seed == 5  # plain ints still coerce

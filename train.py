@@ -50,9 +50,10 @@ def main(argv=None) -> None:
         )
 
     if bool(cfg.get("blockprint", False)):  # stdout blackhole
-        import io
-
-        sys.stdout = io.StringIO()
+        # devnull, not StringIO: the console logging handler binds this
+        # stream, and an in-memory buffer would grow without bound over a
+        # long run (parity: `/root/reference/train.py:50-52`)
+        sys.stdout = open(os.devnull, "w")
 
     from vipant_tpu.train import build_monitor
 

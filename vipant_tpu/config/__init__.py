@@ -151,6 +151,10 @@ def _merge_into(dst: Dict[str, Any], src: Dict[str, Any]) -> None:
 
 
 def _parse_value(text: str) -> Any:
+    # leading-zero digit strings stay strings: YAML 1.1 reads "00000005"
+    # as octal 5, silently corrupting checkpoint-step names (model_file)
+    if re.fullmatch(r"0\d+", text):
+        return text
     try:
         return yaml.safe_load(text)
     except yaml.YAMLError:

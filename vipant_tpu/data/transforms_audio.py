@@ -20,14 +20,18 @@ from .wav import read_wav
 
 
 def host_fbank(waveform: np.ndarray, params: FbankParams) -> np.ndarray:
-    """Dispatch to the native C++ frontend when available."""
-    try:
-        from ..native import fbank_native, native_available
+    """Dispatch to the native C++ frontend when available. Dithered configs
+    stay on the NumPy path — the C ABI takes no dither argument, and
+    features must not silently differ between hosts with and without the
+    compiled library (the reference default is dither=0)."""
+    if params.dither == 0.0:
+        try:
+            from ..native import fbank_native, native_available
 
-        if native_available():
-            return fbank_native(waveform, params)
-    except ImportError:
-        pass
+            if native_available():
+                return fbank_native(waveform, params)
+        except ImportError:
+            pass
     return _fbank_np(waveform, params)
 
 

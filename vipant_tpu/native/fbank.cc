@@ -348,7 +348,9 @@ int vt_fbank(const float* wav, int64_t n, int sample_rate, int num_bins,
     float* dst = out + t * num_bins;
     for (int b = 0; b < num_bins; ++b) {
       float acc = 0.0f;
-      const float* w = &banks.weights[banks.offset[b]];
+      // data()+offset, not &weights[offset]: an empty triangle's offset is
+      // one-past-the-end, and operator[] there is UB under debug STL
+      const float* w = banks.weights.data() + banks.offset[b];
       const float* p = &power[banks.start[b]];
       const int len = banks.length[b];
       for (int k = 0; k < len; ++k) acc += p[k] * w[k];

@@ -355,6 +355,11 @@ class ImagineAndClassifyLossHead(nn.Module):
     use_bce: bool = True
     scaling: bool = True
     scale_max: Optional[float] = None
+    # nested BCE sub-head settings (the reference builds it fully from
+    # cfg.bce, `/root/reference/cvap/module/decoder/loss_more.py:210-212`)
+    bce_layers: Sequence[int] = ()
+    bce_scaling: Optional[bool] = None  # None -> follow `scaling`
+    bce_scale_max: Optional[float] = None
 
     @nn.compact
     def __call__(
@@ -367,7 +372,9 @@ class ImagineAndClassifyLossHead(nn.Module):
         bce_head = (
             BCELossHead(
                 num_labels=self.num_labels,
-                scaling=self.scaling,
+                layers=tuple(self.bce_layers),
+                scaling=self.scaling if self.bce_scaling is None else self.bce_scaling,
+                scale_max=self.bce_scale_max,
                 bias=self.bias,
                 name="bce",
             )
@@ -485,6 +492,11 @@ def build_loss_head(cfg, **kwargs):
             bias=bool(cfg.get("bias", False)),
             use_ce=bool(cfg.ce.get("alive", True)),
             use_bce=bool(cfg.bce.get("alive", True)),
+            scaling=bool(cfg.ce.get("scaling", True)),
+            scale_max=cfg.ce.get("scale_max"),
+            bce_layers=tuple(int(v) for v in cfg.bce.get("layers", []) or []),
+            bce_scaling=bool(cfg.bce.get("scaling", True)),
+            bce_scale_max=cfg.bce.get("scale_max"),
         )
     if name == "LMLossHead":
         return LMLossHead(scaling=bool(cfg.get("scaling", True)))

@@ -49,9 +49,12 @@ def vit_grid(
     """
     patch_hw = to_2tuple(patch_size)
     stride_hw = to_2tuple(stride) if stride is not None else patch_hw
-    if isinstance(resolution, int):
+    if isinstance(resolution, int) and stride_hw == patch_hw:
+        # CLIP behavior: square input divides evenly (no overlap)
         n = resolution // patch_hw[0]
         return (n, n), patch_hw, stride_hw
+    # overlapping-stride formula — also for square inputs with a custom
+    # stride, whose grid is NOT resolution // patch
     res = to_2tuple(resolution)
     nrow = (res[0] - patch_hw[0]) // stride_hw[0] + 1
     ncol = (res[1] - patch_hw[1]) // stride_hw[1] + 1

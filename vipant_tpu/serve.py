@@ -79,23 +79,47 @@ class InferenceEngine:
             raise FileNotFoundError(
                 f"model_file {model_file!r} not found at {ckpt_path!r} or as a direct path"
             )
-        if model_file and os.path.isdir(ckpt_path):
-            # prefer the weight-only export written beside every Orbax state
+        if model_file:
+            if not os.path.isdir(ckpt_path):
+                # same fail-loudly rule as the .pth branch: random-init
+                # embeddings look valid and would silently serve garbage
+                raise FileNotFoundError(
+                    f"model_file {model_file!r} not found at {ckpt_path!r}"
+                )
+            # the weight-only export written beside every Orbax state
             npz = os.path.join(ckpt_path, "model.npz")
-            if os.path.exists(npz):
-                data = np.load(npz)
-                params = dict(variables["params"])
-                for flat_key in data.files:
-                    node, parts = params, flat_key.split(".")
-                    for p in parts[:-1]:
-                        node = node.setdefault(p, {})
-                    node[parts[-1]] = data[flat_key]
-                self.echo.info(f"loaded weight export {npz} ({len(data.files)} arrays)")
-                return {**variables, "params": params}
-            self.echo.warning(
-                f"{ckpt_path} has no model.npz; full-train-state resume "
-                "belongs to the trainer, not the inference engine"
-            )
+            if not os.path.exists(npz):
+                raise FileNotFoundError(
+                    f"{ckpt_path} has no model.npz; full-train-state resume "
+                    "belongs to the trainer, not the inference engine"
+                )
+            data = np.load(npz)
+            params = dict(variables["params"])
+            for flat_key in data.files:
+                node, parts = params, flat_key.split(".")
+                for p in parts[:-1]:
+                    if p not in node:
+                        raise ValueError(
+                            f"{npz} key {flat_key!r} does not exist in this "
+                            "model — export/config mismatch"
+                        )
+                    node = node[p]
+                leaf = parts[-1]
+                if leaf not in node:
+                    raise ValueError(
+                        f"{npz} key {flat_key!r} does not exist in this "
+                        "model — export/config mismatch"
+                    )
+                have = np.shape(node[leaf])
+                want = data[flat_key].shape
+                if tuple(have) != tuple(want):
+                    raise ValueError(
+                        f"{npz} key {flat_key!r} has shape {want}, model "
+                        f"expects {have} — export/config mismatch"
+                    )
+                node[leaf] = data[flat_key]
+            self.echo.info(f"loaded weight export {npz} ({len(data.files)} arrays)")
+            return {**variables, "params": params}
         clip_path = clip_weights_path(self.cfg)
         if clip_path and not model_file:
             from .ckpt import load_torch_file
@@ -122,6 +146,8 @@ class InferenceEngine:
 
     def _run_batched(self, method: str, arr: np.ndarray) -> np.ndarray:
         """Chunk [N, ...] host array into fixed [B, ...] device batches."""
+        if arr.shape[0] == 0:
+            return np.zeros((0, int(self.cfg.model.image.embed_dim)), np.float32)
         fn = self._encoder(method)
         B = self.batch_size
         outs = []
