@@ -184,3 +184,8 @@ def test_serve_cli_zero_shot(tmp_path):
     assert rc == 0
     z = np.load(out)
     assert z["scores"].shape[1] == 2 and len(z["prediction"]) == z["scores"].shape[0]
+
+
+def test_empty_batch_returns_empty(engine):
+    out = engine.embed_texts([])
+    assert out.shape == (0, 32)

@@ -152,3 +152,16 @@ def test_siamese_tying():
 
     g = jax.grad(loss_fn)(pruned)
     assert np.abs(np.asarray(g["image"]["misc"]["positional_embedding"])).sum() > 0
+
+
+def test_vit_grid_square_with_custom_stride():
+    """A square input with an overlapping stride must use the stride
+    formula, not resolution // patch (regression: pos-emb rows vs patch
+    count mismatch)."""
+    from vipant_tpu.nn.stages import vit_grid
+
+    grid, patch, stride = vit_grid(224, 16, 10)
+    assert grid == ((224 - 16) // 10 + 1,) * 2 == (21, 21)
+    # CLIP behavior unchanged when stride == patch
+    grid, _, _ = vit_grid(224, 32)
+    assert grid == (7, 7)
