@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"  # the ambient env may point at a TPU
 
+# A sitecustomize may pre-import jax at interpreter startup, freezing the
+# jax_platforms config default before the env var above takes effect; the
+# explicit config update wins as long as no backend has initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

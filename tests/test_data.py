@@ -154,3 +154,42 @@ def test_audioset_dataloader_clf_and_labelmap(tmp_path):
     loader2 = build_audioset_dataloader(cfg2, "as_train", train=True, label_map=label_map)
     b2 = next(iter(loader2))
     assert b2["text"].shape == (4, 77)
+
+
+def test_audioset_mixup_soft_labels(tmp_path):
+    """Mixup labels must be λ-weighted SOFT targets (lam*y1 + (1-lam)*y2),
+    matching `/root/reference/cvap/data/audioset_cls.py:399-400` — not a
+    hard union — and the mixed waveform must be re-zero-meaned (`:397`)."""
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    cfg = base_cfg(
+        str(tmp_path),
+        [
+            "running.prompt=the sound of",
+            "running.clf=True",
+            "running.mixup_rate=1.0",
+            "running.weighted_sampling=False",
+            "running.label_map=ontology,eval_segments",
+            "running.cat_label=False",
+            "running.nper_label=-1",
+            "running.filter_set=null",
+        ],
+    )
+    label_map = build_audioset_label_map(cfg.running)
+    loader = build_audioset_dataloader(cfg, "as_train", train=True, label_map=label_map)
+    ds = loader.dataset
+
+    # replicate _audio_clf's RNG consumption to pin the exact soft label
+    np.random.seed(123)
+    assert np.random.rand() < 1.0  # mixup gate
+    j = int(np.random.randint(len(ds.records)))
+    lam = float(np.random.beta(10.0, 10.0))
+    y1 = ds._label_vector(ds.records[0])
+    y2 = ds._label_vector(ds.records[j])
+    expect = lam * y1 + (1.0 - lam) * y2
+
+    np.random.seed(123)
+    _, label = ds._audio_clf(0)
+    np.testing.assert_allclose(label, expect, rtol=1e-6)
+    if not np.array_equal(y1, y2):  # distinct classes -> fractional targets
+        assert 0.0 < float(label.max()) < 1.0
+    assert 0.0 < lam < 1.0

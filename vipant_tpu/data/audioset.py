@@ -201,9 +201,20 @@ class AudiosetSrc(ImageAudioDatasetSrc):
             try:
                 w1, sr = read_wav(aclip_file)
                 w2, _ = read_wav(other_file)
+                # reference semantics (`/root/reference/cvap/data/audioset_cls.py:374-400`):
+                # zero-mean each waveform, fit the partner to the first clip's
+                # length (truncate or zero-pad), λ-mix, re-zero-mean, and mix
+                # the labels SOFT: lam*y1 + (1-lam)*y2.
+                w1 = w1 - w1.mean()
+                w2 = w2 - w2.mean()
+                n = w1.shape[-1]
+                if w2.shape[-1] >= n:
+                    w2 = w2[..., :n]
+                else:
+                    w2 = np.pad(w2, [(0, 0)] * (w2.ndim - 1) + [(0, n - w2.shape[-1])])
                 lam = float(np.random.beta(10.0, 10.0))
-                n = min(w1.shape[-1], w2.shape[-1])
-                mixed = lam * w1[..., :n] + (1 - lam) * w2[..., :n]
+                mixed = lam * w1 + (1 - lam) * w2
+                mixed = mixed - mixed.mean()
                 audio = extract_fbank_features(
                     (mixed, sr),
                     self.params,
@@ -213,7 +224,7 @@ class AudiosetSrc(ImageAudioDatasetSrc):
                     norms=self.norms,
                     transform_fbank=self.transform_fbank,
                 )
-                label = np.clip(label + self._label_vector(self.records[j]), 0, 1)
+                label = lam * label + (1 - lam) * self._label_vector(self.records[j])
                 return audio, label
             except Exception:
                 pass
