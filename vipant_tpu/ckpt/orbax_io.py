@@ -22,10 +22,41 @@ import orbax.checkpoint as ocp
 from ..config import Config
 
 
+def _barrier(tag: str) -> None:
+    """Cross-process sync point (no-op single-host)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def host_local_tree(tree) -> Any:
+    """Materialize a (possibly globally-sharded) pytree as host numpy on
+    EVERY process. Fully-addressable / fully-replicated arrays transfer
+    directly; cross-process-sharded arrays are all-gathered (a collective —
+    all processes must call this together)."""
+
+    def to_host(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree_util.tree_map(to_host, tree)
+
+
 def save_checkpoint(
     ckpt_dir: str, step: int, state, cfg=None, model_only=None, keep_last: int = 0
 ) -> str:
     """Writes ``{ckpt_dir}/{step:08d}/`` with the pytree state (+ cfg json).
+
+    Multi-host correct: this is a COLLECTIVE — every process passes its
+    (sharded) state and calls this together; Orbax writes each process's
+    addressable shards and process 0 finalizes. Host-side extras (config
+    json, npz export, retention pruning) run on process 0 only.
 
     ``model_only``: optional params subtree dict (e.g. audio+loss heads) for
     reference-style weight-only exports
@@ -34,43 +65,65 @@ def save_checkpoint(
     pruned after a successful save.
     """
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:08d}")
-    if os.path.exists(path):  # re-saving a step (resume) overwrites it
+    primary = jax.process_index() == 0
+    if primary and os.path.exists(path):  # re-saving a step (resume) overwrites
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
+    _barrier(f"ckpt_pre_save_{step}")
     ckptr = ocp.StandardCheckpointer()
-    payload = jax.device_get(state)
-    ckptr.save(os.path.join(path, "state"), payload)
+    ckptr.save(os.path.join(path, "state"), state)
     ckptr.wait_until_finished()
-    if cfg is not None:
-        with open(os.path.join(path, "config.json"), "w") as f:
-            json.dump(cfg.to_dict(resolve=False) if isinstance(cfg, Config) else cfg, f)
     if model_only is not None:
-        np.savez(
-            os.path.join(path, "model.npz"),
-            **{k: v for k, v in _flatten("", model_only)},
-        )
-    if keep_last > 0:
-        import shutil
+        # collective gather so model-axis-sharded weights export whole
+        model_host = host_local_tree(model_only)
+    if primary:
+        if cfg is not None:
+            with open(os.path.join(path, "config.json"), "w") as f:
+                json.dump(
+                    cfg.to_dict(resolve=False) if isinstance(cfg, Config) else cfg, f
+                )
+        if model_only is not None:
+            np.savez(
+                os.path.join(path, "model.npz"),
+                **{k: v for k, v in _flatten("", model_host)},
+            )
+        if keep_last > 0:
+            import shutil
 
-        steps = sorted(
-            d for d in os.listdir(os.path.abspath(ckpt_dir)) if re.fullmatch(r"\d{8}", d)
-        )
-        # keep the newest N by step number, but never delete the checkpoint
-        # just written (a resume from an earlier step saves a lower number
-        # than stale later ones)
-        for old in steps[:-keep_last]:
-            if old == f"{step:08d}":
-                continue
-            shutil.rmtree(os.path.join(os.path.abspath(ckpt_dir), old), ignore_errors=True)
+            steps = sorted(
+                d
+                for d in os.listdir(os.path.abspath(ckpt_dir))
+                if re.fullmatch(r"\d{8}", d)
+            )
+            # keep the newest N by step number, but never delete the checkpoint
+            # just written (a resume from an earlier step saves a lower number
+            # than stale later ones)
+            for old in steps[:-keep_last]:
+                if old == f"{step:08d}":
+                    continue
+                shutil.rmtree(
+                    os.path.join(os.path.abspath(ckpt_dir), old), ignore_errors=True
+                )
+    _barrier(f"ckpt_post_save_{step}")
     return path
 
 
 def load_checkpoint(path: str, abstract_state) -> Any:
-    """Restore a pytree saved by :func:`save_checkpoint`; ``abstract_state``
-    is a matching pytree of shapes/arrays (e.g. a freshly-created state)."""
+    """Restore a pytree saved by :func:`save_checkpoint` onto the SHARDINGS
+    of ``abstract_state`` (a matching pytree of concrete sharded arrays or
+    ShapeDtypeStructs, e.g. a freshly-created state). Multi-host: collective
+    — every process calls with its identically-sharded template and receives
+    its shards."""
+
+    def as_abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    template = jax.tree_util.tree_map(as_abstract, abstract_state)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(path), "state"), abstract_state)
+    return ckptr.restore(os.path.join(os.path.abspath(path), "state"), template)
 
 
 def load_checkpoint_config(path: str) -> Optional[Config]:

@@ -568,14 +568,16 @@ class Trainer:
         return {k: params[k] for k in ("audio", "loss") if k in params}
 
     def save(self):
-        if jax.process_index() != 0:
-            return
+        """Collective checkpoint save: EVERY process calls this together
+        (Orbax writes per-process shards; process 0 finalizes + writes the
+        host-side extras). Reference behavior scaled:
+        `/root/reference/cvap/monitor/cvap.py:274-281` rank-0 torch.save."""
         ckpt_dir = os.path.join(str(self.cfg.alias_root), str(self.cfg.model_name))
         export = self.collect_model_export()
         path = save_checkpoint(
             ckpt_dir,
             self.global_step,
-            jax.device_get(self.state),
+            self.state,
             cfg=self.cfg,
             model_only=export,
             keep_last=int(self.cfg.get("keep_last_ckpts", 0) or 0),
@@ -583,17 +585,20 @@ class Trainer:
         if bool(self.cfg.get("export_pth", False)) and export:
             # reference-consumable tuple checkpoint beside the Orbax state
             # (`/root/reference/cvap/monitor/cvap.py:274-281` naming)
+            from ..ckpt.orbax_io import host_local_tree
             from ..ckpt.reference_export import export_reference_pth
 
-            try:
-                pth = export_reference_pth(
-                    os.path.join(path, f"{self.global_step:08d}.pth"),
-                    jax.device_get(export),
-                    cfg=self.cfg,
-                )
-                self.echo.info(f"exported reference-format checkpoint {pth}")
-            except Exception as e:  # ResNet/DeiT towers have no .pth mapping
-                self.echo.warning(f"reference .pth export skipped: {e}")
+            export_host = host_local_tree(export)  # collective gather
+            if jax.process_index() == 0:
+                try:
+                    pth = export_reference_pth(
+                        os.path.join(path, f"{self.global_step:08d}.pth"),
+                        export_host,
+                        cfg=self.cfg,
+                    )
+                    self.echo.info(f"exported reference-format checkpoint {pth}")
+                except Exception as e:  # ResNet/DeiT towers have no .pth mapping
+                    self.echo.warning(f"reference .pth export skipped: {e}")
         self.echo.info(f"saving the checkpoint to {path}")
 
     def eval_norms(self, loader) -> Tuple[float, float]:
