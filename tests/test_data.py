@@ -193,3 +193,35 @@ def test_audioset_mixup_soft_labels(tmp_path):
     if not np.array_equal(y1, y2):  # distinct classes -> fractional targets
         assert 0.0 < float(label.max()) < 1.0
     assert 0.0 < lam < 1.0
+
+
+def test_process_worker_backend(tmp_path):
+    """loader_backend=process must yield the same batches as threads (same
+    order seed), with items decoded in spawned worker processes — the
+    scalable analogue of the reference's num_proc DataLoader workers
+    (`/root/reference/cvap/data/image_audio.py:366-374`)."""
+    from data_synth import make_synth_va_index
+
+    make_synth_va_index(str(tmp_path), "train", n=8, seconds=1.05)
+    base = [
+        "running.data_name=train",
+        "running.audio.transform_audio=null",  # no random augs: exact equality
+        "running.audio.transform_fbank=False",
+    ]
+    cfg_t = base_cfg(str(tmp_path), base + ["loader_backend=thread"])
+    cfg_p = base_cfg(str(tmp_path), base + ["loader_backend=process", "num_proc=2"])
+    lt = build_image_audio_dataloader(cfg_t, "train", False)
+    lp = build_image_audio_dataloader(cfg_p, "train", False)
+    try:
+        bt = [b for b in lt]
+        bp = [b for b in lp]
+        assert len(bt) == len(bp) == 2
+        for x, y in zip(bt, bp):
+            assert x["name"] == y["name"]
+            np.testing.assert_allclose(x["audio"], y["audio"], atol=1e-6)
+            np.testing.assert_allclose(x["image"], y["image"], atol=1e-6)
+        # second epoch reuses the persistent pool
+        bp2 = [b for b in lp]
+        assert [b["name"] for b in bp2] == [b["name"] for b in bp]
+    finally:
+        lp.shutdown()

@@ -86,6 +86,19 @@ class Config:
     def __contains__(self, key: str) -> bool:
         return key in self._data
 
+    # slots + __getattr__ break default pickling (unpickle would route
+    # through __getattr__ before _data exists); datasets carry Configs into
+    # process-pool loader workers, so spell the protocol out
+    def __getstate__(self):
+        return (
+            object.__getattribute__(self, "_data"),
+            object.__getattribute__(self, "_root"),
+        )
+
+    def __setstate__(self, state):
+        object.__setattr__(self, "_data", state[0])
+        object.__setattr__(self, "_root", state[1])
+
     def __iter__(self):
         return iter(self._data)
 

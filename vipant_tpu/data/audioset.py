@@ -341,6 +341,7 @@ def build_audioset_dataloader(
         shuffle=train and weights is None,
         drop_last=train,
         num_workers=int(cfg.get("num_proc", 4)),
+        backend=str(cfg.get("loader_backend", "thread")),
         seed=int(cfg.get("seed", 0)),
         device_put_fn=device_put_fn,
         sample_weights=weights,

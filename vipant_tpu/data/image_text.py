@@ -103,6 +103,7 @@ def build_image_text_dataloader(
         shuffle=train,
         drop_last=train,
         num_workers=int(cfg.get("num_proc", 4)),
+        backend=str(cfg.get("loader_backend", "thread")),
         seed=int(cfg.get("seed", 0)),
         device_put_fn=device_put_fn,
     )

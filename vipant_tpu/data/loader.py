@@ -1,16 +1,28 @@
-"""Threaded, prefetching data loader.
+"""Prefetching data loader with thread or process workers.
 
 The reference fed the GPU from ``torch.utils.data.DataLoader`` worker
-*processes* (`/root/reference/cvap/data/image_audio.py:366-374`); here the
-decode+fbank item path runs in a thread pool (NumPy/C++ released-GIL work),
-batches are assembled by a collator, and a bounded queue keeps ``prefetch``
-batches ready so the accelerator never waits on the host (SURVEY.md §7
-hard-part 6). ``device_put_fn`` lets the trainer overlap H2D transfer with
-compute (double buffering).
+*processes* (`/root/reference/cvap/data/image_audio.py:366-374`). Here the
+decode+fbank item path runs in a pluggable pool:
+
+- ``backend="thread"`` (default): a ``ThreadPoolExecutor`` — cheap, fine
+  when items are NumPy/C++ released-GIL work or the host has one core.
+- ``backend="process"``: a persistent spawn-context
+  ``ProcessPoolExecutor`` — the jpg-decode + fbank item path is largely
+  GIL-bound pure Python/NumPy, so thread workers cannot scale past ~1
+  core; process workers scale with cores like the reference's
+  ``num_proc`` DataLoader workers.
+
+Item futures are submitted up to ``prefetch+1`` batches ahead (not one
+batch at a time), batches are assembled by a collator, and a bounded queue
+keeps ``prefetch`` batches ready so the accelerator never waits on the
+host (SURVEY.md §7 hard-part 6). ``device_put_fn`` lets the trainer
+overlap H2D transfer with compute (double buffering).
 """
 
 from __future__ import annotations
 
+import itertools
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -19,6 +31,23 @@ from typing import Any, Callable, Iterator, List, Optional, Sequence
 import numpy as np
 
 from .indexfile import epoch_permutation
+
+# ---------------------------------------------------------------- workers
+# Spawned worker processes receive the dataset once (pickled via the pool
+# initializer) and serve items by index — only indices and item dicts cross
+# the pipe afterwards.
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset, seed_base: int):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    # distinct, reproducible augmentation streams per worker
+    np.random.seed((seed_base + os.getpid()) % (2 ** 31))
+
+
+def _worker_getitem(idx):
+    return _WORKER_DATASET[int(idx)]
 
 
 class DataLoader:
@@ -35,6 +64,7 @@ class DataLoader:
         device_put_fn: Optional[Callable[[Any], Any]] = None,
         sample_weights: Optional[np.ndarray] = None,
         pad_last: bool = False,
+        backend: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,7 +80,10 @@ class DataLoader:
         # batch has a fixed shape — one jit compile instead of one per
         # remainder size; dict batches carry the true count under "_count"
         self.pad_last = pad_last
+        assert backend in ("thread", "process"), backend
+        self.backend = backend
         self.epoch = 0
+        self._proc_pool = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -72,6 +105,48 @@ class DataLoader:
         if self.shuffle:
             return epoch_permutation(n, self.epoch, self.seed)
         return np.arange(n)
+
+    # ------------------------------------------------------------- pools
+    def _get_pool(self):
+        """Thread pools are cheap and made per epoch; process pools cost
+        worker spawns (a fresh interpreter + imports each), so one pool
+        persists for the loader's lifetime."""
+        if self.backend == "thread":
+            return ThreadPoolExecutor(max_workers=self.num_workers), True
+        if self._proc_pool is None:
+            from concurrent.futures import ProcessPoolExecutor
+            import multiprocessing as mp
+
+            # spawn (not fork): the parent may hold an initialized JAX/TPU
+            # client plus live threads — forking that is unsafe. The child
+            # must never claim the accelerator, so pin it to CPU before the
+            # interpreter starts.
+            prev = os.environ.get("JAX_PLATFORMS")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            try:
+                self._proc_pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_worker_init,
+                    initargs=(self.dataset, int(self.seed)),
+                )
+            finally:
+                if prev is None:
+                    os.environ.pop("JAX_PLATFORMS", None)
+                else:
+                    os.environ["JAX_PLATFORMS"] = prev
+        return self._proc_pool, False
+
+    def shutdown(self) -> None:
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
+            self._proc_pool = None
+
+    def __del__(self):
+        try:
+            self.shutdown()
+        except Exception:
+            pass
 
     def __iter__(self) -> Iterator[Any]:
         order = self._order()
@@ -95,16 +170,32 @@ class DataLoader:
             return False
 
         def produce():
-            # two-stage pipeline: item decode/collate (CPU) runs ahead while
-            # a dedicated transfer thread owns device_put — H2D waits (which
-            # can be long when transfers serialize behind an executing step)
-            # overlap with building the next batch instead of stalling it
+            # three-stage pipeline: item futures for up to prefetch+1
+            # batches run ahead in the worker pool, this thread collates
+            # completed batches in order, and a dedicated transfer thread
+            # owns device_put — H2D waits (which can be long when transfers
+            # serialize behind an executing step) overlap with decoding
             from collections import deque
 
+            pool = None
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool, \
-                        ThreadPoolExecutor(max_workers=1) as xfer:
-                    pending: deque = deque()
+                pool, ephemeral = self._get_pool()
+                fetch = (
+                    self.dataset.__getitem__ if ephemeral else _worker_getitem
+                )
+                with ThreadPoolExecutor(max_workers=1) as xfer:
+                    ahead = self.prefetch + 1
+                    inflight: deque = deque()  # (item_futures, true_count)
+                    pending: deque = deque()  # device_put futures
+
+                    def submit_batch(idxs) -> None:
+                        true_count = len(idxs)
+                        if self.pad_last and true_count < self.batch_size:
+                            idxs = np.concatenate(
+                                [idxs, np.repeat(idxs[-1:], self.batch_size - true_count)]
+                            )
+                        futs = [pool.submit(fetch, int(i)) for i in idxs]
+                        inflight.append((futs, true_count))
 
                     def drain(limit: int) -> bool:
                         while len(pending) > limit:
@@ -112,15 +203,17 @@ class DataLoader:
                                 return False
                         return True
 
-                    for idxs in batches:
+                    it = iter(batches)
+                    for idxs in list(itertools.islice(it, ahead)):
+                        submit_batch(idxs)
+                    while inflight:
                         if stop.is_set():
                             return
-                        true_count = len(idxs)
-                        if self.pad_last and true_count < self.batch_size:
-                            idxs = np.concatenate(
-                                [idxs, np.repeat(idxs[-1:], self.batch_size - true_count)]
-                            )
-                        items = list(pool.map(self.dataset.__getitem__, idxs))
+                        futs, true_count = inflight.popleft()
+                        items = [f.result() for f in futs]
+                        nxt = next(it, None)
+                        if nxt is not None:
+                            submit_batch(nxt)
                         batch = self.collate_fn(items)
                         if self.pad_last and isinstance(batch, dict):
                             batch["_count"] = true_count
@@ -135,6 +228,8 @@ class DataLoader:
             except Exception as e:  # surface worker errors to the consumer
                 safe_put(e)
             finally:
+                if pool is not None and pool is not self._proc_pool:
+                    pool.shutdown(wait=False, cancel_futures=True)
                 safe_put(StopIteration)
 
         t = threading.Thread(target=produce, daemon=True)
