@@ -32,6 +32,13 @@ def port_deit(sd: Dict[str, Any], tower: DeiTTower) -> Dict[str, Any]:
 
     kernel = np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0))  # HWIO
     kernel = interp_conv_kernel_spatial(kernel, patch_hw)
+    if kernel.shape[2] != int(tower.in_channels):
+        # channel mean-collapse for 1-channel (log-mel) input — the
+        # reference does this at forward time
+        # (`/root/reference/cvap/module/deit.py:45-48`); port time is
+        # equivalent and keeps the conv on the fast path
+        assert int(tower.in_channels) == 1, (kernel.shape, tower.in_channels)
+        kernel = kernel.mean(axis=2, keepdims=True)
 
     blocks: Dict[int, Dict[str, np.ndarray]] = {}
     block_re = re.compile(r"^blocks\.(\d+)\.(.+)$")

@@ -109,7 +109,12 @@ def _deit_from_cfg(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=False)
     pre = cfg.get("pre_encoder", None)
     patch = pre.get("patch_size", 16) if pre is not None else cfg.get("patch_size", 16)
     stride = pre.get("stride", None) if pre is not None else cfg.get("stride", None)
-    in_ch = pre.get("in_channels", 3) if pre is not None else cfg.get("in_channels", 3)
+    # the reference's legacy deit.yaml spells it "in_channel" (singular)
+    in_ch = (
+        pre.get("in_channels", 3)
+        if pre is not None
+        else cfg.get("in_channels", cfg.get("in_channel", 3))
+    )
     return DeiTTower(
         width=int(cfg.width),
         embed_dim=int(cfg.embed_dim),

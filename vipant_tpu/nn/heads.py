@@ -291,6 +291,14 @@ def build_clip_text_head(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=
     )
 
 
+# legacy head-name aliases: the reference's pre-MetaHead groups
+# (`/root/reference/configs/model/{image/vit,audio/vit,text/transformer}.yaml`)
+# name `ImageHead`/`TextHead` (`NaiveCLIPAudioHead` is registered above);
+# they resolve to the same consolidated towers
+IMAGE_HEADS.register(build_clip_image_head, name="ImageHead")
+TEXT_HEADS.register(build_clip_text_head, name="TextHead")
+
+
 def _build_dummy(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=False):
     return DummyHead()
 

@@ -141,13 +141,17 @@ class Trainer:
         self.has_batch_stats = self.batch_stats is not None and len(jax.tree_util.tree_leaves(self.batch_stats)) > 0
 
     def load_pretrained(self, variables):
-        """Init priority parity (`/root/reference/cvap/model/cvap.py:61-128`):
-        explicit checkpoint > CLIP weights > random."""
+        """Init priority parity (`/root/reference/cvap/model/cvap.py:61-128`
+        + `helper.py:52-63`): explicit checkpoint > "meme" DeiT weights >
+        CLIP weights > random. CLIP still seeds the non-DeiT towers when a
+        meme file covers only one tower."""
         cfg = self.cfg
         model_file = str(cfg.get("model_file", "") or "")
         ckpt_path = os.path.join(str(cfg.model_root), str(cfg.model_name), model_file)
+        loaded_ckpt = False
         if model_file.endswith(".pth") and os.path.exists(ckpt_path):
             variables = self.load_reference_ckpt(variables, ckpt_path)
+            loaded_ckpt = True
         elif model_file and os.path.isdir(ckpt_path):
             pass  # native resume handled in build_optimizer (full state)
         elif model_file and not model_file.endswith(".out"):
@@ -163,6 +167,45 @@ class Trainer:
             _, sd = load_torch_file(clip_path)
             variables = port_model_from_clip(cfg, self.model, variables, sd)
             self.echo.info(f"initialized towers from CLIP weights {clip_path}")
+        if not loaded_ckpt:
+            variables = self.load_meme(variables)
+        return variables
+
+    def load_meme(self, variables):
+        """"meme" DeiT init: when a tower is a DeiT and its config names a
+        local ``meme_path`` weight file, port it over the tower's (random or
+        CLIP-skipped) init — the reference's torch.hub DeiT load
+        (`/root/reference/cvap/model/helper.py:52-63`,
+        `cvap.py:100-110` with_meme priority). Zero-egress: ``meme_path``
+        must be a local .pth in the timm DeiT layout."""
+        from ..nn.deit import DeiTTower
+
+        params = dict(variables["params"])
+        changed = False
+        for field in ("image", "audio"):
+            mcfg = self.cfg.model.get(field) if "model" in self.cfg else None
+            if mcfg is None:
+                continue
+            path = str(mcfg.get("meme_path", "") or "")
+            tower = getattr(self.model, field, None)
+            if not path or not isinstance(tower, DeiTTower):
+                continue
+            if not os.path.exists(path):
+                # reference behavior: failed meme load warns and falls back
+                # (`/root/reference/cvap/model/helper.py:57-62`)
+                self.echo.warning(
+                    f"failed to load the meme {mcfg.get('meme_name')!r} "
+                    f"from {path!r}: not found; keeping current init"
+                )
+                continue
+            from ..ckpt.deit_port import port_deit
+
+            _, sd = load_torch_file(path)
+            params[field] = port_deit(sd, tower)["params"]
+            changed = True
+            self.echo.info(f"initialized {field} tower from meme DeiT weights {path}")
+        if changed:
+            variables = {**variables, "params": params}
         return variables
 
     def _clip_path(self) -> Optional[str]:
