@@ -67,3 +67,41 @@ def test_multilabel_report_perfect():
     assert m["Mac-AP"] == pytest.approx(100.0)
     assert m["mAUC"] == pytest.approx(100.0)
     assert m["Mic-AP"] == pytest.approx(100.0)
+
+
+def test_porter_stemmer_known_values():
+    from vipant_tpu.eval.metrics import _porter_stem
+
+    for word, stem in [
+        ("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+        ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+        ("motoring", "motor"), ("sitting", "sit"), ("conflated", "conflat"),
+        ("happy", "happi"), ("relational", "relat"), ("conditional", "condit"),
+        ("hopefulness", "hope"), ("formalize", "formal"),
+        ("adjustment", "adjust"), ("probate", "probat"), ("rate", "rate"),
+        ("controlling", "control"),
+    ]:
+        assert _porter_stem(word) == stem, (word, _porter_stem(word), stem)
+
+
+def test_meteor_values():
+    """Hand-computed METEOR values (alpha=.9, beta=3, gamma=.5)."""
+    from vipant_tpu.eval.metrics import meteor
+
+    # identical sentence: F=1, 1 chunk of 3 matches -> 1 - 0.5*(1/3)^3
+    v = meteor(["the cat sat"], [["the cat sat"]])
+    assert abs(v - (1 - 0.5 * (1 / 3) ** 3) * 100) < 1e-6, v
+    # stem-stage matches: dogs/dog running/runs align via Porter stems;
+    # contiguous -> 1 chunk of 2: 1 - 0.5*(1/2)^3 = 0.9375
+    v = meteor(["dogs running"], [["dog runs"]])
+    assert abs(v - 93.75) < 1e-6, v
+    # no overlap -> 0; empty corpus -> 0
+    assert meteor(["xyz"], [["abc def"]]) == 0.0
+    assert meteor([], []) == 0.0
+    # fragmentation penalty: reversed bigrams break contiguity
+    contiguous = meteor(["a b c d"], [["a b c d"]])
+    fragmented = meteor(["c d a b"], [["a b c d"]])
+    assert fragmented < contiguous
+    # max over references picks the better one
+    v = meteor(["the cat sat"], [["entirely different words", "the cat sat"]])
+    assert abs(v - (1 - 0.5 * (1 / 3) ** 3) * 100) < 1e-6

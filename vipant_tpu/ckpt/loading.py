@@ -50,6 +50,21 @@ def clip_weights_path(cfg) -> Optional[str]:
         return None
     root = str(run.get("clip_model_root", "") or "")
     name = str(run.get("clip_model_name", "") or "")
+    if not name:
+        return None
+    from .zoo import _MODELS, resolve
+
+    if name in _MODELS:
+        # zoo name: canonical-filename resolution + sha256 verification
+        # (the offline half of `/root/reference/clip/clip.py:18-57`; a
+        # checksum mismatch raises, a missing artifact falls through to
+        # the plain {root}/{name}.pt convention below)
+        try:
+            return resolve(
+                name, root, verify=bool(run.get("clip_verify_sha", True))
+            )
+        except FileNotFoundError:
+            pass
     for ext in (".pt", ".pth"):
         p = os.path.join(root, name + ext)
         if os.path.exists(p):

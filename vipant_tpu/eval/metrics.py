@@ -360,3 +360,179 @@ def cider_d(
         scores.append(float(np.mean(per_n)))
     # standard CIDEr scale: [0, 10] (the 10x factor is part of the metric)
     return float(np.mean(scores)) if scores else 0.0
+
+
+# ----------------------------------------------------------------- METEOR
+def _porter_stem(word: str) -> str:
+    """Porter (1980) stemmer — dependency-free, lowercase ASCII."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    vowels = "aeiou"
+
+    def is_cons(s, i):
+        c = s[i]
+        if c in vowels:
+            return False
+        if c == "y":
+            return i == 0 or not is_cons(s, i - 1)
+        return True
+
+    def measure(s):
+        m, i, n = 0, 0, len(s)
+        while i < n and is_cons(s, i):
+            i += 1
+        while i < n:
+            while i < n and not is_cons(s, i):
+                i += 1
+            if i >= n:
+                break
+            m += 1
+            while i < n and is_cons(s, i):
+                i += 1
+        return m
+
+    def has_vowel(s):
+        return any(not is_cons(s, i) for i in range(len(s)))
+
+    def double_cons(s):
+        return len(s) >= 2 and s[-1] == s[-2] and is_cons(s, len(s) - 1)
+
+    def cvc(s):
+        return (
+            len(s) >= 3
+            and is_cons(s, len(s) - 3)
+            and not is_cons(s, len(s) - 2)
+            and is_cons(s, len(s) - 1)
+            and s[-1] not in "wxy"
+        )
+
+    # step 1a
+    if w.endswith("sses") or w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    restored = False
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and has_vowel(w[:-2]):
+        w, restored = w[:-2], True
+    elif w.endswith("ing") and has_vowel(w[:-3]):
+        w, restored = w[:-3], True
+    if restored:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif measure(w) == 1 and cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in (
+        "ement", "ance", "ence", "able", "ible", "ment", "ent", "ion", "ism",
+        "ate", "iti", "ous", "ive", "ize", "al", "er", "ic", "ou", "ant",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if measure(stem) > 1 and (suf != "ion" or stem.endswith(("s", "t"))):
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        if measure(stem) > 1 or (measure(stem) == 1 and not cvc(stem)):
+            w = stem
+    # step 5b
+    if measure(w) > 1 and double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def _meteor_align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
+    """Unigram alignment in two stages — exact, then Porter stem — each
+    greedy left-to-right over unmatched words (the standard simplification
+    of METEOR's min-chunk alignment search, as in nltk)."""
+    matches: List[Tuple[int, int]] = []
+    used_h, used_r = set(), set()
+    for stage_h, stage_r in (
+        (hyp, ref),
+        ([_porter_stem(t) for t in hyp], [_porter_stem(t) for t in ref]),
+    ):
+        for i, hw in enumerate(stage_h):
+            if i in used_h:
+                continue
+            for j, rw in enumerate(stage_r):
+                if j in used_r:
+                    continue
+                if hw == rw:
+                    matches.append((i, j))
+                    used_h.add(i)
+                    used_r.add(j)
+                    break
+    return sorted(matches)
+
+
+def meteor(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    alpha: float = 0.9,
+    beta: float = 3.0,
+    gamma: float = 0.5,
+) -> float:
+    """METEOR with exact + Porter-stem matching stages, max over each
+    candidate's references, corpus = mean of sentence scores (x100).
+
+    Completes the caption report the reference deferred to the optional
+    ``coco_caption`` suite (`/root/reference/cvap/module/decoder/
+    loss_more.py:20-24,328-371`). Documented delta from the official
+    METEOR-1.5 jar: no WordNet synonym/paraphrase stages (zero-egress,
+    dependency-free) and no corpus-level statistic pooling — scores are
+    typically within a few points of the jar on caption corpora.
+    Parameters are METEOR's defaults: Fmean = PR/(aP+(1-a)R), fragmentation
+    penalty g*(chunks/matches)^b."""
+    assert len(candidates) == len(references)
+    scores = []
+    for cand, refs in zip(candidates, references):
+        hyp = cand.split()
+        best = 0.0
+        for r in refs:
+            ref = r.split()
+            m = _meteor_align(hyp, ref)
+            if not m or not hyp or not ref:
+                continue
+            mm = len(m)
+            p, rec = mm / len(hyp), mm / len(ref)
+            fmean = p * rec / (alpha * p + (1.0 - alpha) * rec)
+            chunks = 1
+            for (i0, j0), (i1, j1) in zip(m, m[1:]):
+                if i1 != i0 + 1 or j1 != j0 + 1:
+                    chunks += 1
+            pen = gamma * (chunks / mm) ** beta
+            best = max(best, fmean * (1.0 - pen))
+        scores.append(best)
+    return float(np.mean(scores)) * 100.0 if scores else 0.0

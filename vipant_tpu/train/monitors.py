@@ -178,7 +178,7 @@ class LATrainer(Trainer):
         CIDEr-D against the k gold captions per clip
         (parity: `/root/reference/cvap/module/decoder/loss_more.py:328-371`,
         the dependency-free core of the COCO-caption suite)."""
-        from ..eval.metrics import cider_d, corpus_bleu, rouge_l
+        from ..eval.metrics import cider_d, corpus_bleu, meteor, rouge_l
         from ..tokenizer import get_tokenizer
 
         tk = get_tokenizer()
@@ -198,6 +198,7 @@ class LATrainer(Trainer):
                 )
         scores = corpus_bleu(cands, refs)
         scores["ROUGE-L"] = rouge_l(cands, refs)
+        scores["METEOR"] = meteor(cands, refs)
         scores["CIDEr-D"] = cider_d(cands, refs)
         sample = "; ".join(cands[:3])
         line = " ".join(f"{k_} = {v:2.2f}" for k_, v in scores.items())
