@@ -288,3 +288,106 @@ def test_fused_block_shape_sweep(Ts, Cs, Hs):
         )(x, wqkv)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def _tp_mesh():
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    return Mesh(devs, ("data", "model"))
+
+
+def test_fused_block_tensor_parallel_matches_single():
+    """Under a data x model mesh the fused op head-parallelizes over the
+    model axis (each shard computes H/M heads with its own weight slices,
+    partial out-projections psum'd) — values and all grads must equal the
+    single-device run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x, wqkv, bqkv, wout, bout = make(2, b=4)
+
+    def loss(*args):
+        return jnp.sum(fused_attention_block(*args, heads=H) ** 2)
+
+    want = fused_attention_block(x, wqkv, bqkv, wout, bout, heads=H)
+    g_single = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wout, bout)
+
+    mesh = _tp_mesh()
+    with jax.sharding.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        out = jax.jit(
+            lambda *a: fused_attention_block(*a, heads=H)
+        )(xs, wqkv, bqkv, wout, bout)
+        g_tp = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(
+            xs, wqkv, bqkv, wout, bout
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4)
+    for gt, g1, name in zip(g_tp, g_single, ["x", "wqkv", "bqkv", "wout", "bout"]):
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(g1), rtol=5e-3,
+            atol=5e-3 * float(jnp.max(jnp.abs(g1))) + 1e-6,
+            err_msg=f"TP grad mismatch for {name}",
+        )
+
+
+def test_fused_ln_block_tensor_parallel_matches_single():
+    """The LN variant under TP: LN runs outside the kernel (the partial dh
+    must psum before the LayerNorm backward) — full sub-block parity."""
+    from vipant_tpu.ops.fused_attn import fused_ln_attention_block
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x, wqkv, bqkv, wout, bout = make(3, b=4)
+    r = np.random.default_rng(7)
+    lns = jnp.asarray(1.0 + 0.1 * r.standard_normal(C), jnp.float32)
+    lnb = jnp.asarray(0.05 * r.standard_normal(C), jnp.float32)
+
+    def loss(*args):
+        return jnp.sum(fused_ln_attention_block(args[0], args[5], args[6], *args[1:5], heads=H) ** 2)
+
+    args = (x, wqkv, bqkv, wout, bout, lns, lnb)
+    want = fused_ln_attention_block(x, lns, lnb, wqkv, bqkv, wout, bout, heads=H)
+    g_single = jax.grad(loss, argnums=tuple(range(7)))(*args)
+
+    mesh = _tp_mesh()
+    with jax.sharding.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        out = jax.jit(
+            lambda *a: fused_ln_attention_block(a[0], a[5], a[6], *a[1:5], heads=H)
+        )(xs, *args[1:])
+        g_tp = jax.jit(jax.grad(loss, argnums=tuple(range(7))))(xs, *args[1:])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4)
+    names = ["x", "wqkv", "bqkv", "wout", "bout", "lns", "lnb"]
+    for gt, g1, name in zip(g_tp, g_single, names):
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(g1), rtol=5e-3,
+            atol=5e-3 * float(jnp.max(jnp.abs(g1))) + 1e-6,
+            err_msg=f"TP grad mismatch for {name}",
+        )
+
+
+def test_fused_block_tp_saved_qkv(monkeypatch):
+    """TP + saved-qkv: the per-shard qkv stash (sharded over data AND model)
+    must round-trip into the backward exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("VIPANT_SAVE_QKV", "1")
+    monkeypatch.setenv("VIPANT_SAVE_QKV_MAX_MB", "1024")
+    r = np.random.default_rng(11)
+    Tq = 128  # save path needs T >= 128
+    x = jnp.asarray(r.standard_normal((4, Tq, C)) * 0.5, jnp.float32)
+    _, wqkv, bqkv, wout, bout = make(4)
+
+    def loss(*args):
+        return jnp.sum(fused_attention_block(*args, heads=H) ** 2)
+
+    g_single = jax.grad(loss, argnums=(1, 3))(x, wqkv, bqkv, wout, bout)
+    mesh = _tp_mesh()
+    with jax.sharding.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        g_tp = jax.jit(jax.grad(loss, argnums=(1, 3)))(xs, wqkv, bqkv, wout, bout)
+    for gt, g1, name in zip(g_tp, g_single, ["wqkv", "wout"]):
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(g1), rtol=5e-3,
+            atol=5e-3 * float(jnp.max(jnp.abs(g1))) + 1e-6,
+            err_msg=f"TP saved-qkv grad mismatch for {name}",
+        )

@@ -385,9 +385,9 @@ def _flash_over_mesh(q, k, v, bias, bias_grad=True):
     a custom call is opaque to GSPMD, so without this XLA would all-gather
     the sharded batch around it. (Mesh probing and the shard_map compat
     shim are shared with the fused kernel module.)"""
-    from .fused_attn import _data_mesh, _smap
+    from .fused_attn import _mesh_info, _smap
 
-    mesh = _data_mesh()
+    mesh, _ = _mesh_info(heads=1)  # data-axis sharding only
     if mesh is None:
         return flash_attention(q, k, v, bias=bias, bias_grad=bias_grad)
 

@@ -78,7 +78,8 @@ def _ln_fwd(x, lns, lnb):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, save_qkv):
+def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, save_qkv,
+                head_dim=None):
     refs = list(refs)
     x_ref = refs.pop(0)
     lns_ref = refs.pop(0) if has_ln else None
@@ -91,27 +92,30 @@ def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, save_qkv):
 
     x = x_ref[0]  # [T, C]
     T, C = x.shape
-    D = C // heads
+    # head_dim is explicit under tensor parallelism, where `heads` is the
+    # LOCAL head count and the weight slices are [C, 3·heads·D]
+    D = head_dim if head_dim is not None else C // heads
     h = _ln_fwd(x, lns_ref[...], lnb_ref[...])[0] if has_ln else x
-    qkv = _dg(wqkv_ref[...], h, ((0,), (1,))) + bqkv_ref[...]  # [3C, T] f32
-    # [3C,T] -> [3H,D,T] is a pure view (leading-dim split; tiles live on the
+    qkv = _dg(wqkv_ref[...], h, ((0,), (1,))) + bqkv_ref[...]  # [3Cl, T] f32
+    # [3Cl,T] -> [3H,D,T] is a pure view (leading-dim split; tiles live on the
     # trailing [D,T]), so all heads run in ONE batched MXU dot per stage
     qkv3 = qkv.astype(x.dtype).reshape(3 * heads, D, T)
     if save_qkv:  # stash for the backward pass (skips the qkv recompute dot)
-        qkv_ref[0] = qkv3.reshape(3 * C, T)
+        qkv_ref[0] = qkv3.reshape(3 * heads * D, T)
     q3, k3, v3 = qkv3[:heads], qkv3[heads:2 * heads], qkv3[2 * heads:]
     s = _bdg(q3, k3, ((1,), (1,))) * scale  # [H, Ti, Tj]
     if has_bias:
         s = s + bias_ref[...][None]
     p = _softmax_rows(s).astype(x.dtype)
     o3 = _bdg(v3, p, ((2,), (2,)))  # [H, D, Ti]
-    out_t = o3.astype(x.dtype).reshape(C, T)
+    out_t = o3.astype(x.dtype).reshape(heads * D, T)
     y = _dg(out_t, wout_ref[...], ((0,), (0,))) + bout_ref[...]  # [T, C]
     y = y.astype(o_ref.dtype)
     o_ref[0] = x + y if has_res else y
 
 
-def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, saved_qkv):
+def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, saved_qkv,
+                head_dim=None):
     refs = list(refs)
     x_ref = refs.pop(0)
     lns_ref = refs.pop(0) if has_ln else None
@@ -128,7 +132,7 @@ def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, saved_qkv):
     x = x_ref[0]  # [T, C] bf16
     g = g_ref[0]  # [T, C] bf16
     T, C = x.shape
-    D = C // heads
+    D = head_dim if head_dim is not None else C // heads
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -161,7 +165,7 @@ def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, saved_qkv):
 
     dbout_ref[...] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)  # [1, C]
     do3 = _dg(wout_ref[...], g, ((1,), (1,))).astype(x.dtype).reshape(heads, D, T)
-    out_t = _bdg(v3, pb, ((2,), (2,))).astype(x.dtype).reshape(C, T)  # [C, T]
+    out_t = _bdg(v3, pb, ((2,), (2,))).astype(x.dtype).reshape(heads * D, T)
     dwout_ref[...] += _dg(out_t, g, ((1,), (0,)))  # [C, C']
 
     dp = _bdg(do3, v3, ((1,), (1,)))  # [H, Ti, Tj]
@@ -170,7 +174,7 @@ def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, saved_qkv):
     dq3 = _bdg(k3, ds, ((2,), (2,)))  # [H, D, Ti]
     dk3 = _bdg(q3, ds, ((2,), (1,)))  # [H, D, Tj]
     dv3 = _bdg(do3, pb, ((2,), (1,)))  # [H, D, Tj]
-    dqkv = jnp.concatenate([dq3, dk3, dv3], axis=0).reshape(3 * C, T)  # f32
+    dqkv = jnp.concatenate([dq3, dk3, dv3], axis=0).reshape(3 * heads * D, T)  # f32
     dbqkv_ref[...] += jnp.sum(dqkv, axis=1, keepdims=True)  # [3C, 1]
     dqkv_b = dqkv.astype(x.dtype)
     dh = _dg(dqkv_b, wqkv_ref[...], ((0,), (1,)))  # [T, C] f32
@@ -208,30 +212,31 @@ def _item_spec(T, C):
 
 
 def _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res,
-              save_qkv=False):
+              save_qkv=False, head_dim=None):
     B, T, C = x.shape
+    C3 = wqkv.shape[1]  # == 3C, or the local 3·H_local·D slice under TP
     has_bias, has_ln = bias is not None, lns is not None
     args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, bout)
     args += (bias,) if has_bias else ()
     out_specs = _item_spec(T, C)
     out_shape = jax.ShapeDtypeStruct((B, T, C), x.dtype)
     if save_qkv:
-        qspec = pl.BlockSpec((1, 3 * C, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        qspec = pl.BlockSpec((1, C3, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         out_specs = (out_specs, qspec)
-        out_shape = (out_shape, jax.ShapeDtypeStruct((B, 3 * C, T), x.dtype))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((B, C3, T), x.dtype))
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, heads=heads, has_bias=has_bias,
-            has_ln=has_ln, has_res=has_res, save_qkv=save_qkv,
+            has_ln=has_ln, has_res=has_res, save_qkv=save_qkv, head_dim=head_dim,
         ),
         grid=(B,),
         in_specs=[_item_spec(T, C)]
         + ([_const_spec((1, C))] * 2 if has_ln else [])
         + [
-            _const_spec((C, 3 * C)),
-            _const_spec((3 * C, 1)),
-            _const_spec((C, C)),
-            _const_spec((1, C)),
+            _const_spec(wqkv.shape),
+            _const_spec(bqkv.shape),
+            _const_spec(wout.shape),
+            _const_spec(bout.shape),
         ]
         + ([_const_spec((T, T))] if has_bias else []),
         out_specs=out_specs,
@@ -242,24 +247,26 @@ def _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res,
 
 
 def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
-              saved_qkv=None):
+              saved_qkv=None, head_dim=None):
     B, T, C = x.shape
+    C3 = wqkv.shape[1]  # == 3C, or the local 3·H_local·D slice under TP
+    Co = wout.shape[0]  # == C, or the local H_local·D rows under TP
     has_bias, has_ln = bias is not None, lns is not None
     args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, g)
     args += (bias,) if has_bias else ()
     args += (saved_qkv,) if saved_qkv is not None else ()
     out_specs = (
         _item_spec(T, C),
-        _const_spec((C, 3 * C)),
-        _const_spec((3 * C, 1)),
-        _const_spec((C, C)),
+        _const_spec((C, C3)),
+        _const_spec((C3, 1)),
+        _const_spec((Co, C)),
         _const_spec((1, C)),
     ) + ((_const_spec((1, C)), _const_spec((1, C))) if has_ln else ())
     out_shape = (
         jax.ShapeDtypeStruct((B, T, C), x.dtype),
-        jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
-        jax.ShapeDtypeStruct((3 * C, 1), jnp.float32),
-        jax.ShapeDtypeStruct((C, C), jnp.float32),
+        jax.ShapeDtypeStruct((C, C3), jnp.float32),
+        jax.ShapeDtypeStruct((C3, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Co, C), jnp.float32),
         jax.ShapeDtypeStruct((1, C), jnp.float32),
     ) + (
         (jax.ShapeDtypeStruct((1, C), jnp.float32),) * 2 if has_ln else ()
@@ -268,19 +275,20 @@ def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
         functools.partial(
             _bwd_kernel, scale=scale, heads=heads, has_bias=has_bias,
             has_ln=has_ln, has_res=has_res, saved_qkv=saved_qkv is not None,
+            head_dim=head_dim,
         ),
         grid=(B,),
         in_specs=[_item_spec(T, C)]
         + ([_const_spec((1, C))] * 2 if has_ln else [])
         + [
-            _const_spec((C, 3 * C)),
-            _const_spec((3 * C, 1)),
-            _const_spec((C, C)),
+            _const_spec((C, C3)),
+            _const_spec((C3, 1)),
+            _const_spec((Co, C)),
             _item_spec(T, C),
         ]
         + ([_const_spec((T, T))] if has_bias else [])
         + (
-            [pl.BlockSpec((1, 3 * C, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+            [pl.BlockSpec((1, C3, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
             if saved_qkv is not None
             else []
         ),
@@ -297,19 +305,29 @@ def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
 # ---------------------------------------------------------------------------
 
 
-def _data_mesh():
+def _mesh_info(heads: int):
+    """(mesh, tp_size): the ambient mesh when the op must shard_map itself
+    (data axis > 1 and/or an applicable tensor-parallel model axis), plus
+    the model-axis size to head-parallelize over (1 = no TP)."""
+    import os
+
     try:
         mesh = jax.sharding.get_abstract_mesh()
     except Exception:  # noqa: BLE001
-        return None
+        return None, 1
+    if mesh is None or getattr(mesh, "empty", True) or "data" not in mesh.axis_names:
+        return None, 1
+    tp = 1
     if (
-        mesh is None
-        or getattr(mesh, "empty", True)
-        or "data" not in mesh.axis_names
-        or mesh.shape["data"] <= 1
+        "model" in mesh.axis_names
+        and mesh.shape["model"] > 1
+        and heads % mesh.shape["model"] == 0
+        and os.environ.get("VIPANT_TP_ATTN", "1") == "1"
     ):
-        return None
-    return mesh
+        tp = mesh.shape["model"]
+    if mesh.shape["data"] <= 1 and tp == 1:
+        return None, 1
+    return mesh, tp
 
 
 def _smap(f, mesh, in_specs, out_specs):
@@ -323,9 +341,33 @@ def _smap(f, mesh, in_specs, out_specs):
         return sm2(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
 
 
+def _slice_tp_weights(wqkv, bqkv, wout, heads, head_dim, tp):
+    """This model-shard's head-block view of the packed weights.
+
+    The packed qkv layout is [C, (q heads | k heads | v heads)·D], so one
+    shard's columns are three strided contiguous blocks; the out-projection
+    rows for the same heads are one contiguous block. Slicing a replicated
+    array inside shard_map is a local, copy-free gather."""
+    m = jax.lax.axis_index("model")
+    C = wqkv.shape[0]
+    hm = heads // tp
+    Cm = hm * head_dim
+    start = m * Cm
+    wq_m = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(wqkv, off + start, Cm, 1) for off in (0, C, 2 * C)],
+        axis=1,
+    )
+    bq_m = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(bqkv, off + start, Cm, 0) for off in (0, C, 2 * C)],
+        axis=0,
+    )
+    wo_m = jax.lax.dynamic_slice_in_dim(wout, start, Cm, 0)
+    return wq_m, bq_m, wo_m, hm, Cm, start
+
+
 def _fwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res,
                  save_qkv=False):
-    mesh = _data_mesh()
+    mesh, tp = _mesh_info(heads)
     if mesh is None:
         return _fwd_call(
             x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res,
@@ -335,6 +377,7 @@ def _fwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_re
 
     d, r = P("data"), P()
     has_ln, has_bias = lns is not None, bias is not None
+    head_dim = x.shape[-1] // heads
     args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, bout)
     args += (bias,) if has_bias else ()
 
@@ -344,23 +387,41 @@ def _fwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_re
         ls, lb = (a.pop(0), a.pop(0)) if has_ln else (None, None)
         wq, bq, wo, bo = a[:4]
         bb = a[4] if has_bias else None
-        return _fwd_call(
-            xs, ls, lb, wq, bq, wo, bo, bb, scale, heads, has_res,
-            save_qkv=save_qkv,
+        if tp == 1:
+            return _fwd_call(
+                xs, ls, lb, wq, bq, wo, bo, bb, scale, heads, has_res,
+                save_qkv=save_qkv,
+            )
+        # tensor-parallel heads: this shard computes its H/tp heads with its
+        # own weight slices; partial out-projections psum over `model`.
+        # bout/tp so the psum reconstructs the bias once; the residual is
+        # added after the psum.
+        wq_m, bq_m, wo_m, hm, _, _ = _slice_tp_weights(
+            wq, bq, wo, heads, head_dim, tp
         )
+        out = _fwd_call(
+            xs, ls, lb, wq_m, bq_m, wo_m, bo / tp, bb, scale, hm,
+            has_res=False, save_qkv=save_qkv, head_dim=head_dim,
+        )
+        y, sq = out if save_qkv else (out, None)
+        y = jax.lax.psum(y, axis_name="model")
+        if has_res:
+            y = xs + y
+        return (y, sq) if save_qkv else y
 
+    dm = P("data", "model")  # saved qkv: per-shard head blocks along dim 1
     fn = _smap(
         local,
         mesh,
         in_specs=(d,) + ((r, r) if has_ln else ()) + (r, r, r, r) + ((r,) if has_bias else ()),
-        out_specs=(d, d) if save_qkv else d,
+        out_specs=(d, dm if tp > 1 else d) if save_qkv else d,
     )
     return fn(*args)
 
 
 def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
                  saved_qkv=None):
-    mesh = _data_mesh()
+    mesh, tp = _mesh_info(heads)
     if mesh is None:
         return _bwd_call(
             x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
@@ -371,6 +432,7 @@ def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
     d, r = P("data"), P()
     has_ln, has_bias = lns is not None, bias is not None
     has_saved = saved_qkv is not None
+    head_dim = x.shape[-1] // heads
     args = (x,) + ((lns, lnb) if has_ln else ()) + (wqkv, bqkv, wout, g)
     args += (bias,) if has_bias else ()
     args += (saved_qkv,) if has_saved else ()
@@ -383,22 +445,92 @@ def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
         a = a[4:]
         bb = a.pop(0) if has_bias else None
         sq = a.pop(0) if has_saved else None
-        outs = _bwd_call(
-            xs, ls, lb, wq, bq, wo, bb, gs, scale, heads, has_res, saved_qkv=sq
+        if tp == 1:
+            outs = _bwd_call(
+                xs, ls, lb, wq, bq, wo, bb, gs, scale, heads, has_res, saved_qkv=sq
+            )
+            # weight/LN grads are partial sums over this shard's batch items
+            dx, rest = outs[0], jax.lax.psum(outs[1:], axis_name="data")
+            return (dx,) + tuple(rest)
+        return _bwd_local_tp(
+            xs, ls, lb, wq, bq, wo, bb, gs, sq, scale, heads, head_dim, tp,
+            has_ln,
         )
-        # weight/LN grads are partial sums over this shard's batch items
-        dx, rest = outs[0], jax.lax.psum(outs[1:], axis_name="data")
-        return (dx,) + tuple(rest)
 
     n_acc = 4 + (2 if has_ln else 0)
     fn = _smap(
         local,
         mesh,
         in_specs=(d,) + ((r, r) if has_ln else ()) + (r, r, r, d)
-        + ((r,) if has_bias else ()) + ((d,) if has_saved else ()),
+        + ((r,) if has_bias else ())
+        + (((P("data", "model") if tp > 1 else d),) if has_saved else ()),
         out_specs=(d,) + (r,) * n_acc,
     )
     return fn(*args)
+
+
+def _bwd_local_tp(xs, ls, lb, wq, bq, wo, bb, gs, sq, scale, heads, head_dim,
+                  tp, has_ln):
+    """Per-model-shard backward under tensor-parallel heads.
+
+    The kernel runs LN-free on h = LN(x): its dx output is then the
+    PARTIAL dh of this shard's heads, which must be psum'd over `model`
+    before the (full-width) LayerNorm backward — so LN fwd/bwd run here in
+    XLA (cheap VPU work), and the kernel handles only the head-sharded
+    projections + attention. Weight grads are scattered back into
+    full-size zero buffers so one psum over (data, model) both assembles
+    the head blocks and reduces the batch shards."""
+    wq_m, bq_m, wo_m, hm, Cm, start = _slice_tp_weights(wq, bq, wo, heads, head_dim, tp)
+    C = xs.shape[-1]
+    if has_ln:
+        x32 = xs.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + LN_EPS)
+        xhat = xc * rstd
+        h = (xhat * ls.reshape(-1) + lb.reshape(-1)).astype(xs.dtype)
+    else:
+        h = xs
+    outs = _bwd_call(
+        h, None, None, wq_m, bq_m, wo_m, bb, gs, scale, hm,
+        has_res=False, saved_qkv=sq, head_dim=head_dim,
+    )
+    dh_p, dwq_m, dbq_m, dwo_m, dbo = outs[:5]
+    dh = jax.lax.psum(dh_p, axis_name="model")
+    if has_ln:
+        dh32 = dh.astype(jnp.float32)
+        dlns = jnp.sum(dh32 * xhat, axis=(0, 1)).reshape(1, C) / tp
+        dlnb = jnp.sum(dh32, axis=(0, 1)).reshape(1, C) / tp
+        dxhat = dh32 * ls.reshape(-1)
+        dx = rstd * (
+            dxhat
+            - jnp.mean(dxhat, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        )
+        # the LN variant is the full residual sub-block: dx += g
+        dx = (dx + gs.astype(jnp.float32)).astype(xs.dtype)
+    else:
+        dx = dh
+    # scatter local head-block grads into full-size zeros; psum over
+    # (model, data) assembles blocks and reduces batch partials in one go
+    dwq = jnp.zeros((C, 3 * C), jnp.float32)
+    dbq = jnp.zeros((3 * C, 1), jnp.float32)
+    for i, off in enumerate((0, C, 2 * C)):
+        dwq = jax.lax.dynamic_update_slice(
+            dwq, dwq_m[:, i * Cm:(i + 1) * Cm], (0, off + start)
+        )
+        dbq = jax.lax.dynamic_update_slice(
+            dbq, dbq_m[i * Cm:(i + 1) * Cm], (off + start, 0)
+        )
+    dwo = jax.lax.dynamic_update_slice(
+        jnp.zeros((C, C), jnp.float32), dwo_m, (start, 0)
+    )
+    acc = (dwq, dbq, dwo, dbo / tp)
+    if has_ln:
+        acc += (dlns, dlnb)
+    acc = jax.lax.psum(acc, axis_name=("data", "model"))
+    return (dx,) + tuple(acc)
 
 
 # ---------------------------------------------------------------------------

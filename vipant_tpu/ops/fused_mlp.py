@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attn import _data_mesh, _dg, _ln_fwd, _smap
+from .fused_attn import _dg, _ln_fwd, _mesh_info, _smap
 
 
 def _act_fwd(a, act):
@@ -156,7 +156,7 @@ def _bwd_call(x, lns, lnb, wfc, bfc, wproj, g, act):
 
 
 def _fwd_sharded(x, lns, lnb, wfc, bfc, wproj, bproj, act):
-    mesh = _data_mesh()
+    mesh, _ = _mesh_info(heads=1)  # data-axis sharding only
     if mesh is None:
         return _fwd_call(x, lns, lnb, wfc, bfc, wproj, bproj, act)
     from jax.sharding import PartitionSpec as P
@@ -172,7 +172,7 @@ def _fwd_sharded(x, lns, lnb, wfc, bfc, wproj, bproj, act):
 
 
 def _bwd_sharded(x, lns, lnb, wfc, bfc, wproj, g, act):
-    mesh = _data_mesh()
+    mesh, _ = _mesh_info(heads=1)  # data-axis sharding only
     if mesh is None:
         return _bwd_call(x, lns, lnb, wfc, bfc, wproj, g, act)
     from jax.sharding import PartitionSpec as P

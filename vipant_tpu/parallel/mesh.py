@@ -86,23 +86,37 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
-    """Tensor-parallel placement over the ``model`` axis: the last axis of
-    every large ≥2-d kernel is sharded (Megatron-style column split; XLA
-    inserts the matching collectives). Small params replicate."""
+    """Tensor-parallel placement over the ``model`` axis, Megatron-style:
+
+    - MLP ``fc`` kernels are column-split (last axis) and ``proj`` kernels
+      row-split (first axis) — GSPMD then derives the sharded [B, T, 4C/M]
+      intermediate, local GELU, and the closing psum on its own.
+    - Attention weights stay REPLICATED: the fused attention kernel
+      head-parallelizes compute over the model axis by slicing its local
+      head block inside shard_map (ops/fused_attn.py); sharding the packed
+      [C, 3C] layout would only force an all-gather at the kernel boundary
+      (head blocks are strided, not contiguous, in that layout).
+    - Everything else (embeddings, pos-embs, projections, norms) replicates.
+    """
     msize = mesh.shape["model"]
 
-    def spec(x):
-        if (
-            msize > 1
-            and hasattr(x, "ndim")
-            and x.ndim >= 2
-            and x.shape[-1] % msize == 0
-            and x.size >= min_size
-        ):
-            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), "model"))
+    def spec(path, x):
+        if msize <= 1 or not hasattr(x, "ndim"):
+            return NamedSharding(mesh, P())
+        keys = "/".join(
+            str(getattr(p, "key", getattr(p, "name", ""))) for p in path
+        )
+        if x.ndim == 2 and x.size >= min_size:
+            if keys.endswith("mlp/fc/kernel") and x.shape[-1] % msize == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            if keys.endswith("mlp/proj/kernel") and x.shape[0] % msize == 0:
+                return NamedSharding(mesh, P("model", None))
+        if keys.endswith("mlp/fc/bias") and x.ndim == 1 and x.shape[0] % msize == 0:
+            # column-parallel bias rides the sharded intermediate
+            return NamedSharding(mesh, P("model"))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(spec, params)
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def shard_params(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:

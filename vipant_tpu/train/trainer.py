@@ -225,8 +225,17 @@ class Trainer:
         self.steps_per_epoch = max(steps_per_epoch, 1)
         self.tx, self.lr_schedule = build_optimizer(cfg.optimizer, self.steps_per_epoch)
         with jax.sharding.set_mesh(self.mesh):
-            trainable = replicate(self.trainable, self.mesh)
-            frozen = replicate(self.frozen, self.mesh) if self.frozen else None
+            if int(self.mesh.shape.get("model", 1)) > 1:
+                # Megatron-style MLP weight sharding over the model axis
+                # (attention weights replicate; the fused kernel
+                # head-parallelizes compute — see parallel.param_shardings)
+                from ..parallel import shard_params
+
+                trainable = shard_params(self.trainable, self.mesh)
+                frozen = shard_params(self.frozen, self.mesh) if self.frozen else None
+            else:
+                trainable = replicate(self.trainable, self.mesh)
+                frozen = replicate(self.frozen, self.mesh) if self.frozen else None
             stats = replicate(self.batch_stats, self.mesh) if self.has_batch_stats else None
             self.state = TrainState.create(
                 trainable,
