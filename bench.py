@@ -177,7 +177,9 @@ def bench_e2e(B, n_clips, epochs=2, mode="src"):
             "running.audio.wav_int16=True",   # ship raw PCM: half the bytes
         ]
         if mode == "src"
-        else []
+        else [
+            "running.audio.ship_int16=True",  # quantized fbank: half the bytes
+        ]
     )
     cfg = compose(audio_overrides + [
         "+running=bimodal",

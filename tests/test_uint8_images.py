@@ -61,3 +61,59 @@ def test_uint8_batches_and_training(tmp_path):
     mon.learn()
     report = mon.infer(mon.evalloader)
     assert "I->A" in report
+
+
+def test_int16_fbank_shipping(tmp_path):
+    """ship_int16: the npz dataset quantizes normalized fbanks to int16
+    (half the H2D bytes) and the device frontend dequantizes to within the
+    quantization step of the f32 path."""
+    import jax.numpy as jnp
+
+    from data_synth import make_synth_va_npz_index
+    from vipant_tpu.config import compose
+    from vipant_tpu.data import build_image_audio_dataloader
+    from vipant_tpu.data.image_audio import FBANK_INT16_SCALE
+
+    make_synth_va_npz_index(str(tmp_path), "npz_train", n=4, frames=120)
+    base = [
+        "+running=bimodal", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=transformer_val", "+running/audio=default",
+        f"running.data_root={tmp_path}", "running.batch_size=4",
+        "running.audio.max_len=100",
+        "running.audio.norms=[-4.9384, 5.7575]",
+        "running.audio.transform_fbank=False",
+        "num_proc=2",
+    ]
+    cfg32 = compose(base)
+    cfg16 = compose(base + ["running.audio.ship_int16=True"])
+    b32 = next(iter(build_image_audio_dataloader(cfg32, "npz_train", False)))
+    b16 = next(iter(build_image_audio_dataloader(cfg16, "npz_train", False)))
+    assert b16["audio"].dtype == np.int16
+    assert b16["audio"].shape == b32["audio"].shape == (4, 1, 100, 128)
+    deq = np.asarray(b16["audio"], np.float32) / FBANK_INT16_SCALE
+    np.testing.assert_allclose(deq, b32["audio"], atol=0.5 / FBANK_INT16_SCALE + 1e-6)
+
+    # trainer frontend routes the int16 batch through dequantization
+    from vipant_tpu.train import build_monitor
+
+    cfg = compose(base + [
+        "+model/loss=ce", "+optimizer=standard",
+        "model.image.width=64", "model.image.embed_dim=32",
+        "model.image.encoder.layers=2", "model.image.heads=4",
+        "+model/text=dummy" if False else "model.text.name=DummyHead",
+        "running.audio.ship_int16=True",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "optimizer.use_lars=False", "optimizer.warmup=False",
+        "verbose=False", "mesh.data=1", "worker=CVAP", "monitor=VAMonitor",
+        "running.data_name=npz_train", "running.eval_name=",
+        "running.epochs=1", "running.peep_rate=1",
+        "running.save_rate=1000000", "running.save_epoch=False",
+        f"alias_root={tmp_path}/run", f"model_root={tmp_path}/run",
+        "model_file=", "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.audio_int16_fbank and mon.needs_device_frontend
+    args = mon.device_frontend((None, jnp.asarray(b16["audio"])), None, train=False)
+    np.testing.assert_allclose(np.asarray(args[1]), deq, atol=1e-6)
+    mon.epoch(0)
+    assert mon.global_step == 1

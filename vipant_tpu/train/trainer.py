@@ -278,7 +278,9 @@ class Trainer:
                 """Per-chunk device frontend for one modality (on-device
                 fbank/SpecAugment for audio, uint8 normalize for images),
                 running through the same device_frontend as the plain step."""
-                if key == "audio" and not self.on_device_audio:
+                if key == "audio" and not (
+                    self.on_device_audio or self.audio_int16_fbank
+                ):
                     return None
                 if key == "image" and not self.image_uint8:
                     return None
@@ -350,8 +352,20 @@ class Trainer:
         )
 
     @property
+    def audio_int16_fbank(self) -> bool:
+        """Precomputed fbanks shipped as int16 (npz path, half the H2D
+        bytes); dequantization runs in the device frontend."""
+        run = self.cfg.get("running")
+        return (
+            run is not None
+            and "audio" in run
+            and bool(run.audio.get("ship_int16", False))
+            and "audio" in self.batch_keys
+        )
+
+    @property
     def needs_device_frontend(self) -> bool:
-        return self.on_device_audio or self.image_uint8
+        return self.on_device_audio or self.image_uint8 or self.audio_int16_fbank
 
     def _frontend_settings(self):
         from ..data.image_audio import fbank_params_from_cfg
@@ -389,6 +403,17 @@ class Trainer:
         params, max_len, norms, freq_p, time_p = self._frontend_settings()
         idx = self.batch_keys.index("audio")
         wav = args[idx]
+        if (
+            wav is not None
+            and wav.ndim == 4
+            and hasattr(wav, "dtype")
+            and wav.dtype == jnp.int16
+        ):
+            # int16-quantized precomputed fbank [B, 1, T, M] — dequantize
+            from ..data.image_audio import FBANK_INT16_SCALE
+
+            feats = wav.astype(jnp.float32) * (1.0 / FBANK_INT16_SCALE)
+            return args[:idx] + (feats,) + args[idx + 1 :]
         if wav is None or wav.ndim != 2:  # absent or already featurized
             return args
         if wav.dtype == jnp.int16:  # raw PCM shipped to cut H2D in half
