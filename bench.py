@@ -141,7 +141,7 @@ def bench_synthetic(B, STEPS):
     return cfg, dt, fwd_ms, bwd_ms
 
 
-def bench_e2e(B, n_clips, epochs=2, mode="src"):
+def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False):
     """Disk -> loader threads -> H2D -> production VATrainer step. Two
     pipeline modes: "src" decodes raw wav + jpg per item (on-device fbank
     frontend, uint8 images, int16 waveforms — the TPU-native low-transfer
@@ -177,9 +177,11 @@ def bench_e2e(B, n_clips, epochs=2, mode="src"):
             "running.audio.wav_int16=True",   # ship raw PCM: half the bytes
         ]
         if mode == "src"
-        else [
-            "running.audio.ship_int16=True",  # quantized fbank: half the bytes
-        ]
+        else (
+            ["running.audio.ship_int16=True"]  # quantized fbank: half the bytes
+            if ship_int16
+            else []
+        )
     )
     cfg = compose(audio_overrides + [
         "+running=bimodal",
@@ -274,17 +276,28 @@ def main() -> None:
         log(f"  fwd {fwd_ms*1e3:.2f} ms | fwd+bwd {bwd_ms*1e3:.2f} ms | optimizer+loss rest {dt*1e3 - bwd_ms*1e3:.2f} ms")
     log(f"  MFU {100*mfu:.1f}% of {gen} bf16 peak ({model_flops_per_clip()/1e9:.0f} GFLOP/clip)")
 
+    # e2e measures the HOST pipeline: fixed B=64 (host-bound throughput does
+    # not improve with the device-side best batch, and fewer/larger batches
+    # only reduce transfer/decode overlap)
     e2e = e2e_npz = None
     if os.environ.get("BENCH_E2E", "1") == "1":
+        B_e2e = int(os.environ.get("BENCH_E2E_BATCH", "64"))
         n_e2e = int(os.environ.get("BENCH_E2E_CLIPS", "512"))
         try:
-            e2e = bench_e2e(B, n_clips=n_e2e, mode="src", epochs=3)
+            e2e = bench_e2e(B_e2e, n_clips=n_e2e, mode="src", epochs=3)
         except Exception as e:  # pragma: no cover
             log(f"e2e bench failed: {type(e).__name__}: {e}")
-        try:
-            e2e_npz = bench_e2e(B, n_clips=n_e2e, mode="npz", epochs=3)
-        except Exception as e:  # pragma: no cover
-            log(f"e2e npz bench failed: {type(e).__name__}: {e}")
+        # npz: A/B f32 vs int16-quantized fbank shipping; H2D halves with
+        # int16 but quantization costs host CPU — which wins depends on the
+        # host:tunnel balance, so measure both and keep the best
+        for ship in (False, True):
+            try:
+                r = bench_e2e(B_e2e, n_clips=n_e2e, mode="npz", epochs=3, ship_int16=ship)
+                log(f"e2e npz ship_int16={ship}: {r:.1f} clips/s")
+                if e2e_npz is None or r > e2e_npz:
+                    e2e_npz = r
+            except Exception as e:  # pragma: no cover
+                log(f"e2e npz bench failed: {type(e).__name__}: {e}")
 
     # baseline: the reference publishes no absolute throughput (BASELINE.md),
     # so vs_baseline compares against the newest previous-round record.
