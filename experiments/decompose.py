@@ -74,8 +74,6 @@ def main():
     # patchify + embed only (pre_encoder path of the audio tower)
     from vipant_tpu.ops.patches import extract_patches
 
-    pk = params["audio"]["pre"]["kernel"] if "pre" in params["audio"] else None
-
     ms_audio_f = timeit(audio_fwd, audios, params["audio"])
     ms_audio_g = timeit(ag, audios, params["audio"])
     ms_image_f = timeit(image_fwd, images, params["image"])

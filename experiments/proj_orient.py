@@ -21,29 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, steps=30):
-    """ms/iter; the steps chain through a scalar carry so iterations cannot
-    overlap-collapse, and only a SCALAR crosses the remote tunnel."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def loop(*a):
-        def body(c, _):
-            # feed the carry back into the first operand so iterations form
-            # a true dependency chain (no hoisting, no overlap collapse)
-            a0 = a[0] + (c * 1e-30).astype(a[0].dtype)
-            out = fn(a0, *a[1:])
-            s = sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree_util.tree_leaves(out))
-            return s * 1e-30, None
-
-        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=steps)
-        return c
-
-    float(loop(*args))
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / steps * 1e3
+from decompose import timeit  # scan-chained device timing
 
 
 def main():

@@ -100,7 +100,7 @@ def test_int16_fbank_shipping(tmp_path):
         "+model/loss=ce", "+optimizer=standard",
         "model.image.width=64", "model.image.embed_dim=32",
         "model.image.encoder.layers=2", "model.image.heads=4",
-        "+model/text=dummy" if False else "model.text.name=DummyHead",
+        "model.text.name=DummyHead",
         "running.audio.ship_int16=True",
         "model.audio.pre_encoder.stride=[16,24]",
         "optimizer.use_lars=False", "optimizer.warmup=False",

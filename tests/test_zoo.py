@@ -50,10 +50,16 @@ def test_clip_weights_path_uses_zoo(tmp_path, monkeypatch):
     )
     assert clip_weights_path(cfg) == str(tmp_path / "Fake-B-32.pt")
 
-    # corrupt artifact raises instead of silently loading
+    # digest mismatch: warn and treat as custom (fine-tuned) weights via
+    # the plain {root}/{name}.pt convention — here that candidate is
+    # absent, so resolution yields None rather than raising
     (tmp_path / "Fake-B-32.pt").write_bytes(b"oops")
-    with pytest.raises(RuntimeError, match="SHA256"):
-        clip_weights_path(cfg)
+    with pytest.warns(UserWarning, match="SHA256"):
+        assert clip_weights_path(cfg) is None
+    # a user's own weights under the name convention keep loading
+    (tmp_path / "Fake-B32.pt").write_bytes(b"finetuned")
+    with pytest.warns(UserWarning, match="SHA256"):
+        assert clip_weights_path(cfg) == str(tmp_path / "Fake-B32.pt")
 
     # non-zoo names keep the plain {root}/{name}.pt convention, no digest
     (tmp_path / "my_finetune.pt").write_bytes(b"anything")

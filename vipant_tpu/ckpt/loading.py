@@ -56,15 +56,24 @@ def clip_weights_path(cfg) -> Optional[str]:
 
     if name in _MODELS:
         # zoo name: canonical-filename resolution + sha256 verification
-        # (the offline half of `/root/reference/clip/clip.py:18-57`; a
-        # checksum mismatch raises, a missing artifact falls through to
-        # the plain {root}/{name}.pt convention below)
+        # (the offline half of `/root/reference/clip/clip.py:18-57`). A
+        # missing artifact OR a checksum mismatch falls through to the
+        # plain {root}/{name}.pt convention — a user's own fine-tuned
+        # weights stored under a zoo name must keep loading (the reference
+        # would re-download on mismatch; offline, their file is the intent).
         try:
             return resolve(
                 name, root, verify=bool(run.get("clip_verify_sha", True))
             )
         except FileNotFoundError:
             pass
+        except RuntimeError as e:
+            import warnings
+
+            warnings.warn(
+                f"{e}; treating it as custom (non-zoo) weights and loading "
+                f"via the plain path convention"
+            )
     for ext in (".pt", ".pth"):
         p = os.path.join(root, name + ext)
         if os.path.exists(p):

@@ -41,12 +41,34 @@ _WORKER_DATASET = None
 
 def _worker_init(dataset, seed_base: int):
     global _WORKER_DATASET
+    # ProcessPoolExecutor spawns workers lazily at first submit(), so env
+    # set around pool CONSTRUCTION never reaches the child — pin the
+    # accelerator away here, which runs in the worker before any task. If a
+    # sitecustomize pre-imported jax at interpreter start (freezing the
+    # env-var default), override via the config; otherwise the env var
+    # governs any later import.
+    import sys
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if "jax" in sys.modules:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     _WORKER_DATASET = dataset
-    # distinct, reproducible augmentation streams per worker
-    np.random.seed((seed_base + os.getpid()) % (2 ** 31))
+    np.random.seed(seed_base % (2 ** 31))  # fallback for unseeded tasks
 
 
-def _worker_getitem(idx):
+def _worker_getitem(idx, seed=None):
+    # per-ITEM seeding: item→worker assignment is nondeterministic in a
+    # shared pool, so reproducibility cannot come from per-worker streams —
+    # the parent derives one seed per item occurrence (loader seed, epoch,
+    # position), making process-backend augmentations reproducible across
+    # runs (the thread backend's shared stream never was)
+    if seed is not None:
+        np.random.seed(seed)
     return _WORKER_DATASET[int(idx)]
 
 
@@ -119,22 +141,15 @@ class DataLoader:
 
             # spawn (not fork): the parent may hold an initialized JAX/TPU
             # client plus live threads — forking that is unsafe. The child
-            # must never claim the accelerator, so pin it to CPU before the
-            # interpreter starts.
-            prev = os.environ.get("JAX_PLATFORMS")
-            os.environ["JAX_PLATFORMS"] = "cpu"
-            try:
-                self._proc_pool = ProcessPoolExecutor(
-                    max_workers=self.num_workers,
-                    mp_context=mp.get_context("spawn"),
-                    initializer=_worker_init,
-                    initargs=(self.dataset, int(self.seed)),
-                )
-            finally:
-                if prev is None:
-                    os.environ.pop("JAX_PLATFORMS", None)
-                else:
-                    os.environ["JAX_PLATFORMS"] = prev
+            # is pinned off the accelerator in _worker_init (workers spawn
+            # lazily at submit time, so construction-time env vars would
+            # not reach them).
+            self._proc_pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(self.dataset, int(self.seed)),
+            )
         return self._proc_pool, False
 
     def shutdown(self) -> None:
@@ -180,21 +195,36 @@ class DataLoader:
             pool = None
             try:
                 pool, ephemeral = self._get_pool()
-                fetch = (
-                    self.dataset.__getitem__ if ephemeral else _worker_getitem
-                )
                 with ThreadPoolExecutor(max_workers=1) as xfer:
                     ahead = self.prefetch + 1
                     inflight: deque = deque()  # (item_futures, true_count)
                     pending: deque = deque()  # device_put futures
+                    pos = 0  # item occurrence counter (per-item seeds)
 
                     def submit_batch(idxs) -> None:
+                        nonlocal pos
                         true_count = len(idxs)
                         if self.pad_last and true_count < self.batch_size:
                             idxs = np.concatenate(
                                 [idxs, np.repeat(idxs[-1:], self.batch_size - true_count)]
                             )
-                        futs = [pool.submit(fetch, int(i)) for i in idxs]
+                        if ephemeral:  # thread pool: shared in-process RNG
+                            futs = [
+                                pool.submit(self.dataset.__getitem__, int(i))
+                                for i in idxs
+                            ]
+                        else:
+                            futs = []
+                            for i in idxs:
+                                seed = (
+                                    self.seed * 1_000_003
+                                    + self.epoch * 7_919
+                                    + pos
+                                ) % (2 ** 31)
+                                futs.append(
+                                    pool.submit(_worker_getitem, int(i), seed)
+                                )
+                                pos += 1
                         inflight.append((futs, true_count))
 
                     def drain(limit: int) -> bool:

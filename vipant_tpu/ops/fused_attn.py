@@ -454,7 +454,7 @@ def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
             return (dx,) + tuple(rest)
         return _bwd_local_tp(
             xs, ls, lb, wq, bq, wo, bb, gs, sq, scale, heads, head_dim, tp,
-            has_ln,
+            has_ln, has_res,
         )
 
     n_acc = 4 + (2 if has_ln else 0)
@@ -470,7 +470,7 @@ def _bwd_sharded(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
 
 
 def _bwd_local_tp(xs, ls, lb, wq, bq, wo, bb, gs, sq, scale, heads, head_dim,
-                  tp, has_ln):
+                  tp, has_ln, has_res):
     """Per-model-shard backward under tensor-parallel heads.
 
     The kernel runs LN-free on h = LN(x): its dx output is then the
@@ -508,10 +508,11 @@ def _bwd_local_tp(xs, ls, lb, wq, bq, wo, bb, gs, sq, scale, heads, head_dim,
             - jnp.mean(dxhat, axis=-1, keepdims=True)
             - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
         )
-        # the LN variant is the full residual sub-block: dx += g
-        dx = (dx + gs.astype(jnp.float32)).astype(xs.dtype)
+        if has_res:  # the LN variant is the full residual sub-block: dx += g
+            dx = dx + gs.astype(jnp.float32)
+        dx = dx.astype(xs.dtype)
     else:
-        dx = dh
+        dx = dh if not has_res else (dh + gs).astype(xs.dtype)
     # scatter local head-block grads into full-size zeros; psum over
     # (model, data) assembles blocks and reduces batch partials in one go
     dwq = jnp.zeros((C, 3 * C), jnp.float32)

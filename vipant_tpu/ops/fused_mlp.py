@@ -246,6 +246,23 @@ def fused_ln_mlp_block(
 
 
 def fused_mlp_applicable(T: int, C: int, expansion: int) -> bool:
+    # incompatible with model-axis MLP weight sharding (parallel.
+    # param_shardings): this kernel's shard_map declares weights replicated,
+    # which would all-gather the Megatron-sharded fc/proj every step — let
+    # GSPMD's sharded MLP run instead
+    try:
+        import jax as _jax
+
+        mesh = _jax.sharding.get_abstract_mesh()
+        if (
+            mesh is not None
+            and not getattr(mesh, "empty", True)
+            and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+        ):
+            return False
+    except Exception:  # noqa: BLE001
+        pass
     E = C * expansion
     Tp = -(-T // 8) * 8
     est = (
