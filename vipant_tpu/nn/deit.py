@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.patches import extract_patches
+from ..ops.patches import patchify_embed
 from .heads import AUDIO_HEADS, IMAGE_HEADS, normalize
 from .layers import LayerNorm, Transformer
 from .stages import to_2tuple, vit_grid
@@ -63,10 +63,9 @@ class DeiTTower(nn.Module):
         if x.shape[1] != kernel.shape[2]:  # channel collapse (deit.py:10-54)
             kernel = jnp.mean(kernel, axis=2, keepdims=True)
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
-        patches = extract_patches(x, patch_hw, stride_hw)
-        h = patches @ kernel.reshape(-1, self.width).astype(self.dtype) + bias.astype(
-            self.dtype
-        )
+        h = patchify_embed(
+            x, kernel.astype(self.dtype), patch_hw, stride_hw
+        ) + bias.astype(self.dtype)
 
         B, N, D = h.shape
         scale = self.width ** -0.5

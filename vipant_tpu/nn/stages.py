@@ -153,15 +153,11 @@ class ViTPreEncoder(nn.Module):
         # im2col + one big matmul instead of a conv: the contraction is the
         # full ph·pw·C patch (MXU-efficient even for 1-channel log-mel
         # input, where a direct conv would contract over C=1)
-        from ..ops.patches import extract_patches
+        from ..ops.patches import patchify_embed
 
-        patches = extract_patches(x, self.patch_size, self.stride)
-        kflat = kernel.reshape(-1, self.width).astype(self.dtype)
-        x = jax.lax.dot_general(
-            patches,
-            kflat,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=self.dtype,
+        x = patchify_embed(
+            x, kernel.astype(self.dtype), to_2tuple(self.patch_size),
+            to_2tuple(self.stride if self.stride is not None else self.patch_size),
         )
         B = x.shape[0]
         cls = jnp.broadcast_to(

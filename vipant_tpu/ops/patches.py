@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -52,3 +53,27 @@ def extract_patches(
     nrow, ncol = x.shape[1], x.shape[3]
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))  # [B, nrow, ncol, ph, pw, C]
     return x.reshape(B, nrow * ncol, patch_hw[0] * patch_hw[1] * C)
+
+
+def patchify_embed(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    patch_hw: Tuple[int, int],
+    stride_hw: Tuple[int, int],
+) -> jnp.ndarray:
+    """Fused patch-extract + embed: x [B, H, W, C] · kernel [ph, pw, C, D]
+    → [B, nrow·ncol, D], contracting the (ph, pw, C) patch dims directly in
+    ONE dot_general — no [B, nrow, ncol, ph, pw, C] transpose ever
+    materializes in HBM (the relayout was the patchify cost, not the
+    matmul; see docs/performance.md)."""
+    B = x.shape[0]
+    x = _frame_axis(x, 1, patch_hw[0], stride_hw[0])  # [B, nrow, ph, W, C]
+    x = _frame_axis(x, 3, patch_hw[1], stride_hw[1])  # [B, nrow, ph, ncol, pw, C]
+    nrow, ncol = x.shape[1], x.shape[3]
+    out = jax.lax.dot_general(
+        x,
+        kernel,
+        dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
+        preferred_element_type=x.dtype,
+    )  # [B, nrow, ncol, D]
+    return out.reshape(B, nrow * ncol, kernel.shape[-1])
