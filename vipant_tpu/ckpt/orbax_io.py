@@ -48,8 +48,31 @@ def host_local_tree(tree) -> Any:
     return jax.tree_util.tree_map(to_host, tree)
 
 
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint save commits. Call at the
+    end of training (and before reading a just-saved checkpoint)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
-    ckpt_dir: str, step: int, state, cfg=None, model_only=None, keep_last: int = 0
+    ckpt_dir: str,
+    step: int,
+    state,
+    cfg=None,
+    model_only=None,
+    keep_last: int = 0,
+    async_save: bool = False,
 ) -> str:
     """Writes ``{ckpt_dir}/{step:08d}/`` with the pytree state (+ cfg json).
 
@@ -66,18 +89,29 @@ def save_checkpoint(
     """
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:08d}")
     primary = jax.process_index() == 0
+    if async_save:
+        # one in-flight save at a time: commit the previous one first, so
+        # device->host copies never race and retention below only ever
+        # sees finalized step dirs
+        wait_for_saves()
     if primary and os.path.exists(path):  # re-saving a step (resume) overwrites
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
     _barrier(f"ckpt_pre_save_{step}")
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "state"), state)
-    ckptr.wait_until_finished()
+    if async_save:
+        # returns once the state is snapshotted to host; the write commits
+        # in the background while training continues
+        _async_ckptr().save(os.path.join(path, "state"), args=ocp.args.StandardSave(state))
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "state"), state)
+        ckptr.wait_until_finished()
     if model_only is not None:
         # collective gather so model-axis-sharded weights export whole
         model_host = host_local_tree(model_only)
     if primary:
+        os.makedirs(path, exist_ok=True)  # async: state/ may still be in flight
         if cfg is not None:
             with open(os.path.join(path, "config.json"), "w") as f:
                 json.dump(
@@ -105,7 +139,8 @@ def save_checkpoint(
                 shutil.rmtree(
                     os.path.join(os.path.abspath(ckpt_dir), old), ignore_errors=True
                 )
-    _barrier(f"ckpt_post_save_{step}")
+    if not async_save:  # async commits its own cross-process barrier at finalize
+        _barrier(f"ckpt_post_save_{step}")
     return path
 
 
@@ -115,6 +150,8 @@ def load_checkpoint(path: str, abstract_state) -> Any:
     ShapeDtypeStructs, e.g. a freshly-created state). Multi-host: collective
     — every process calls with its identically-sharded template and receives
     its shards."""
+
+    wait_for_saves()  # never read past an in-flight async save
 
     def as_abstract(x):
         if isinstance(x, jax.Array):

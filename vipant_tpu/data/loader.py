@@ -105,10 +105,15 @@ class DataLoader:
         assert backend in ("thread", "process"), backend
         self.backend = backend
         self.epoch = 0
+        self._start_batch = 0
         self._proc_pool = None
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """``start_batch``: skip the first N batches of the NEXT iteration
+        only — mid-epoch resume fast-forwards the deterministic epoch order
+        without decoding the skipped items."""
         self.epoch = epoch
+        self._start_batch = int(start_batch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -170,6 +175,10 @@ class DataLoader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
+        skipped = self._start_batch
+        if skipped:  # mid-epoch resume (one-shot)
+            batches = batches[skipped:]
+            self._start_batch = 0
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -199,7 +208,10 @@ class DataLoader:
                     ahead = self.prefetch + 1
                     inflight: deque = deque()  # (item_futures, true_count)
                     pending: deque = deque()  # device_put futures
-                    pos = 0  # item occurrence counter (per-item seeds)
+                    # item occurrence counter (per-item seeds); offset past
+                    # skipped batches so a mid-epoch resume reproduces the
+                    # continuous run's augmentation seeds
+                    pos = skipped * self.batch_size
 
                     def submit_batch(idxs) -> None:
                         nonlocal pos

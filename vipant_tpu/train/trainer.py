@@ -468,14 +468,27 @@ class Trainer:
             return report
         run = self.cfg.running
         epochs = int(run.epochs)
-        for ie in range(epochs):
+        # mid-epoch exact resume: a restored global_step fast-forwards to
+        # the right epoch and batch offset of the deterministic epoch order
+        # (the reference restarted from scratch — SURVEY.md §5 "resume is
+        # really initialize-from")
+        start_epoch, skip = divmod(self.global_step, self.steps_per_epoch)
+        if skip and start_epoch < epochs:
+            self.echo.info(
+                f"resuming mid-epoch: epoch {start_epoch}, skipping {skip} batches"
+            )
+        for ie in range(start_epoch, epochs):
             if self.loader is not None:
-                self.loader.set_epoch(ie)
+                self.loader.set_epoch(ie, start_batch=skip if ie == start_epoch else 0)
             self.epoch(ie)
             if bool(run.get("save_epoch", False)):
                 self.save()
                 if self.evalloader is not None:
                     self.echo.info(self.infer(self.evalloader))
+        if bool(self.cfg.get("async_ckpt", False)):
+            from ..ckpt.orbax_io import wait_for_saves
+
+            wait_for_saves()  # commit the last in-flight save before exit
 
     def epoch(self, ie: int):
         run = self.cfg.running
@@ -658,6 +671,7 @@ class Trainer:
             cfg=self.cfg,
             model_only=export,
             keep_last=int(self.cfg.get("keep_last_ckpts", 0) or 0),
+            async_save=bool(self.cfg.get("async_ckpt", False)),
         )
         if bool(self.cfg.get("export_pth", False)) and export:
             # reference-consumable tuple checkpoint beside the Orbax state
