@@ -130,6 +130,12 @@ def save_checkpoint(
                 for d in os.listdir(os.path.abspath(ckpt_dir))
                 if re.fullmatch(r"\d{8}", d)
             )
+            if async_save:
+                # the just-scheduled save is still in flight: it must not
+                # count toward keep_last, or keep_last=1 would delete the
+                # last FINALIZED checkpoint while the new one could still
+                # fail to commit
+                steps = [d for d in steps if d != f"{step:08d}"]
             # keep the newest N by step number, but never delete the checkpoint
             # just written (a resume from an earlier step saves a lower number
             # than stale later ones)

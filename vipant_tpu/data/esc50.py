@@ -307,6 +307,7 @@ def build_xfold_dataloader_list(
                 num_workers=num_workers or int(cfg.get("num_proc", 4)),
                 seed=int(cfg.get("seed", 0)),
                 pad_last=not train,  # fixed eval shapes -> one jit compile
+                backend=str(cfg.get("loader_backend", "thread")),
             )
             if recs
             else None

@@ -228,11 +228,15 @@ class DataLoader:
                         else:
                             futs = []
                             for i in idxs:
-                                seed = (
-                                    self.seed * 1_000_003
-                                    + self.epoch * 7_919
-                                    + pos
-                                ) % (2 ** 31)
+                                # SeedSequence mixing: a linear formula
+                                # collides across epochs on large datasets
+                                # (epoch e pos p == epoch e+1 pos p-const),
+                                # replaying augmentation streams
+                                seed = int(
+                                    np.random.SeedSequence(
+                                        (self.seed, self.epoch, pos)
+                                    ).generate_state(1)[0]
+                                )
                                 futs.append(
                                     pool.submit(_worker_getitem, int(i), seed)
                                 )

@@ -100,18 +100,42 @@ def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
     """
     msize = mesh.shape["model"]
 
+    def keys_of(path):
+        return "/".join(
+            str(getattr(p, "key", getattr(p, "name", ""))) for p in path
+        )
+
+    # first pass: which fc KERNELS actually shard — their biases follow
+    # (a bias must never shard against a replicated kernel: GSPMD would
+    # all-gather it every step for nothing)
+    sharded_fc: set = set()
+    if msize > 1:
+        for path, x in jax.tree_util.tree_leaves_with_path(params):
+            keys = keys_of(path)
+            if (
+                hasattr(x, "ndim")
+                and x.ndim == 2
+                and x.size >= min_size
+                and keys.endswith("mlp/fc/kernel")
+                and x.shape[-1] % msize == 0
+            ):
+                sharded_fc.add(keys[: -len("kernel")])
+
     def spec(path, x):
         if msize <= 1 or not hasattr(x, "ndim"):
             return NamedSharding(mesh, P())
-        keys = "/".join(
-            str(getattr(p, "key", getattr(p, "name", ""))) for p in path
-        )
+        keys = keys_of(path)
         if x.ndim == 2 and x.size >= min_size:
             if keys.endswith("mlp/fc/kernel") and x.shape[-1] % msize == 0:
                 return NamedSharding(mesh, P(None, "model"))
             if keys.endswith("mlp/proj/kernel") and x.shape[0] % msize == 0:
                 return NamedSharding(mesh, P("model", None))
-        if keys.endswith("mlp/fc/bias") and x.ndim == 1 and x.shape[0] % msize == 0:
+        if (
+            keys.endswith("mlp/fc/bias")
+            and x.ndim == 1
+            and x.shape[0] % msize == 0
+            and keys[: -len("bias")] in sharded_fc
+        ):
             # column-parallel bias rides the sharded intermediate
             return NamedSharding(mesh, P("model"))
         return NamedSharding(mesh, P())

@@ -153,7 +153,10 @@ class Trainer:
             variables = self.load_reference_ckpt(variables, ckpt_path)
             loaded_ckpt = True
         elif model_file and os.path.isdir(ckpt_path):
-            pass  # native resume handled in build_optimizer (full state)
+            # native resume handled in build_optimizer (full state restore)
+            # — counts as "checkpoint loaded" so the meme-DeiT port below
+            # is skipped instead of being done and immediately overwritten
+            loaded_ckpt = True
         elif model_file and not model_file.endswith(".out"):
             # a configured-but-missing checkpoint must not silently fall
             # back to random weights (.out manifests resolve later)
