@@ -106,3 +106,64 @@ def test_loader_early_break_stops_producer(tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_worker_seed_mixing_no_epoch_collisions():
+    """Per-item seeds must not collide across adjacent epochs at shifted
+    positions (the old linear formula replayed epoch e's augmentation
+    streams at epoch e+1, pos p-7919, on datasets larger than 7919)."""
+    from vipant_tpu.data.loader import DataLoader  # noqa: F401 (module import)
+
+    def seed_of(base, epoch, pos):
+        return int(np.random.SeedSequence((base, epoch, pos)).generate_state(1)[0])
+
+    seen = {}
+    for epoch in range(3):
+        for pos in range(0, 20000, 997):
+            s = seed_of(0, epoch, pos)
+            assert s not in seen, (epoch, pos, seen[s])
+            seen[s] = (epoch, pos)
+
+
+def test_esc_fold_loaders_honor_loader_backend(tmp_path):
+    from data_synth import make_synth_esc50
+    from vipant_tpu.data.esc50 import build_xfold_dataloader_list
+
+    make_synth_esc50(str(tmp_path), seconds=1.05)
+    cfg = compose([
+        "+running=bimodal",
+        *TINY_MODEL,
+        "+model/loss=ce_cls",
+        f"running.data_root={tmp_path}",
+        "running.data_name=esc50",
+        "running.batch_size=4",
+        "loader_backend=process",
+    ])
+    loaders, classes, label_ids, extras = build_xfold_dataloader_list(cfg)
+    for train_loader, eval_loader in loaders:
+        for ld in (train_loader, eval_loader):
+            if ld is not None:
+                assert ld.backend == "process"
+
+
+def test_async_retention_never_deletes_last_finalized(tmp_path):
+    """keep_last=1 + async: the in-flight save must not count toward
+    retention, or a crash before it commits would lose the run."""
+    import jax.numpy as jnp
+
+    from vipant_tpu.ckpt.orbax_io import save_checkpoint, wait_for_saves
+
+    state = {"w": jnp.arange(4, dtype=jnp.float32)}
+    d = str(tmp_path / "ck")
+    for step in (1, 2, 3):
+        save_checkpoint(d, step, state, keep_last=1, async_save=True)
+        import os
+
+        present = sorted(x for x in os.listdir(d) if x.isdigit())
+        # the newest finalized step always survives alongside the in-flight
+        assert f"{step:08d}" in present
+        if step > 1:
+            assert f"{step-1:08d}" in present, present
+        if step > 2:
+            assert f"{step-2:08d}" not in present, present
+    wait_for_saves()
