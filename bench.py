@@ -256,7 +256,7 @@ def main() -> None:
 
     # probe the configured batch plus 128 (measured ~+1% at B=128: better
     # amortized per-step overheads) and report the best honest throughput
-    probe = [int(b) for b in os.environ.get("BENCH_BATCH", "64,128").split(",")]
+    probe = [int(b) for b in os.environ.get("BENCH_BATCH", "64,96,128").split(",")]
     best = None
     for B in probe:
         cfg, dt, fwd_ms, bwd_ms = bench_synthetic(B, STEPS)
