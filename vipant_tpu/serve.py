@@ -42,15 +42,27 @@ class InferenceEngine:
     ``cfg``: a composed :class:`vipant_tpu.config.Config` or a list of
     hydra-style override strings. ``batch_size`` fixes the device batch —
     inputs are chunked, the final chunk zero-padded and trimmed.
+
+    ``fused_mlp`` (default True) exports ``VIPANT_FUSED_MLP=1`` unless the
+    caller already set it: serving is forward-only, where the fused LN+MLP
+    kernel wins (+12% at B=256 — `experiments/serve_bench.py`). The switch
+    is process-global; pass ``fused_mlp=False`` if a *training* step will
+    be traced later in this same TPU process (training measures faster on
+    the XLA MLP path — docs/performance.md).
     """
 
-    def __init__(self, cfg, batch_size: int = 64, echo=None):
+    def __init__(self, cfg, batch_size: int = 64, echo=None, fused_mlp: bool = True):
         import jax
 
         from .config import Config, compose
         from .models import build_main_model, init_model
         from .utils import setup_logger
 
+        if fused_mlp and "VIPANT_FUSED_MLP" not in os.environ:
+            # fwd-only workload: the fused LN+MLP kernel measured +12% at
+            # B=256 (experiments/serve_bench.py) — on by default here, while
+            # training keeps the XLA path (docs/performance.md)
+            os.environ["VIPANT_FUSED_MLP"] = "1"
         self.cfg = cfg if isinstance(cfg, Config) else compose(list(cfg))
         self.batch_size = int(batch_size)
         self.echo = echo or setup_logger(None, 0, verbose=False)
