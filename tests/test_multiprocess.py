@@ -201,6 +201,7 @@ SAVE_RESUME_WORKER = textwrap.dedent(
         process_id=int(sys.argv[2]),
     )
     data_root, phase = sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "sync"
     import jax.numpy as jnp
     from vipant_tpu.config import compose
     from vipant_tpu.train import build_monitor
@@ -241,6 +242,7 @@ SAVE_RESUME_WORKER = textwrap.dedent(
         f"alias_root={data_root}/run",   # SHARED ckpt dir: collective save
         f"model_root={data_root}/run",
         f"model_file={model_file}",
+        f"async_ckpt={mode == 'async'}",
         "eval=False",
     ])
     mon = build_monitor(cfg)
@@ -257,6 +259,10 @@ SAVE_RESUME_WORKER = textwrap.dedent(
     if phase == "save":
         mon.epoch(0)  # 8 clips / global batch 4 = 2 steps
         mon.save()    # collective: BOTH processes call save
+        if mode == "async":
+            # every process must commit its in-flight shards before exit
+            from vipant_tpu.ckpt.orbax_io import wait_for_saves
+            wait_for_saves()
         if jax.process_index() == 0:
             with open(sumfile, "w") as f:
                 f.write(f"{checksum(mon.state):.6f} {mon.global_step}")
@@ -323,4 +329,19 @@ def test_two_process_save_kill_resume(tmp_path):
     outs = _launch_pair(script, [str(tmp_path / "data"), "save"])
     assert all("SAVE OK step=2" in out for _, out in outs), outs
     outs = _launch_pair(script, [str(tmp_path / "data"), "resume"])
+    assert all("RESUME OK step=4" in out for _, out in outs), outs
+
+
+def test_two_process_async_save_kill_resume(tmp_path):
+    """Same collective save-kill-resume, but with async_ckpt=true: every
+    process schedules the save, commits in the background, and explicitly
+    waits before exit; fresh processes restore the committed state."""
+    from data_synth import make_synth_va_index
+
+    make_synth_va_index(str(tmp_path / "data"), "train", n=8, seconds=1.05)
+    script = tmp_path / "save_resume_worker.py"
+    script.write_text(SAVE_RESUME_WORKER)
+    outs = _launch_pair(script, [str(tmp_path / "data"), "save", "async"])
+    assert all("SAVE OK step=2" in out for _, out in outs), outs
+    outs = _launch_pair(script, [str(tmp_path / "data"), "resume", "async"])
     assert all("RESUME OK step=4" in out for _, out in outs), outs
