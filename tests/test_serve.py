@@ -189,3 +189,60 @@ def test_serve_cli_zero_shot(tmp_path):
 def test_empty_batch_returns_empty(engine):
     out = engine.embed_texts([])
     assert out.shape == (0, 32)
+
+
+def test_partial_export_without_clip_fails_loudly(tmp_path, engine):
+    """A weight export covering only some towers must not silently serve
+    the uncovered towers at random init (unit-norm garbage): without CLIP
+    weights to seed them, the engine refuses."""
+    from vipant_tpu.ckpt.orbax_io import _flatten
+
+    params = engine.variables["params"]
+    step_dir = tmp_path / "run" / "00000007"
+    os.makedirs(step_dir)
+    np.savez(
+        str(step_dir / "model.npz"),
+        **{k: v for k, v in _flatten("", {"audio": params["audio"]})},
+    )
+    with pytest.raises(ValueError, match="random init"):
+        InferenceEngine(
+            TINY[:-2]
+            + [
+                f"model_root={tmp_path}",
+                "model_name=run",
+                "model_file=00000007",
+                "eval=True",
+            ],
+            batch_size=4,
+        )
+
+
+def test_empty_batch_without_image_tower():
+    """Audio-text configs (no image group) must still produce [0, D]
+    empty results instead of crashing on cfg.model.image."""
+    eng = InferenceEngine(
+        [
+            "+running=clotho",
+            "+model/image=dummy",
+            "+model/audio=vit_val",
+            "+model/text=transformer_val",
+            "+model/loss=ce",
+            "+optimizer=standard",
+            "+running/audio=default",
+            "worker=CLAP",
+            "model.audio.width=64",
+            "model.audio.embed_dim=32",
+            "model.audio.encoder.layers=2",
+            "model.audio.heads=4",
+            "model.audio.pre_encoder.patch_size=32",
+            "model.text.width=64",
+            "model.text.embed_dim=32",
+            "model.text.encoder.layers=2",
+            "model.text.heads=4",
+            "running.audio.max_len=100",
+            "model_file=",
+            "eval=True",
+        ],
+        batch_size=4,
+    )
+    assert eng.embed_texts([]).shape == (0, 32)

@@ -74,6 +74,8 @@ class InferenceEngine:
 
     # ------------------------------------------------------------- loading
     def _load(self, variables):
+        import jax
+
         from .ckpt.loading import apply_reference_ckpt, clip_weights_path
 
         cfg = self.cfg
@@ -106,6 +108,40 @@ class InferenceEngine:
                     "belongs to the trainer, not the inference engine"
                 )
             data = np.load(npz)
+            # most monitors export only {audio, loss} (the reference's
+            # 2-tuple); the eval path must still seed the OTHER towers from
+            # CLIP, exactly as the reference's eval build loads ckpt + CLIP
+            # (`/root/reference/cvap/model/cvap.py:61-99`) — otherwise
+            # embed_texts/embed_images would serve random-init towers whose
+            # unit-norm outputs look valid
+            covered = {k.split(".")[0] for k in data.files}
+            uncovered = [
+                t
+                for t in ("image", "audio", "text")
+                if t in variables["params"]
+                and len(jax.tree_util.tree_leaves(variables["params"][t])) > 0
+                and t not in covered
+            ]
+            if uncovered:
+                clip_path = clip_weights_path(cfg)
+                if clip_path:
+                    from .ckpt import load_torch_file
+                    from .models import port_model_from_clip
+
+                    _, sd = load_torch_file(clip_path)
+                    variables = port_model_from_clip(cfg, self.model, variables, sd)
+                    self.echo.info(
+                        f"towers {uncovered} not in {npz}: seeded from CLIP "
+                        f"weights {clip_path}"
+                    )
+                else:
+                    raise ValueError(
+                        f"{npz} covers only {sorted(covered)} but the model has "
+                        f"tower(s) {uncovered}; serving them at random init "
+                        "would produce plausible-looking garbage — set "
+                        "running.clip_model_root/name so they load CLIP "
+                        "weights, or export a checkpoint covering all towers"
+                    )
             params = dict(variables["params"])
             for flat_key in data.files:
                 node, parts = params, flat_key.split(".")
@@ -156,10 +192,25 @@ class InferenceEngine:
             self._jitted[method] = jax.jit(fn)
         return self._jitted[method]
 
+    def _embed_dim(self) -> int:
+        """The shared embedding dimensionality, tolerant of configs with no
+        image tower (audio-text engines): loss head first, then any tower
+        that declares one."""
+        model = self.cfg.model
+        for group in ("loss", "image", "audio", "text"):
+            try:  # values may be interpolations into absent groups
+                node = model.get(group, None)
+                d = node.get("embed_dim", None) if node is not None else None
+                if d:
+                    return int(d)
+            except Exception:
+                continue
+        raise ValueError("no embed_dim found in model config")
+
     def _run_batched(self, method: str, arr: np.ndarray) -> np.ndarray:
         """Chunk [N, ...] host array into fixed [B, ...] device batches."""
         if arr.shape[0] == 0:
-            return np.zeros((0, int(self.cfg.model.image.embed_dim)), np.float32)
+            return np.zeros((0, self._embed_dim()), np.float32)
         fn = self._encoder(method)
         B = self.batch_size
         outs = []
@@ -234,7 +285,7 @@ class InferenceEngine:
         (CLAP with a SeqGenerationHead decoder)."""
         import jax
 
-        from .tokenizer import get_tokenizer
+        from .tokenizer import detokenize_ids
 
         key = f"decode_b{int(beam)}"
         if key not in self._jitted:
@@ -242,7 +293,6 @@ class InferenceEngine:
                 lambda v, a: self.model.apply(v, a, beam=int(beam), method="decode")
             )
         fn = self._jitted[key]
-        tk = get_tokenizer()
         a = np.asarray(fbanks, np.float32)
         if a.ndim == 3:
             a = a[:, None]
@@ -257,12 +307,7 @@ class InferenceEngine:
                 )
             ids, _ = fn(self.variables, chunk)
             for row in np.asarray(ids)[:n]:
-                toks = []
-                for t in row[1:]:
-                    if int(t) in (tk.eot_token, 0):
-                        break
-                    toks.append(int(t))
-                out.append(tk.decode(toks).strip())
+                out.append(detokenize_ids(row))
         return out
 
     def caption_files(self, paths: Sequence[str], beam: int = 0) -> List[str]:

@@ -182,3 +182,16 @@ def tokenize(
             )
         result[i, : len(toks)] = toks
     return result
+
+
+def detokenize_ids(row) -> str:
+    """Decoded-caption string for one row of generated token ids: strips
+    SOT/pad anywhere, truncates at the first EOT, BPE-decodes. The single
+    detokenization used by both the trainer's caption report and the
+    serving engine (divergent copies once produced different strings for
+    the same ids)."""
+    tk = get_tokenizer()
+    toks = [int(t) for t in row if int(t) not in (0, tk.sot_token)]
+    if tk.eot_token in toks:
+        toks = toks[: toks.index(tk.eot_token)]
+    return tk.decode(toks).strip()

@@ -142,10 +142,9 @@ class LATrainer(Trainer):
 
     @staticmethod
     def _detok_row(tk, row) -> str:
-        toks = [int(t) for t in row if t not in (0, 49406)]
-        if 49407 in toks:
-            toks = toks[: toks.index(49407)]
-        return tk.decode(toks).strip()
+        from ..tokenizer import detokenize_ids
+
+        return detokenize_ids(row)
 
     def _decode_step(self):
         beam = int(self.cfg.running.get("beam", 0) or 0)
@@ -340,12 +339,14 @@ class VASTrainer(Trainer):
         enc = self.memo("pivot_step", lambda: jax.jit(_enc))
 
         vs, aas = [], []
+        iidx = self.batch_keys.index("image")
+        aidx = self.batch_keys.index("audio_v1")
         for batch in loader:
-            v, a = enc(
-                variables,
-                jax.numpy.asarray(batch["image"]),
-                jax.numpy.asarray(batch["audio_v1"]),
-            )
+            # through the device frontend (uint8 normalize / waveform
+            # fbank), same invariant as every other eval path
+            # (trainer.eval_frontend_args)
+            args = self.eval_frontend_args(batch)
+            v, a = enc(variables, args[iidx], args[aidx])
             n = int(batch.get("_count", len(batch["name"])))
             vs.append(np.asarray(v)[:n])
             aas.append(np.asarray(a)[:n])
@@ -626,6 +627,10 @@ class ESCTrainer(Trainer):
     def reinitialize(self):
         self.build_model()
         self.build_optimizer()
+        # each fold is a fresh run: fold-local step keeps the logged LR
+        # (lr_schedule(global_step)) and peep/save cadence aligned with the
+        # optimizer's actual schedule position (state.step restarts at 0)
+        self.global_step = 0
 
     def make_batch(self, batch):
         return shard_batch((batch["audio"], batch["label"]), self.mesh)

@@ -342,7 +342,7 @@ class Trainer:
             run is not None
             and "audio" in run
             and bool(run.audio.get("on_device", False))
-            and "audio" in self.batch_keys
+            and any(k.startswith("audio") for k in self.batch_keys)
         )
 
     @property
@@ -351,7 +351,7 @@ class Trainer:
         return (
             run is not None
             and bool(run.get("image_uint8", False))
-            and "image" in self.batch_keys
+            and any(k.startswith("image") for k in self.batch_keys)
         )
 
     @property
@@ -363,7 +363,7 @@ class Trainer:
             run is not None
             and "audio" in run
             and bool(run.audio.get("ship_int16", False))
-            and "audio" in self.batch_keys
+            and any(k.startswith("audio") for k in self.batch_keys)
         )
 
     @property
@@ -388,37 +388,45 @@ class Trainer:
     def device_frontend(self, args: Tuple, rngs, train: bool = True) -> Tuple:
         """Waveform → normalized log-mel (+ SpecAugment at train) and
         uint8 image → CLIP normalization, inside the jitted step — the fused
-        TPU-native frontend."""
+        TPU-native frontend. Applies to EVERY image-/audio-kind batch key
+        (``image``, ``image_v1``, ``audio_v2``, …): the siamese monitor's
+        view streams go through the same pipeline as the pivots."""
+        import jax.numpy as jnp
+
+        out = list(args)
+        audio_salt = 0
+        for i, key in enumerate(self.batch_keys):
+            x = out[i]
+            if x is None or not hasattr(x, "dtype"):
+                continue
+            if key.startswith("image"):
+                if x.dtype == jnp.uint8:
+                    from ..data.transforms_image import device_normalize_image
+
+                    out[i] = device_normalize_image(x)
+            elif key.startswith("audio"):
+                # distinct SpecAugment masks per audio view (salt), same
+                # featurization
+                out[i] = self._frontend_audio(x, rngs, train, salt=audio_salt)
+                audio_salt += 1
+        return tuple(out)
+
+    def _frontend_audio(self, wav, rngs, train: bool, salt: int = 0):
+        """One audio stream through the device frontend: int16-fbank
+        dequantization, or raw-PCM/float waveform → fbank (+ SpecAugment
+        at train)."""
         from ..ops.fbank import fbank_fixed_len
 
         import jax.numpy as jnp
 
-        if "image" in self.batch_keys:
-            iidx = self.batch_keys.index("image")
-            img = args[iidx]
-            if img is not None and hasattr(img, "dtype") and img.dtype == jnp.uint8:
-                from ..data.transforms_image import device_normalize_image
-
-                args = args[:iidx] + (device_normalize_image(img),) + args[iidx + 1 :]
-
-        if "audio" not in self.batch_keys:
-            return args
-        params, max_len, norms, freq_p, time_p = self._frontend_settings()
-        idx = self.batch_keys.index("audio")
-        wav = args[idx]
-        if (
-            wav is not None
-            and wav.ndim == 4
-            and hasattr(wav, "dtype")
-            and wav.dtype == jnp.int16
-        ):
+        if wav.ndim == 4 and wav.dtype == jnp.int16:
             # int16-quantized precomputed fbank [B, 1, T, M] — dequantize
             from ..data.image_audio import FBANK_INT16_SCALE
 
-            feats = wav.astype(jnp.float32) * (1.0 / FBANK_INT16_SCALE)
-            return args[:idx] + (feats,) + args[idx + 1 :]
-        if wav is None or wav.ndim != 2:  # absent or already featurized
-            return args
+            return wav.astype(jnp.float32) * (1.0 / FBANK_INT16_SCALE)
+        if wav.ndim != 2:  # already featurized
+            return wav
+        params, max_len, norms, freq_p, time_p = self._frontend_settings()
         if wav.dtype == jnp.int16:  # raw PCM shipped to cut H2D in half
             wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
             if bool(self.cfg.running.audio.get("zero_mean_wf", True)):
@@ -429,14 +437,13 @@ class Trainer:
 
             from ..ops import freq_mask, time_mask
 
-            key = _jax.random.fold_in(next(iter(rngs.values())), 17)
+            key = _jax.random.fold_in(next(iter(rngs.values())), 17 + salt)
             kf, kt = _jax.random.split(key)
             if freq_p:
                 feats = freq_mask(kf, feats, freq_p)
             if time_p:
                 feats = time_mask(kt, feats, time_p)
-        feats = feats[:, None]  # [B, 1, T, M]
-        return args[:idx] + (feats,) + args[idx + 1 :]
+        return feats[:, None]  # [B, 1, T, M]
 
     def eval_frontend_args(self, batch) -> Tuple:
         """Batch dict → model args for eval, routed through the device
@@ -445,7 +452,13 @@ class Trainer:
         precomputed-embedding passthrough)."""
         args = tuple(batch.get(k) for k in self.batch_keys)
         if self.needs_device_frontend:
-            args = self.device_frontend(args, None, train=False)
+            # jitted (memoized): the fbank/normalize ops fuse into one
+            # compiled program instead of eager per-op dispatches per batch
+            fn = self.memo(
+                "eval_frontend",
+                lambda: jax.jit(lambda a: self.device_frontend(a, None, train=False)),
+            )
+            args = fn(args)
         return args
 
     def loss_adapter(self, model, variables, batch, rngs):
@@ -614,11 +627,9 @@ class Trainer:
         if gold_file:
             msg = " " + self._gold_report(data, gold_file)
         self.timer.stop("report")
-        m12, m21 = sym["12"], sym["21"]
-        return (
-            f"I->A: t1 = {m12['t1']:2.2f} t5 = {m12['t5']:2.2f} "
-            f"A->I: t1 = {m21['t1']:2.2f} t5 = {m21['t5']:2.2f} @ {n}{msg}"
-        )
+        from ..eval.metrics import format_retrieval_report
+
+        return format_retrieval_report(sym, n) + msg
 
     def _gold_report(self, data, gold_file: str) -> str:
         """Per-class P/R/mAP via label clustering from a gold JSONL index
@@ -701,6 +712,10 @@ class Trainer:
         total, total_sq, count = 0.0, 0.0, 0
         for batch in loader:
             a = batch["audio"]
+            # pad_last eval loaders repeat the final item to the fixed
+            # batch shape; statistics must not count the padding rows
+            n_true = int(batch.get("_count", a.shape[0]))
+            a = a[:n_true]
             total += float(a.sum())
             total_sq += float((a ** 2).sum())
             count += a.size
