@@ -167,3 +167,28 @@ def test_async_retention_never_deletes_last_finalized(tmp_path):
         if step > 2:
             assert f"{step-2:08d}" not in present, present
     wait_for_saves()
+
+
+def test_partial_checkpoint_dirs_are_not_checkpoints(tmp_path):
+    """A crashed async save leaves a step dir without a committed state/;
+    latest_checkpoint must skip it, and retention must clean it up rather
+    than let it displace the last good checkpoint."""
+    import jax.numpy as jnp
+
+    from vipant_tpu.ckpt.orbax_io import latest_checkpoint, save_checkpoint
+
+    state = {"w": jnp.arange(4, dtype=jnp.float32)}
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 1, state)
+    # fabricate a crash leftover: config.json written, state never committed
+    import os
+
+    junk = os.path.join(d, "00000002")
+    os.makedirs(junk)
+    open(os.path.join(junk, "config.json"), "w").write("{}")
+
+    assert latest_checkpoint(d).endswith("00000001")
+
+    save_checkpoint(d, 3, state, keep_last=1)
+    present = sorted(x for x in os.listdir(d) if x.isdigit())
+    assert present == ["00000003"], present  # junk cleaned, keep_last honored

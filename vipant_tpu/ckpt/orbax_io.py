@@ -89,11 +89,10 @@ def save_checkpoint(
     """
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:08d}")
     primary = jax.process_index() == 0
-    if async_save:
-        # one in-flight save at a time: commit the previous one first, so
-        # device->host copies never race and retention below only ever
-        # sees finalized step dirs
-        wait_for_saves()
+    # one in-flight save at a time, REGARDLESS of this call's mode: a sync
+    # save issued while an async save commits must not prune/overwrite the
+    # in-flight step dir (the in-flight state is module-global)
+    wait_for_saves()
     if primary and os.path.exists(path):  # re-saving a step (resume) overwrites
         import shutil
 
@@ -125,17 +124,18 @@ def save_checkpoint(
         if keep_last > 0:
             import shutil
 
+            # only COMMITTED checkpoints (state/ atomically renamed into
+            # place by Orbax) count toward keep_last: the just-scheduled
+            # async save and any partial dir a crashed run left behind must
+            # not displace the last good checkpoint
+            root = os.path.abspath(ckpt_dir)
+            all_steps = [d for d in os.listdir(root) if re.fullmatch(r"\d{8}", d)]
+            for junk in all_steps:  # crash leftovers (never the in-flight dir)
+                if junk != f"{step:08d}" and not is_committed(os.path.join(root, junk)):
+                    shutil.rmtree(os.path.join(root, junk), ignore_errors=True)
             steps = sorted(
-                d
-                for d in os.listdir(os.path.abspath(ckpt_dir))
-                if re.fullmatch(r"\d{8}", d)
+                d for d in all_steps if is_committed(os.path.join(root, d))
             )
-            if async_save:
-                # the just-scheduled save is still in flight: it must not
-                # count toward keep_last, or keep_last=1 would delete the
-                # last FINALIZED checkpoint while the new one could still
-                # fail to commit
-                steps = [d for d in steps if d != f"{step:08d}"]
             # keep the newest N by step number, but never delete the checkpoint
             # just written (a resume from an earlier step saves a lower number
             # than stale later ones)
@@ -177,10 +177,21 @@ def load_checkpoint_config(path: str) -> Optional[Config]:
     return None
 
 
+def is_committed(step_dir: str) -> bool:
+    """True when the step dir holds a finalized state (Orbax renames the
+    tmp dir to ``state/`` atomically at commit) — partial dirs left by a
+    crashed/preempted async save have config.json but no ``state/``."""
+    return os.path.isdir(os.path.join(step_dir, "state"))
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [d for d in os.listdir(ckpt_dir) if re.fullmatch(r"\d{8}", d)]
+    steps = [
+        d
+        for d in os.listdir(ckpt_dir)
+        if re.fullmatch(r"\d{8}", d) and is_committed(os.path.join(ckpt_dir, d))
+    ]
     if not steps:
         return None
     return os.path.join(ckpt_dir, max(steps))

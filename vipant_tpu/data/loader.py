@@ -234,7 +234,9 @@ class DataLoader:
                                 # replaying augmentation streams
                                 seed = int(
                                     np.random.SeedSequence(
-                                        (self.seed, self.epoch, pos)
+                                        # mask: SeedSequence rejects negative
+                                        # entropy (configs may use seed=-1)
+                                        (self.seed % (2**31), self.epoch, pos)
                                     ).generate_state(1)[0]
                                 )
                                 futs.append(

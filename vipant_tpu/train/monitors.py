@@ -620,6 +620,11 @@ class ESCTrainer(Trainer):
             acc = classification_p1(preds, labels)
             accs.append(acc)
             self.echo.info(f"fold {fi}: p1 = {acc:2.2f}")
+            # release this fold's worker pools (process backend) — the
+            # loaders stay referenced in self.folds for the whole run
+            train_loader.shutdown()
+            if eval_loader is not None:
+                eval_loader.shutdown()
         mean, std = float(np.mean(accs)), float(np.std(accs))
         self.echo.info(f"summary: p1 = {mean:2.2f} ± {std:2.2f} over {len(accs)} folds")
         return mean
