@@ -1,0 +1,248 @@
+"""Pipeline parallelism (GPipe over the `pipe` mesh axis) on the virtual
+8-device CPU mesh: executor exactness, stacked-trunk equivalence, LARS
+semantics, sharding specs, and a full pipelined CVAP train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipant_tpu.config import compose
+from vipant_tpu.models import build_main_model, init_model, tunable_mask
+from vipant_tpu.optim import build_optimizer
+from vipant_tpu.optim.lars import lars
+from vipant_tpu.parallel import (
+    adapt_trunk_layout,
+    gpipe,
+    make_mesh,
+    param_shardings,
+    replicate,
+    shard_batch,
+    shard_params,
+    stack_block_tree,
+    unstack_block_tree,
+    unstack_in_tree,
+)
+from vipant_tpu.train import TrainState, make_train_step
+
+SMALL = [
+    "+running=bimodal",
+    "+model/image=vit_val",
+    "+model/audio=vit_val",
+    "+model/text=dummy",
+    "+model/loss=ce",
+    "+optimizer=standard",
+    "+running/audio=default",
+    "model.image.width=64",
+    "model.image.embed_dim=32",
+    "model.image.encoder.layers=2",
+    "model.image.heads=4",
+    "running.audio.max_len=100",
+    "model.audio.pre_encoder.stride=[16,24]",
+    "worker=CVAP",
+]
+
+
+def test_gpipe_exact_fwd_and_grad():
+    """Pipelined layer application == sequential, values and gradients,
+    composed with a sharded data axis (data=2, pipe=2)."""
+    mesh = make_mesh(data=2, model=2, pipe=2)
+    L, B, T, C = 4, 8, 5, 16
+    key = jax.random.PRNGKey(0)
+    Ws = jax.random.normal(key, (L, C, C)) * 0.3
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+
+    def stage(w, h):
+        return jnp.tanh(h @ w) + h
+
+    def seq(Ws, x):
+        return jax.lax.scan(lambda h, w: (stage(w, h), None), x, Ws)[0]
+
+    def piped(Ws, x):
+        return gpipe(stage, Ws, x, mesh=mesh, n_micro=2)
+
+    with jax.sharding.set_mesh(mesh):
+        y_seq = jax.jit(seq)(Ws, x)
+        y_pipe = jax.jit(piped)(Ws, x)
+        np.testing.assert_allclose(
+            np.asarray(y_seq), np.asarray(y_pipe), rtol=1e-6, atol=1e-6
+        )
+        g_seq = jax.jit(jax.grad(lambda W, x: (seq(W, x) ** 2).sum()))(Ws, x)
+        g_pipe = jax.jit(jax.grad(lambda W, x: (piped(W, x) ** 2).sum()))(Ws, x)
+        np.testing.assert_allclose(
+            np.asarray(g_seq), np.asarray(g_pipe), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_layout_converters_roundtrip():
+    rng = np.random.default_rng(0)
+    tree = {
+        f"block_{i}": {
+            "attn": {"qkv": {"kernel": rng.standard_normal((4, 12)).astype(np.float32)}},
+            "ln_1": {"scale": rng.standard_normal(4).astype(np.float32)},
+        }
+        for i in range(3)
+    }
+    stacked = stack_block_tree(tree)
+    assert stacked["attn"]["qkv"]["kernel"].shape == (3, 4, 12)
+    back = unstack_block_tree(stacked)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(back[f"block_{i}"]["ln_1"]["scale"]),
+            tree[f"block_{i}"]["ln_1"]["scale"],
+        )
+    # adapt: unrolled -> stacked target and back
+    target_stacked = {"encoder": {"transformer": {"blocks": stacked}}}
+    src_unrolled = {"encoder": {"transformer": dict(tree)}}
+    adapted = adapt_trunk_layout(src_unrolled, target_stacked)
+    assert adapted["encoder"]["transformer"]["blocks"]["attn"]["qkv"]["kernel"].shape == (3, 4, 12)
+    again = adapt_trunk_layout(adapted, src_unrolled)
+    assert "block_2" in again["encoder"]["transformer"]
+    # unstack_in_tree finds stacked trunks anywhere
+    flat = unstack_in_tree(target_stacked)
+    assert "block_1" in flat["encoder"]["transformer"]
+
+
+def test_stacked_transformer_matches_unrolled():
+    """StackedTransformer(converted params) ≡ Transformer, with and
+    without a causal mask."""
+    from vipant_tpu.nn.layers import StackedTransformer, Transformer, causal_mask
+
+    B, T, C, H, L = 2, 7, 32, 4, 3
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, T, C)), jnp.float32)
+    unrolled = Transformer(layers=L, num_heads=H)
+    stacked = StackedTransformer(layers=L, num_heads=H)
+    pu = unrolled.init(jax.random.PRNGKey(0), x)["params"]
+    ps = {"blocks": stack_block_tree(pu)}
+    for mask in (None, causal_mask(T)):
+        y_u = unrolled.apply({"params": pu}, x, mask)
+        y_s = stacked.apply({"params": ps}, x, mask)
+        np.testing.assert_allclose(
+            np.asarray(y_u), np.asarray(y_s), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_lars_stacked_equals_unrolled():
+    """The LARS update on a pipeline-stacked trunk must equal the update on
+    the unrolled layout (per-layer trust ratios, ndim-1 grouping)."""
+    rng = np.random.default_rng(0)
+    L = 3
+    blocks = {
+        f"block_{i}": {
+            "kernel": rng.standard_normal((8, 8)).astype(np.float32),
+            "bias": rng.standard_normal(8).astype(np.float32),
+        }
+        for i in range(L)
+    }
+    grads_u = jax.tree_util.tree_map(lambda p: 0.1 * p + 0.01, blocks)
+    params_u = {"trunk": blocks}
+    grads_uu = {"trunk": grads_u}
+    params_s = {"trunk": {"blocks": stack_block_tree(blocks)}}
+    grads_s = {"trunk": {"blocks": stack_block_tree(grads_u)}}
+
+    tx = lars(lambda step: 0.1)
+    st_u = tx.init(params_u)
+    st_s = tx.init(params_s)
+    up_u, _ = tx.update(grads_uu, st_u, params_u)
+    up_s, _ = tx.update(grads_s, st_s, params_s)
+    up_s_unrolled = unstack_block_tree(up_s["trunk"]["blocks"])
+    for i in range(L):
+        for k in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(up_u["trunk"][f"block_{i}"][k]),
+                np.asarray(up_s_unrolled[f"block_{i}"][k]),
+                rtol=1e-6,
+                atol=1e-7,
+            )
+
+
+def test_param_shardings_pipe_axis():
+    mesh = make_mesh(data=2, model=1, pipe=2)
+    params = {
+        "encoder": {
+            "transformer": {
+                "blocks": {
+                    "mlp": {"fc": {"kernel": jnp.zeros((4, 8, 32))}},
+                    "ln_1": {"scale": jnp.zeros((4, 8))},
+                }
+            }
+        },
+        "misc": {"pos": jnp.zeros((10, 8))},
+    }
+    shardings = param_shardings(params, mesh)
+    blk = shardings["encoder"]["transformer"]["blocks"]
+    assert blk["mlp"]["fc"]["kernel"].spec == jax.sharding.PartitionSpec("pipe")
+    assert blk["ln_1"]["scale"].spec == jax.sharding.PartitionSpec("pipe")
+    assert shardings["misc"]["pos"].spec == jax.sharding.PartitionSpec()
+
+
+def test_pipelined_cvap_step_matches_plain():
+    """One CVAP train step with pipeline-stacked towers on a data=2·pipe=2
+    mesh == the plain unstacked single-device step: same loss, same updated
+    params (modulo layout)."""
+    cfg = compose(SMALL + ["compute_dtype=float32"])
+    model = build_main_model(cfg)
+    variables = init_model(cfg, model)
+    mask = tunable_mask(cfg, variables["params"])
+    tx, _ = build_optimizer(cfg.optimizer, steps_per_epoch=10, tunable_mask=mask)
+
+    cfg_p = compose(SMALL + [
+        "compute_dtype=float32",
+        "mesh.pipe=2",
+        "model.image.stacked=true",
+        "model.audio.stacked=true",
+    ])
+    model_p = build_main_model(cfg_p)
+    variables_p = init_model(cfg_p, model_p)
+    params_p = adapt_trunk_layout(variables["params"], variables_p["params"])
+    mask_p = tunable_mask(cfg_p, params_p)
+    tx_p, _ = build_optimizer(cfg_p.optimizer, steps_per_epoch=10, tunable_mask=mask_p)
+
+    rng = np.random.default_rng(0)
+    B = 8
+    images = rng.standard_normal((B, 3, 224, 224)).astype(np.float32)
+    audios = rng.standard_normal((B, 1, 100, 128)).astype(np.float32)
+
+    # plain single-device step
+    step = make_train_step(model, tx, donate=False)
+    state0 = TrainState.create(variables["params"], tx)
+    state1, m1 = step(state0, jnp.asarray(images), jnp.asarray(audios))
+
+    # pipelined sharded step
+    mesh = make_mesh(data=2, model=1, pipe=2)
+    step_p = make_train_step(model_p, tx_p, donate=False)
+    with jax.sharding.set_mesh(mesh):
+        placed = shard_params(params_p, mesh)
+        state0p = TrainState.create(placed, tx_p)
+        bi, ba = shard_batch((images, audios), mesh)
+        state2, m2 = step_p(state0p, bi, ba)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-4)
+    got = unstack_in_tree(jax.device_get(state2.params))
+    want = jax.device_get(state1.params)
+    flat_g = {"/".join(map(str, p)): v for p, v in jax.tree_util.tree_leaves_with_path(got)}
+    flat_w = {"/".join(map(str, p)): v for p, v in jax.tree_util.tree_leaves_with_path(want)}
+    assert set(flat_g) == set(flat_w)
+    worst = max(
+        float(np.max(np.abs(np.asarray(flat_g[k]) - np.asarray(flat_w[k]))))
+        for k in flat_w
+    )
+    assert worst < 2e-4, worst
+
+
+def test_stacked_without_pipe_axis_runs_sequentially():
+    """A stacked trunk outside any mesh runs the lax.scan path and matches
+    the unrolled module (serving a pipeline-trained export on one chip)."""
+    cfg_p = compose(SMALL + ["compute_dtype=float32", "model.audio.stacked=true"])
+    model_p = build_main_model(cfg_p)
+    variables_p = init_model(cfg_p, model_p)
+    cfg = compose(SMALL + ["compute_dtype=float32"])
+    model = build_main_model(cfg)
+    params_u = adapt_trunk_layout(variables_p["params"], init_model(cfg, model)["params"])
+
+    audios = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 1, 100, 128)), jnp.float32
+    )
+    e_p = model_p.apply({"params": variables_p["params"]}, audios, method=model_p.encode_audio)
+    e_u = model.apply({"params": params_u}, audios, method=model.encode_audio)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_u), rtol=2e-5, atol=2e-5)

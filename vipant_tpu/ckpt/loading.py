@@ -41,6 +41,9 @@ def apply_reference_ckpt(model, variables, path: str, echo=None):
             params["loss"] = {**params["loss"], "logit_scale": extra["logit_scale"]}
     if echo is not None:
         echo.info(f"loaded reference checkpoint {path} ({sorted(parts)})")
+    from ..parallel.pipeline import adapt_trunk_layout
+
+    params = adapt_trunk_layout(params, variables["params"])
     return {**variables, "params": params}
 
 

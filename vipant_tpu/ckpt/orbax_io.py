@@ -107,8 +107,12 @@ def save_checkpoint(
         ckptr.save(os.path.join(path, "state"), state)
         ckptr.wait_until_finished()
     if model_only is not None:
-        # collective gather so model-axis-sharded weights export whole
-        model_host = host_local_tree(model_only)
+        # collective gather so model-axis-sharded weights export whole;
+        # canonical export layout is the unrolled block_{i} trunk (stacked
+        # pipeline trunks are re-laid — parallel/pipeline.py)
+        from ..parallel.pipeline import unstack_in_tree
+
+        model_host = unstack_in_tree(host_local_tree(model_only))
     if primary:
         os.makedirs(path, exist_ok=True)  # async: state/ may still be in flight
         if cfg is not None:

@@ -119,7 +119,9 @@ def export_reference_pth(
     import torch
 
     def to_sd(kind, tree):
-        sd = _EXPORTERS[kind](tree)
+        from ..parallel.pipeline import unstack_in_tree
+
+        sd = _EXPORTERS[kind](unstack_in_tree(tree))
         return {k: torch.from_numpy(np.asarray(v, np.float32).copy()) for k, v in sd.items()}
 
     if "image" in parts or "text" in parts:

@@ -318,6 +318,11 @@ def port_model_from_clip(cfg, module, variables, clip_sd) -> Dict:
         )
         params = _copy_logit_scales(params, scale)
 
+    # pipeline-stacked trunks store blocks [L, ...]; porters emit the
+    # unrolled block_{i} layout — re-lay to match the model
+    from ..parallel.pipeline import adapt_trunk_layout
+
+    params = adapt_trunk_layout(params, variables["params"])
     out = {**variables, "params": params}
     out.update(extra)
     return out

@@ -78,6 +78,9 @@ class VisionTower(nn.Module):
     # also cuts transformer FLOPs roughly by the drop rate. Static shapes:
     # the keep-count is fixed at trace time.
     patchout: float = 0.0
+    # layer-stacked trunk for pipeline parallelism (parallel/pipeline.py)
+    stacked: bool = False
+    pipe_microbatches: Optional[int] = None
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -148,6 +151,8 @@ class VisionTower(nn.Module):
             heads=self.heads,
             use_attn_mask=False,
             remat=self.remat,
+            stacked=self.stacked,
+            pipe_microbatches=self.pipe_microbatches,
             name="encoder",
             **kw,
         )(h)
@@ -175,6 +180,8 @@ class TextTower(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    stacked: bool = False
+    pipe_microbatches: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -201,6 +208,8 @@ class TextTower(nn.Module):
             heads=self.heads,
             use_attn_mask=True,
             remat=self.remat,
+            stacked=self.stacked,
+            pipe_microbatches=self.pipe_microbatches,
             name="encoder",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -256,6 +265,8 @@ def _vision_from_cfg(cfg, dtype, param_dtype, remat) -> VisionTower:
         in_channels=int(pre.get("in_channels", 3)),
         backbone=backbone,
         patchout=float(cfg.get("patchout", 0.0) or 0.0),
+        stacked=bool(cfg.get("stacked", False)),
+        pipe_microbatches=cfg.get("pipe_microbatches", None),
         **_common(cfg, dtype, param_dtype, remat),
     )
 
@@ -288,6 +299,8 @@ def build_clip_text_head(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=
         dtype=dtype,
         param_dtype=param_dtype,
         remat=remat,
+        stacked=bool(cfg.get("stacked", False)),
+        pipe_microbatches=cfg.get("pipe_microbatches", None),
     )
 
 

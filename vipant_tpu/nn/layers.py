@@ -377,6 +377,68 @@ def causal_mask(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.triu(jnp.full((n, n), -jnp.inf, dtype=dtype), k=1)
 
 
+class StackedTransformer(nn.Module):
+    """``Transformer``'s pipeline-parallel twin: the same residual-block
+    stack, but every layer's parameters live stacked on a leading ``[L]``
+    axis under one ``blocks`` param — so a ``pipe`` mesh axis can shard
+    whole layers (GPipe, ``parallel/pipeline.py``) and sequential execution
+    is a single ``lax.scan`` (one trace for all layers).
+
+    Same math as the unrolled ``Transformer`` given converted params
+    (``parallel.pipeline.stack_block_tree``); pinned in
+    ``tests/test_pipeline.py``. No reference counterpart — the reference
+    scales by DDP only (`/root/reference/train.py:17-35`)."""
+
+    layers: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    remat: bool = False
+    act: str = "quick_gelu"
+    clip_init: Optional[bool] = None
+    pipe_microbatches: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        use_clip_init = (
+            self.clip_init if self.clip_init is not None else self.act == "quick_gelu"
+        )
+        blk = ResidualAttentionBlock(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            act=self.act,
+            n_layers=self.layers if use_clip_init else None,
+        )
+        dummy = jnp.zeros((1, 1, x.shape[-1]), self.dtype)
+
+        def init_fn(rng):
+            rs = jax.random.split(rng, self.layers)
+            return jax.vmap(lambda r: blk.init(r, dummy)["params"])(rs)
+
+        stack = self.param("blocks", init_fn)
+
+        def stage(p, h, m=None):
+            return blk.apply({"params": p}, h, m)
+
+        if self.remat:
+            stage = jax.checkpoint(stage)
+
+        from ..parallel.pipeline import gpipe, pipe_mesh_info
+
+        mesh, S = pipe_mesh_info()
+        if S > 1 and self.layers % S == 0:
+            consts = () if mask is None else (mask,)
+            fn = stage if mask is not None else (lambda p, h: stage(p, h, None))
+            return gpipe(
+                fn, stack, x, mesh=mesh,
+                n_micro=self.pipe_microbatches, consts=consts,
+            )
+        return jax.lax.scan(lambda h, p: (stage(p, h, mask), None), x, stack)[0]
+
+
 class Transformer(nn.Module):
     """Stack of residual attention blocks with optional gradient
     rematerialization (jax.checkpoint) for long-sequence audio towers."""

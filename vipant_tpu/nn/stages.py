@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..ops.interp import interp_pos_grid
 from ..utils import Registry
-from .layers import LayerNorm, Transformer, causal_mask
+from .layers import LayerNorm, StackedTransformer, Transformer, causal_mask
 
 Dtype = Any
 
@@ -268,11 +268,25 @@ class TransformerBackbone(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    # layer-stacked trunk: params live [L, ...] so a `pipe` mesh axis can
+    # shard whole layers (GPipe pipeline parallelism, parallel/pipeline.py)
+    stacked: bool = False
+    pipe_microbatches: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip_attn_mask: Optional[bool] = None) -> jnp.ndarray:
         use_mask = self.use_attn_mask if skip_attn_mask is None else not skip_attn_mask
         mask = causal_mask(x.shape[1]) if use_mask else None
+        if self.stacked:
+            return StackedTransformer(
+                layers=self.layers,
+                num_heads=self.heads,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                remat=self.remat,
+                pipe_microbatches=self.pipe_microbatches,
+                name="transformer",
+            )(x, mask=mask)
         return Transformer(
             layers=self.layers,
             num_heads=self.heads,

@@ -317,6 +317,14 @@ def _mesh_info(heads: int):
         return None, 1
     if mesh is None or getattr(mesh, "empty", True) or "data" not in mesh.axis_names:
         return None, 1
+    types = getattr(mesh, "axis_types", None)
+    if types is not None:
+        vals = types.values() if hasattr(types, "values") else types
+        if any("Manual" in str(t) for t in vals):
+            # already inside a shard_map body (e.g. a gpipe pipeline stage,
+            # parallel/pipeline.py) — run the plain per-device kernel; a
+            # nested shard_map over manual axes would be an error
+            return None, 1
     tp = 1
     if (
         "model" in mesh.axis_names

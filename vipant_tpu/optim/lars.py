@@ -79,8 +79,15 @@ def lars(
     momentum: float = 0.9,
     eta: float = 0.001,
     weight_decay: float = 1e-6,
+    stacked_key: str = "blocks",
 ) -> optax.GradientTransformation:
-    """LARS over a params pytree; per-leaf group by ndim (>1 = weight)."""
+    """LARS over a params pytree; per-leaf group by ndim (>1 = weight).
+
+    Leaves under a ``stacked_key`` subtree (the pipeline-stacked trunk,
+    nn.layers.StackedTransformer) carry a leading layer axis: grouping uses
+    ``ndim - 1`` and trust-ratio norms are computed per layer slice, so the
+    update is numerically identical to LARS over the unrolled layout
+    (pinned in ``tests/test_pipeline.py``)."""
 
     def init_fn(params):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -90,11 +97,21 @@ def lars(
         assert params is not None, "lars requires params"
         lr = lr_fn(state.count)
 
-        def new_v(g, p, v):
-            if _is_weight(p):
+        def new_v(path, g, p, v):
+            is_stacked = any(
+                str(getattr(k, "key", getattr(k, "name", ""))) == stacked_key
+                for k in path
+            )
+            ndim = p.ndim - (1 if is_stacked else 0)
+            if ndim > 1:
                 d = g + weight_decay * p
-                p_norm = jnp.linalg.norm(p)
-                d_norm = jnp.linalg.norm(d)
+                if is_stacked:
+                    axes = tuple(range(1, p.ndim))
+                    p_norm = jnp.sqrt(jnp.sum(jnp.square(p), axes, keepdims=True))
+                    d_norm = jnp.sqrt(jnp.sum(jnp.square(d), axes, keepdims=True))
+                else:
+                    p_norm = jnp.linalg.norm(p)
+                    d_norm = jnp.linalg.norm(d)
                 q = jnp.where(
                     (p_norm > 0.0) & (d_norm > 0.0),
                     eta * p_norm / jnp.maximum(d_norm, 1e-12),
@@ -106,7 +123,9 @@ def lars(
                 local_lr = lr * lr_bias
             return momentum * v + local_lr * d
 
-        new_momentum = jax.tree_util.tree_map(new_v, updates, params, state.momentum)
+        new_momentum = jax.tree_util.tree_map_with_path(
+            new_v, updates, params, state.momentum
+        )
         new_updates = jax.tree_util.tree_map(lambda v: -v, new_momentum)
         return new_updates, LarsState(momentum=new_momentum, count=state.count + 1)
 

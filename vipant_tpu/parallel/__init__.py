@@ -1,6 +1,14 @@
-"""SPMD parallelism: mesh, sharding, gradient cache."""
+"""SPMD parallelism: mesh, sharding, gradient cache, pipeline."""
 
 from .grad_cache import grad_cache_value_and_grad
+from .pipeline import (
+    adapt_trunk_layout,
+    gpipe,
+    pipe_mesh_info,
+    stack_block_tree,
+    unstack_block_tree,
+    unstack_in_tree,
+)
 from .mesh import (
     batch_sharding,
     distributed_init,
@@ -13,13 +21,19 @@ from .mesh import (
 )
 
 __all__ = [
+    "adapt_trunk_layout",
     "batch_sharding",
     "distributed_init",
+    "gpipe",
     "grad_cache_value_and_grad",
     "make_mesh",
     "param_shardings",
+    "pipe_mesh_info",
     "replicate",
     "replicated",
     "shard_batch",
     "shard_params",
+    "stack_block_tree",
+    "unstack_block_tree",
+    "unstack_in_tree",
 ]

@@ -35,16 +35,24 @@ def distributed_init(
 
 
 def make_mesh(
-    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+    data: int = -1,
+    model: int = 1,
+    pipe: int = 1,
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
+    """3-axis mesh: ``data`` (batch), ``model`` (tensor parallel), ``pipe``
+    (pipeline stages, parallel/pipeline.py). Unused axes have size 1."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
-    arr = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        assert n % (model * pipe) == 0, (
+            f"{n} devices not divisible by model={model}·pipe={pipe}"
+        )
+        data = n // (model * pipe)
+    need = data * model * pipe
+    assert need <= n, f"mesh {data}x{model}x{pipe} needs more than {n} devices"
+    arr = np.asarray(devices[:need]).reshape(data, model, pipe)
+    return Mesh(arr, axis_names=("data", "model", "pipe"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -96,9 +104,13 @@ def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
       head block inside shard_map (ops/fused_attn.py); sharding the packed
       [C, 3C] layout would only force an all-gather at the kernel boundary
       (head blocks are strided, not contiguous, in that layout).
+    - Stacked pipeline trunks (``.../blocks/...`` leaves with a leading
+      layer axis, nn.layers.StackedTransformer) shard that axis over the
+      ``pipe`` mesh axis — whole layers live on their stage's devices.
     - Everything else (embeddings, pos-embs, projections, norms) replicates.
     """
     msize = mesh.shape["model"]
+    psize = int(mesh.shape.get("pipe", 1)) if "pipe" in mesh.axis_names else 1
 
     def keys_of(path):
         return "/".join(
@@ -122,9 +134,19 @@ def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
                 sharded_fc.add(keys[: -len("kernel")])
 
     def spec(path, x):
-        if msize <= 1 or not hasattr(x, "ndim"):
+        if not hasattr(x, "ndim"):
             return NamedSharding(mesh, P())
         keys = keys_of(path)
+        if (
+            psize > 1
+            and "/blocks/" in f"/{keys}/"
+            and x.ndim >= 1
+            and x.shape[0] % psize == 0
+        ):
+            # pipeline-stacked trunk: layer axis over pipe stages
+            return NamedSharding(mesh, P("pipe"))
+        if msize <= 1:
+            return NamedSharding(mesh, P())
         if x.ndim == 2 and x.size >= min_size:
             if keys.endswith("mlp/fc/kernel") and x.shape[-1] % msize == 0:
                 return NamedSharding(mesh, P(None, "model"))

@@ -143,7 +143,28 @@ class InferenceEngine:
                         "weights, or export a checkpoint covering all towers"
                     )
             params = dict(variables["params"])
+            # exports are canonically unrolled (block_{i}); if this model
+            # was configured with a pipeline-stacked trunk, re-lay the
+            # loaded tree to match before key-by-key application
+            src_nested: dict = {}
             for flat_key in data.files:
+                node, parts = src_nested, flat_key.split(".")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = data[flat_key]
+            from .parallel.pipeline import adapt_trunk_layout
+
+            src_nested = adapt_trunk_layout(src_nested, params)
+
+            def _flat(prefix, tree):
+                for k, v in tree.items():
+                    key = f"{prefix}.{k}" if prefix else k
+                    if isinstance(v, dict):
+                        yield from _flat(key, v)
+                    else:
+                        yield key, v
+
+            for flat_key, value in _flat("", src_nested):
                 node, parts = params, flat_key.split(".")
                 for p in parts[:-1]:
                     if p not in node:
@@ -159,13 +180,13 @@ class InferenceEngine:
                         "model — export/config mismatch"
                     )
                 have = np.shape(node[leaf])
-                want = data[flat_key].shape
+                want = np.shape(value)
                 if tuple(have) != tuple(want):
                     raise ValueError(
                         f"{npz} key {flat_key!r} has shape {want}, model "
                         f"expects {have} — export/config mismatch"
                     )
-                node[leaf] = data[flat_key]
+                node[leaf] = value
             self.echo.info(f"loaded weight export {npz} ({len(data.files)} arrays)")
             return {**variables, "params": params}
         clip_path = clip_weights_path(self.cfg)

@@ -67,7 +67,12 @@ class Trainer:
         out_dir = os.path.join(str(cfg.alias_root), str(cfg.model_name))
         self.out_dir = out_dir
         self.echo = echo or setup_logger(out_dir, rank=jax.process_index(), verbose=bool(cfg.verbose))
-        self.mesh = make_mesh(int(cfg.mesh.get("data", -1)), int(cfg.mesh.get("model", 1)))
+        self.mesh = make_mesh(
+            int(cfg.mesh.get("data", -1)),
+            int(cfg.mesh.get("model", 1)),
+            int(cfg.mesh.get("pipe", 1)),
+        )
+        self._apply_pipeline_cfg()
         self.timer = PhaseTimer()
         self.eval_mode = bool(cfg.get("eval", False))
         self.global_step = 0
@@ -81,6 +86,27 @@ class Trainer:
             f"model params: {numel(self.state.params) + numel(self.state.frozen_params or {}):,} "
             f"(tunable {numel(self.state.params):,}) mesh {dict(self.mesh.shape)}"
         )
+
+    def _apply_pipeline_cfg(self) -> None:
+        """mesh.pipe > 1: mark transformer-trunk towers as layer-stacked so
+        the pipeline executor (parallel/pipeline.py) can shard whole layers
+        over the pipe axis. Explicit per-head ``stacked`` settings win."""
+        cfg = self.cfg
+        pipe = int(cfg.mesh.get("pipe", 1))
+        if pipe <= 1 or "model" not in cfg:
+            return
+        mb = cfg.mesh.get("microbatches", None)
+        for key in ("image", "image_v", "audio", "text"):
+            head = cfg.model.get(key)
+            if head is None or not hasattr(head, "get"):
+                continue
+            enc = head.get("encoder")
+            if enc is None or str(enc.get("name", "")) != "TransformerBackbone":
+                continue
+            if head.get("stacked", None) is None:
+                head["stacked"] = True
+            if mb and head.get("pipe_microbatches", None) is None:
+                head["pipe_microbatches"] = int(mb)
 
     # ------------------------------------------------------------------ data
     def loader_device_put(self, batch: Dict) -> Dict:
@@ -228,10 +254,14 @@ class Trainer:
         self.steps_per_epoch = max(steps_per_epoch, 1)
         self.tx, self.lr_schedule = build_optimizer(cfg.optimizer, self.steps_per_epoch)
         with jax.sharding.set_mesh(self.mesh):
-            if int(self.mesh.shape.get("model", 1)) > 1:
+            if (
+                int(self.mesh.shape.get("model", 1)) > 1
+                or int(self.mesh.shape.get("pipe", 1)) > 1
+            ):
                 # Megatron-style MLP weight sharding over the model axis
                 # (attention weights replicate; the fused kernel
-                # head-parallelizes compute — see parallel.param_shardings)
+                # head-parallelizes compute) and/or layer sharding of
+                # stacked trunks over the pipe axis — parallel.param_shardings
                 from ..parallel import shard_params
 
                 trainable = shard_params(self.trainable, self.mesh)
