@@ -62,6 +62,10 @@ def build(B):
         "+optimizer=standard",
         "+running/audio=default",
         "model.audio.pre_encoder.stride=[16,24]",
+        # 4-pack the frozen image tower's T=50 sequences per attention call
+        # (block-diagonal mask; EXACT — measured +2.9% step throughput,
+        # experiments/pack_probe.py + docs/performance.md round-3 section)
+        "model.image.token_pack=4",
         "worker=CVAP",
         f"running.batch_size={B}",
     ])

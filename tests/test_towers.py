@@ -165,3 +165,23 @@ def test_vit_grid_square_with_custom_stride():
     # CLIP behavior unchanged when stride == patch
     grid, _, _ = vit_grid(224, 32)
     assert grid == (7, 7)
+
+
+def test_token_pack_exact_and_fallback():
+    """token_pack runs K items per attention call behind a block-diagonal
+    mask — exactly equal to the unpacked tower; non-divisible batches fall
+    back to unpacked. (TPU perf feature: see docs/performance.md round-3.)"""
+    cfg = small_cfg()
+    tower = build_image_head(cfg.model.image)
+    cfg_p = small_cfg()
+    cfg_p.model.image["token_pack"] = 4
+    packed = build_image_head(cfg_p.model.image)
+    assert packed.token_pack == 4
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 3, 224, 224)), jnp.float32)
+    params = tower.init(jax.random.PRNGKey(0), x)
+    y0 = tower.apply(params, x)
+    y1 = packed.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-5, atol=2e-6)
+    # B=6 not divisible by 4 -> unpacked path, still exact
+    y2 = packed.apply(params, x[:6])
+    np.testing.assert_allclose(np.asarray(y0[:6]), np.asarray(y2), rtol=2e-5, atol=2e-6)

@@ -274,9 +274,18 @@ class TransformerBackbone(nn.Module):
     pipe_microbatches: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, skip_attn_mask: Optional[bool] = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        skip_attn_mask: Optional[bool] = None,
+        attn_bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         use_mask = self.use_attn_mask if skip_attn_mask is None else not skip_attn_mask
         mask = causal_mask(x.shape[1]) if use_mask else None
+        if attn_bias is not None:
+            # constant additive bias (e.g. the token-pack block-diagonal
+            # mask) composes with the causal mask by addition
+            mask = attn_bias if mask is None else mask + attn_bias
         if self.stacked:
             return StackedTransformer(
                 layers=self.layers,
