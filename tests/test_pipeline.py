@@ -246,3 +246,44 @@ def test_stacked_without_pipe_axis_runs_sequentially():
     e_p = model_p.apply({"params": variables_p["params"]}, audios, method=model_p.encode_audio)
     e_u = model.apply({"params": params_u}, audios, method=model.encode_audio)
     np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_u), rtol=2e-5, atol=2e-5)
+
+def test_grad_cache_composes_with_pipeline():
+    """The gradient cache's lax.map/scan passes wrap the gpipe shard_map
+    cleanly: pipelined GC loss == plain GC loss (the north-star '+AT w/ GC'
+    feature must survive depth sharding)."""
+    from vipant_tpu.optim.partition import partition_params
+    from vipant_tpu.train.step import make_grad_cache_step
+
+    cfg = compose(SMALL + ["compute_dtype=float32"])
+    model = build_main_model(cfg)
+    variables = init_model(cfg, model)
+    params_host = jax.device_get(variables["params"])
+    mask = tunable_mask(cfg, variables["params"])
+    tr, fz = partition_params(variables["params"], mask)
+    tx, _ = build_optimizer(cfg.optimizer, steps_per_epoch=10)
+    rng = np.random.default_rng(0)
+    B = 8
+    images = rng.standard_normal((B, 3, 224, 224)).astype(np.float32)
+    audios = rng.standard_normal((B, 1, 100, 128)).astype(np.float32)
+    gc = make_grad_cache_step(model, tx, n_chunks=2, method_a="encode_image", method_b="encode_audio")
+    s0 = TrainState.create(tr, tx, frozen_params=fz)
+    _, m1 = gc(s0, jnp.asarray(images), jnp.asarray(audios))
+
+    cfg_p = compose(SMALL + [
+        "compute_dtype=float32", "mesh.pipe=2",
+        "model.image.stacked=true", "model.audio.stacked=true",
+    ])
+    model_p = build_main_model(cfg_p)
+    vars_p = init_model(cfg_p, model_p)
+    pp = adapt_trunk_layout(params_host, vars_p["params"])
+    mask_p = tunable_mask(cfg_p, pp)
+    trp, fzp = partition_params(pp, mask_p)
+    gcp = make_grad_cache_step(model_p, tx, n_chunks=2, method_a="encode_image", method_b="encode_audio")
+    mesh = make_mesh(data=2, model=1, pipe=2)
+    with jax.sharding.set_mesh(mesh):
+        trs = shard_params(trp, mesh)
+        fzs = shard_params(fzp, mesh)
+        sp0 = TrainState.create(trs, tx, frozen_params=fzs)
+        bi, ba = shard_batch((images, audios), mesh)
+        _, m2 = gcp(sp0, bi, ba)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)

@@ -51,7 +51,14 @@ class InferenceEngine:
     the XLA MLP path — docs/performance.md).
     """
 
-    def __init__(self, cfg, batch_size: int = 64, echo=None, fused_mlp: bool = True):
+    def __init__(
+        self,
+        cfg,
+        batch_size: int = 64,
+        echo=None,
+        fused_mlp: bool = True,
+        image_token_pack: int = 4,
+    ):
         import jax
 
         from .config import Config, compose
@@ -64,6 +71,20 @@ class InferenceEngine:
             # training keeps the XLA path (docs/performance.md)
             os.environ["VIPANT_FUSED_MLP"] = "1"
         self.cfg = cfg if isinstance(cfg, Config) else compose(list(cfg))
+        img = self.cfg.get("model", Config({})).get("image")
+        if (
+            image_token_pack > 1
+            and img is not None
+            and hasattr(img, "get")
+            and str(img.get("encoder", Config({})).get("name", ""))
+            == "TransformerBackbone"
+            and img.get("token_pack", None) is None
+            and batch_size % image_token_pack == 0
+        ):
+            # exact block-diagonal attention packing for the short (T=50)
+            # image sequences (docs/performance.md round-3); engine batches
+            # are zero-padded to batch_size so divisibility always holds
+            img["token_pack"] = int(image_token_pack)
         self.batch_size = int(batch_size)
         self.echo = echo or setup_logger(None, 0, verbose=False)
         self.model = build_main_model(self.cfg)
