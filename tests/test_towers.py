@@ -185,3 +185,24 @@ def test_token_pack_exact_and_fallback():
     # B=6 not divisible by 4 -> unpacked path, still exact
     y2 = packed.apply(params, x[:6])
     np.testing.assert_allclose(np.asarray(y0[:6]), np.asarray(y2), rtol=2e-5, atol=2e-6)
+
+
+def test_text_token_pack_exact():
+    """Packed captions behind a per-segment causal mask == unpacked text
+    tower (block-diagonal + causal composition)."""
+    cfg = small_cfg()
+    tower = build_text_head(cfg.model.text)
+    cfg_p = small_cfg()
+    cfg_p.model.text["token_pack"] = 4
+    packed = build_text_head(cfg_p.model.text)
+    ids = np.zeros((8, 77), np.int64)
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        n = int(rng.integers(3, 20))
+        ids[i, :n] = rng.integers(1, 400, n)
+        ids[i, n] = 49407  # EOT
+    ids = jnp.asarray(ids)
+    params = tower.init(jax.random.PRNGKey(0), ids)
+    y0 = tower.apply(params, ids)
+    y1 = packed.apply(params, ids)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-5, atol=2e-6)

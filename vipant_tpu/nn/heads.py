@@ -201,6 +201,10 @@ class TextTower(nn.Module):
     remat: bool = False
     stacked: bool = False
     pipe_microbatches: Optional[int] = None
+    # pack K captions per attention call (block-diagonal + causal mask =
+    # per-segment causal, exact) — T=77 pads to 128 lanes; measured −22%
+    # attention chain at serving batches (docs/performance.md round-3)
+    token_pack: int = 1
 
     @nn.compact
     def __call__(
@@ -221,6 +225,15 @@ class TextTower(nn.Module):
             param_dtype=self.param_dtype,
         )(ids, pos)
         h = AddonEncoder(name="pre_addon")(h)
+        k = int(self.token_pack or 1)
+        pack = k > 1 and h.shape[0] % k == 0
+        attn_bias = None
+        if pack:
+            B_full, Tt, C = h.shape
+            h = h.reshape(B_full // k, k * Tt, C)
+            eye = jnp.eye(k, dtype=jnp.float32)
+            blk = jnp.kron(1.0 - eye, jnp.ones((Tt, Tt), jnp.float32))
+            attn_bias = blk * -1e30
         h = TransformerBackbone(
             layers=self.layers,
             width=self.width,
@@ -232,7 +245,9 @@ class TextTower(nn.Module):
             name="encoder",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(h)
+        )(h, attn_bias=attn_bias)
+        if pack:
+            h = h.reshape(B_full, Tt, C)
         h = AddonEncoder(name="post_addon")(h)
         emb = GPTPostEncoder(
             width=self.width,
@@ -321,6 +336,7 @@ def build_clip_text_head(cfg, dtype=jnp.float32, param_dtype=jnp.float32, remat=
         remat=remat,
         stacked=bool(cfg.get("stacked", False)),
         pipe_microbatches=cfg.get("pipe_microbatches", None),
+        token_pack=int(cfg.get("token_pack", 1) or 1),
     )
 
 
