@@ -391,3 +391,40 @@ def test_fused_block_tp_saved_qkv(monkeypatch):
             atol=5e-3 * float(jnp.max(jnp.abs(g1))) + 1e-6,
             err_msg=f"TP saved-qkv grad mismatch for {name}",
         )
+
+
+def test_fused_block_tensor_parallel_with_pack_bias():
+    """Token-packing's block-diagonal bias under the TP head-parallel path:
+    values and grads equal the single-device biased run (the bias is
+    replicated into every head shard)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x, wqkv, bqkv, wout, bout = make(11, b=4)
+    half = T // 2
+    bias = np.zeros((T, T), np.float32)
+    bias[:half, half:] = -1e30
+    bias[half:, :half] = -1e30
+    bias = jnp.asarray(bias)
+
+    def loss(*args):
+        return jnp.sum(fused_attention_block(*args, bias=bias, heads=H) ** 2)
+
+    want = fused_attention_block(x, wqkv, bqkv, wout, bout, bias=bias, heads=H)
+    g_single = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wout, bout)
+
+    mesh = _tp_mesh()
+    with jax.sharding.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        out = jax.jit(
+            lambda *a: fused_attention_block(*a, bias=bias, heads=H)
+        )(xs, wqkv, bqkv, wout, bout)
+        g_tp = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(
+            xs, wqkv, bqkv, wout, bout
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4)
+    for gt, g1, name in zip(g_tp, g_single, ["x", "wqkv", "bqkv", "wout", "bout"]):
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(g1), rtol=5e-3,
+            atol=5e-3 * float(jnp.max(jnp.abs(g1))) + 1e-6,
+            err_msg=f"TP+bias grad mismatch for {name}",
+        )
