@@ -287,3 +287,54 @@ def test_grad_cache_composes_with_pipeline():
         bi, ba = shard_batch((images, audios), mesh)
         _, m2 = gcp(sp0, bi, ba)
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)
+
+
+def test_deit_blocks_name_collision():
+    """The DeiT tower nests its UNROLLED trunk under a module named
+    'blocks' (nn/deit.py) — the stacked-trunk machinery must not touch it:
+    exports stay intact, LARS keeps weight semantics, param_shardings
+    leaves it replicated on a pipe mesh."""
+    rng = np.random.default_rng(0)
+    deit_like = {
+        "audio": {
+            "blocks": {
+                f"block_{i}": {
+                    "attn": {"qkv": {"kernel": rng.standard_normal((8, 24)).astype(np.float32),
+                                      "bias": rng.standard_normal(24).astype(np.float32)}},
+                }
+                for i in range(2)
+            },
+            "patch_embed": {"kernel": rng.standard_normal((4, 8)).astype(np.float32)},
+        }
+    }
+    # 1. export path: unstack_in_tree is the identity on the unrolled trunk
+    out = unstack_in_tree(deit_like)
+    assert set(out["audio"]["blocks"]) == {"block_0", "block_1"}
+    np.testing.assert_array_equal(
+        np.asarray(out["audio"]["blocks"]["block_0"]["attn"]["qkv"]["kernel"]),
+        deit_like["audio"]["blocks"]["block_0"]["attn"]["qkv"]["kernel"],
+    )
+    # 2. adapt is a no-op between identical DeiT layouts
+    adapted = adapt_trunk_layout(deit_like, deit_like)
+    assert set(adapted["audio"]["blocks"]) == {"block_0", "block_1"}
+    # 3. LARS treats the 2-D kernels under blocks/block_i as WEIGHTS
+    from vipant_tpu.optim.lars import lars as make_lars
+
+    params = deit_like
+    grads = jax.tree_util.tree_map(lambda p: 0.1 * p + 0.01, params)
+    renamed = {"audio": {"trunk": params["audio"]["blocks"],
+               "patch_embed": params["audio"]["patch_embed"]}}
+    grads_renamed = {"audio": {"trunk": grads["audio"]["blocks"],
+                     "patch_embed": grads["audio"]["patch_embed"]}}
+    tx = make_lars(lambda step: 0.1)
+    up, _ = tx.update(grads, tx.init(params), params)
+    up_ref, _ = tx.update(grads_renamed, tx.init(renamed), renamed)
+    np.testing.assert_allclose(
+        np.asarray(up["audio"]["blocks"]["block_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(up_ref["audio"]["trunk"]["block_0"]["attn"]["qkv"]["kernel"]),
+        rtol=1e-7,
+    )
+    # 4. pipe mesh: DeiT leaves stay replicated (no P('pipe'))
+    mesh = make_mesh(data=2, model=1, pipe=2)
+    sh = param_shardings(jax.tree_util.tree_map(jnp.asarray, deit_like), mesh)
+    assert sh["audio"]["blocks"]["block_0"]["attn"]["qkv"]["kernel"].spec == jax.sharding.PartitionSpec()

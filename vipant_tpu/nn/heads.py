@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..utils import Registry
+from .layers import pack_tokens
 from .resnet import ResNetBackbone, ResNetPostEncoder, ResNetPreEncoder, resnet_grid
 from .stages import (
     AddonEncoder,
@@ -157,11 +158,8 @@ class VisionTower(nn.Module):
         pack = k > 1 and h.shape[0] % k == 0
         attn_bias = None
         if pack:
-            B_full, Tt, C = h.shape
-            h = h.reshape(B_full // k, k * Tt, C)
-            eye = jnp.eye(k, dtype=jnp.float32)
-            blk = jnp.kron(1.0 - eye, jnp.ones((Tt, Tt), jnp.float32))
-            attn_bias = blk * -1e30
+            B_full, Tt, _ = h.shape
+            h, attn_bias = pack_tokens(h, k)
         h = TransformerBackbone(
             layers=int(self.layers),
             width=self.width,
@@ -174,7 +172,7 @@ class VisionTower(nn.Module):
             **kw,
         )(h, attn_bias=attn_bias)
         if pack:
-            h = h.reshape(B_full, Tt, C)
+            h = h.reshape(B_full, Tt, h.shape[-1])
         h = AddonEncoder(name="post_addon")(h)
         out = ViTPostEncoder(
             width=self.width, embed_dim=self.embed_dim, name="post", **kw
@@ -229,11 +227,8 @@ class TextTower(nn.Module):
         pack = k > 1 and h.shape[0] % k == 0
         attn_bias = None
         if pack:
-            B_full, Tt, C = h.shape
-            h = h.reshape(B_full // k, k * Tt, C)
-            eye = jnp.eye(k, dtype=jnp.float32)
-            blk = jnp.kron(1.0 - eye, jnp.ones((Tt, Tt), jnp.float32))
-            attn_bias = blk * -1e30
+            B_full, Tt, _ = h.shape
+            h, attn_bias = pack_tokens(h, k)
         h = TransformerBackbone(
             layers=self.layers,
             width=self.width,
@@ -247,7 +242,7 @@ class TextTower(nn.Module):
             param_dtype=self.param_dtype,
         )(h, attn_bias=attn_bias)
         if pack:
-            h = h.reshape(B_full, Tt, C)
+            h = h.reshape(B_full, Tt, h.shape[-1])
         h = AddonEncoder(name="post_addon")(h)
         emb = GPTPostEncoder(
             width=self.width,

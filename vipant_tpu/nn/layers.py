@@ -377,6 +377,20 @@ def causal_mask(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.triu(jnp.full((n, n), -jnp.inf, dtype=dtype), k=1)
 
 
+def pack_tokens(h: jnp.ndarray, k: int):
+    """Token packing: ([B, T, C], k) → ([B/k, kT, C], additive [kT, kT]
+    block-diagonal mask). Attention behind the mask is EXACTLY k separate
+    attentions (softmax rows never mix items; LN/MLP are token-wise), but
+    short sequences stop wasting MXU lane tiles (docs/performance.md
+    round-3 token-packing entry). Composes additively with the causal mask
+    into per-segment causal attention."""
+    B, T, C = h.shape
+    assert B % k == 0, f"batch {B} not divisible by pack {k}"
+    eye = jnp.eye(k, dtype=jnp.float32)
+    bias = jnp.kron(1.0 - eye, jnp.ones((T, T), jnp.float32)) * -1e30
+    return h.reshape(B // k, k * T, C), bias
+
+
 class StackedTransformer(nn.Module):
     """``Transformer``'s pipeline-parallel twin: the same residual-block
     stack, but every layer's parameters live stacked on a leading ``[L]``

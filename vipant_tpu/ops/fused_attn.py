@@ -317,14 +317,13 @@ def _mesh_info(heads: int):
         return None, 1
     if mesh is None or getattr(mesh, "empty", True) or "data" not in mesh.axis_names:
         return None, 1
-    types = getattr(mesh, "axis_types", None)
-    if types is not None:
-        vals = types.values() if hasattr(types, "values") else types
-        if any("Manual" in str(t) for t in vals):
-            # already inside a shard_map body (e.g. a gpipe pipeline stage,
-            # parallel/pipeline.py) — run the plain per-device kernel; a
-            # nested shard_map over manual axes would be an error
-            return None, 1
+    from ..parallel.spmd import is_manual
+
+    if is_manual(mesh):
+        # already inside a shard_map body (e.g. a gpipe pipeline stage,
+        # parallel/pipeline.py) — run the plain per-device kernel; a
+        # nested shard_map over manual axes would be an error
+        return None, 1
     tp = 1
     if (
         "model" in mesh.axis_names
@@ -339,14 +338,9 @@ def _mesh_info(heads: int):
 
 
 def _smap(f, mesh, in_specs, out_specs):
-    try:
-        from jax import shard_map as sm
+    from ..parallel.spmd import smap
 
-        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
-    except (ImportError, TypeError):
-        from jax.experimental.shard_map import shard_map as sm2
-
-        return sm2(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+    return smap(f, mesh, in_specs, out_specs)
 
 
 def _slice_tp_weights(wqkv, bqkv, wout, heads, head_dim, tp):

@@ -12,7 +12,10 @@ learning-rate groups — weights at ``lr·lr_weight``, biases/gains at
 from __future__ import annotations
 
 import math
+import re
 from typing import Callable, NamedTuple, Optional
+
+_BLOCK_IDX_RE = re.compile(r"^block_\d+$")
 
 import jax
 import jax.numpy as jnp
@@ -68,10 +71,6 @@ class LarsState(NamedTuple):
     count: jnp.ndarray
 
 
-def _is_weight(p: jnp.ndarray) -> bool:
-    return p.ndim > 1
-
-
 def lars(
     lr_fn: Callable[[jnp.ndarray], jnp.ndarray],
     lr_weight: float = 0.2,
@@ -98,9 +97,14 @@ def lars(
         lr = lr_fn(state.count)
 
         def new_v(path, g, p, v):
-            is_stacked = any(
-                str(getattr(k, "key", getattr(k, "name", ""))) == stacked_key
-                for k in path
+            keys = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+            # a stacked pipeline trunk has a `blocks` ancestor but no
+            # unrolled `block_{i}` one — the DeiT tower nests its UNROLLED
+            # trunk under the same `blocks` name (nn/deit.py) and must keep
+            # plain per-tensor LARS semantics
+            is_stacked = (
+                stacked_key in keys
+                and not any(_BLOCK_IDX_RE.match(k) for k in keys)
             )
             ndim = p.ndim - (1 if is_stacked else 0)
             if ndim > 1:

@@ -13,6 +13,7 @@ rendezvous (`/root/reference/train.py:21-26`).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional, Sequence
 
 import jax
@@ -140,6 +141,10 @@ def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
         if (
             psize > 1
             and "/blocks/" in f"/{keys}/"
+            # NOT the DeiT tower's unrolled trunk, which also sits under a
+            # `blocks` module (nn/deit.py) — only StackedTransformer leaves
+            # (blocks/<param>, no block_{i} path segment) carry a layer axis
+            and not re.search(r"/block_\d+/", f"/{keys}/")
             and x.ndim >= 1
             and x.shape[0] % psize == 0
         ):

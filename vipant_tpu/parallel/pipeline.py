@@ -39,24 +39,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
-def _smap(f, mesh, in_specs, out_specs):
-    try:
-        from jax import shard_map as sm
-
-        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
-    except (ImportError, TypeError):
-        from jax.experimental.shard_map import shard_map as sm2
-
-        return sm2(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
-
-
-def _is_manual(mesh) -> bool:
-    """True inside a shard_map body (axes already mapped manually)."""
-    types = getattr(mesh, "axis_types", None)
-    if types is None:
-        return False
-    vals = types.values() if hasattr(types, "values") else types
-    return any("Manual" in str(t) for t in vals)
+from .spmd import is_manual as _is_manual, smap as _smap
 
 
 def pipe_mesh_info(axis: str = "pipe"):
@@ -190,6 +173,20 @@ def _is_block_dict(d) -> bool:
     return isinstance(d, dict) and any(_BLOCK_RE.match(k) for k in d)
 
 
+def is_stacked_blocks(d) -> bool:
+    """True for a StackedTransformer ``blocks`` subtree: a dict whose
+    children are NOT unrolled ``block_{i}`` entries (the DeiT tower nests
+    its *unrolled* trunk under the same ``blocks`` name — nn/deit.py) and
+    whose array leaves all share one leading layer axis."""
+    if not isinstance(d, dict) or _is_block_dict(d):
+        return False
+    leaves = jax.tree_util.tree_leaves(d)
+    if not leaves:
+        return False
+    dims = {getattr(x, "shape", (None,))[0] if getattr(x, "ndim", 0) >= 1 else None for x in leaves}
+    return len(dims) == 1 and None not in dims
+
+
 def adapt_trunk_layout(src: Any, target: Any) -> Any:
     """Recursively re-lay ``src`` params to match ``target``'s trunk layout:
     wherever ``target`` stores a stacked ``blocks`` subtree but ``src`` has
@@ -198,13 +195,23 @@ def adapt_trunk_layout(src: Any, target: Any) -> Any:
     (``ckpt/*`` emit the reference's unrolled layout)."""
     if not (isinstance(src, dict) and isinstance(target, dict)):
         return src
-    if "blocks" in target and "blocks" not in src and _is_block_dict(src):
+    if (
+        "blocks" in target
+        and is_stacked_blocks(target["blocks"])
+        and "blocks" not in src
+        and _is_block_dict(src)
+    ):
         rest = {k: v for k, v in src.items() if not _BLOCK_RE.match(k)}
         blocks = {k: v for k, v in src.items() if _BLOCK_RE.match(k)}
         out = {k: adapt_trunk_layout(v, target.get(k, v)) for k, v in rest.items()}
         out["blocks"] = stack_block_tree(blocks)
         return out
-    if _is_block_dict(target) and "blocks" in src and not _is_block_dict(src):
+    if (
+        _is_block_dict(target)
+        and "blocks" in src
+        and is_stacked_blocks(src["blocks"])
+        and not _is_block_dict(src)
+    ):
         rest = {k: v for k, v in src.items() if k != "blocks"}
         out = {k: adapt_trunk_layout(v, target.get(k, v)) for k, v in rest.items()}
         out.update(unstack_block_tree(src["blocks"]))
@@ -219,7 +226,7 @@ def unstack_in_tree(tree: Any) -> Any:
         return tree
     out = {}
     for k, v in tree.items():
-        if k == "blocks" and isinstance(v, dict):
+        if k == "blocks" and is_stacked_blocks(v):
             out.update(unstack_block_tree(v))
         else:
             out[k] = unstack_in_tree(v)

@@ -57,7 +57,7 @@ class InferenceEngine:
         batch_size: int = 64,
         echo=None,
         fused_mlp: bool = True,
-        image_token_pack: int = 4,
+        token_pack: int = 4,
     ):
         import jax
 
@@ -71,33 +71,27 @@ class InferenceEngine:
             # training keeps the XLA path (docs/performance.md)
             os.environ["VIPANT_FUSED_MLP"] = "1"
         self.cfg = cfg if isinstance(cfg, Config) else compose(list(cfg))
-        img = self.cfg.get("model", Config({})).get("image")
-        if (
-            image_token_pack > 1
-            and img is not None
-            and hasattr(img, "get")
-            and str(img.get("encoder", Config({})).get("name", ""))
-            == "TransformerBackbone"
-            and img.get("token_pack", None) is None
-            and batch_size % image_token_pack == 0
-        ):
-            # exact block-diagonal attention packing for the short (T=50)
-            # image sequences (docs/performance.md round-3); engine batches
-            # are zero-padded to batch_size so divisibility always holds
-            img["token_pack"] = int(image_token_pack)
-        txt = self.cfg.get("model", Config({})).get("text")
-        if (
-            image_token_pack > 1
-            and txt is not None
-            and hasattr(txt, "get")
-            and str(txt.get("encoder", Config({})).get("name", ""))
-            == "TransformerBackbone"
-            and txt.get("token_pack", None) is None
-            and batch_size % image_token_pack == 0
-        ):
-            # same packing for T=77 captions (per-segment causal; −22%
-            # measured on the attention chain at serving batches)
-            txt["token_pack"] = int(image_token_pack)
+        if token_pack > 1 and batch_size % token_pack == 0:
+            # exact block-diagonal attention packing for the short image
+            # (T=50) / caption (T=77, per-segment causal) sequences
+            # (docs/performance.md round-3); engine batches are zero-padded
+            # to batch_size so divisibility always holds. Patch a COPY —
+            # the caller's config may build a trainer later.
+            patched = Config(self.cfg.to_dict(resolve=False))
+            changed = False
+            for key in ("image", "text"):
+                head = patched.get("model", Config({})).get(key)
+                if (
+                    head is not None
+                    and hasattr(head, "get")
+                    and str(head.get("encoder", Config({})).get("name", ""))
+                    == "TransformerBackbone"
+                    and head.get("token_pack", None) is None
+                ):
+                    head["token_pack"] = int(token_pack)
+                    changed = True
+            if changed:
+                self.cfg = patched
         self.batch_size = int(batch_size)
         self.echo = echo or setup_logger(None, 0, verbose=False)
         self.model = build_main_model(self.cfg)
