@@ -450,7 +450,13 @@ class StackedTransformer(nn.Module):
                 fn, stack, x, mesh=mesh,
                 n_micro=self.pipe_microbatches, consts=consts,
             )
-        return jax.lax.scan(lambda h, p: (stage(p, h, mask), None), x, stack)[0]
+        # sequential path: STATIC unroll — a Pallas kernel inside a
+        # lax.scan/while body exceeds XLA's scoped-vmem accounting on TPU
+        # (same constraint as gpipe's per-stage unroll, parallel/pipeline.py)
+        for i in range(self.layers):
+            p_i = jax.tree_util.tree_map(lambda v, i=i: v[i], stack)
+            x = stage(p_i, x, mask)
+        return x
 
 
 class Transformer(nn.Module):

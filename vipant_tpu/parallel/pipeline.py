@@ -103,40 +103,33 @@ def gpipe(
     def per_device(p_loc, x_loc, *cs):
         sidx = jax.lax.axis_index(axis)
         xm = x_loc.reshape(M, mb, *x_loc.shape[1:])
+        n_loc = L // S
 
         def apply_stage(h):
-            def body(h, p):
-                return stage_fn(p, h, *cs), None
+            # STATIC unroll over this stage's layers: a Pallas kernel inside
+            # a lax.scan/while body blows XLA's scoped-vmem accounting on
+            # TPU (measured: "Scoped allocation ... exceeded scoped vmem
+            # limit" at the flagship shape); straight-line code compiles
+            # exactly like the unrolled Transformer does.
+            for i in range(n_loc):
+                p_i = jax.tree_util.tree_map(lambda v, i=i: v[i], p_loc)
+                h = stage_fn(p_i, h, *cs)
+            return h
 
-            return jax.lax.scan(body, h, p_loc)[0]
-
-        def tick(carry, t):
-            state, out = carry
+        state = jnp.zeros_like(xm[0])
+        outs = []
+        for t in range(steps):  # static tick unroll (M + S - 1 ticks)
             # stage 0 ingests microbatch t (clamped re-ingest during drain
             # is computed then discarded — SPMD cannot skip per-device work)
-            ing = jax.lax.dynamic_index_in_dim(
-                xm, jnp.clip(t, 0, M - 1), 0, keepdims=False
-            )
-            state = jnp.where(sidx == 0, ing, state)
+            state = jnp.where(sidx == 0, xm[min(t, M - 1)], state)
             y = apply_stage(state)
-            # the last stage emits microbatch t-(S-1)
-            widx = jnp.clip(t - (S - 1), 0, M - 1)
-            valid = (sidx == S - 1) & (t >= S - 1)
-            cur = jax.lax.dynamic_index_in_dim(out, widx, 0, keepdims=False)
-            out = jax.lax.dynamic_update_index_in_dim(
-                out, jnp.where(valid, y, cur), widx, 0
-            )
+            if t >= S - 1:  # the last stage emits microbatch t-(S-1)
+                outs.append(jnp.where(sidx == S - 1, y, jnp.zeros_like(y)))
             # shift stage outputs one hop down the pipe (stage 0 receives
             # zeros — overwritten by the next ingest)
-            nxt = jax.lax.ppermute(y, axis, [(i, i + 1) for i in range(S - 1)])
-            return (nxt, out), None
-
-        state0 = jnp.zeros_like(xm[0])
-        (_, out), _ = jax.lax.scan(
-            tick, (state0, jnp.zeros_like(xm)), jnp.arange(steps)
-        )
+            state = jax.lax.ppermute(y, axis, [(i, i + 1) for i in range(S - 1)])
         # only the last stage wrote real outputs; psum replicates them
-        out = jax.lax.psum(jnp.where(sidx == S - 1, out, jnp.zeros_like(out)), axis)
+        out = jax.lax.psum(jnp.stack(outs[:M]), axis)
         return out.reshape(x_loc.shape)
 
     xspec = P(data_axis) if dsize > 1 else P()
