@@ -345,3 +345,91 @@ def test_two_process_async_save_kill_resume(tmp_path):
     assert all("SAVE OK step=2" in out for _, out in outs), outs
     outs = _launch_pair(script, [str(tmp_path / "data"), "resume", "async"])
     assert all("RESUME OK step=4" in out for _, out in outs), outs
+
+
+PIPE_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1],
+        num_processes=2,
+        process_id=int(sys.argv[2]),
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vipant_tpu.parallel import gpipe
+
+    # pipe pairs SPAN the two processes: ppermute hops cross the process
+    # boundary (the multi-host pipeline path)
+    devs = np.array(jax.devices()).reshape(2, 2).T
+    mesh = Mesh(devs.reshape(2, 1, 2), ("data", "model", "pipe"))
+
+    L, B, T, C = 4, 8, 3, 8
+    rng = np.random.default_rng(0)  # same weights on every process
+    Ws = rng.standard_normal((L, C, C)).astype(np.float32) * 0.3
+    xg = rng.standard_normal((B, T, C)).astype(np.float32)
+
+    pid = jax.process_index()
+    with jax.sharding.set_mesh(mesh):
+        # each process's devices sit in BOTH data rows (pipe crosses the
+        # process boundary), so every process addresses the full batch
+        garr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), xg, (B, T, C)
+        )
+        y = jax.jit(
+            lambda W, x: gpipe(
+                lambda w, h: jnp.tanh(h @ w) + h, W, x, mesh=mesh, n_micro=2
+            )
+        )(Ws, garr)
+        total = float(jax.jit(jnp.sum)(y))
+
+    href = xg
+    for i in range(L):
+        href = np.tanh(href @ Ws[i]) + href
+    expect = float(href.sum())
+    assert abs(total - expect) < 1e-2 * max(1.0, abs(expect)), (total, expect)
+    print(f"proc {pid} OK pipe sum={total:.4f}")
+    """
+)
+
+
+def test_two_process_pipeline(tmp_path):
+    """GPipe with the pipe axis spanning two real processes: the ppermute
+    ring crosses the process boundary and the result matches sequential."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "pipe_worker.py"
+    script.write_text(PIPE_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = os.getcwd()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=120)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("multi-process CPU runtime timed out in this environment")
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        if rc != 0 and ("not implemented" in out.lower() or "unavailable" in out.lower()):
+            pytest.skip(f"multi-process unsupported: {out[-200:]}")
+        assert rc == 0, out[-2000:]
+        assert "OK pipe sum=" in out
