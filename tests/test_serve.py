@@ -246,3 +246,104 @@ def test_empty_batch_without_image_tower():
         batch_size=4,
     )
     assert eng.embed_texts([]).shape == (0, 32)
+
+
+def test_export_frame_embeddings_roundtrip(tmp_path):
+    """Generator + consumer of precomputed frame embeddings: the engine
+    writes {id}.{stem}.npz files and the VA train loader's
+    ``running.frame_emb`` path serves them verbatim as the image features
+    (reference consumed these, `/root/reference/cvap/data/image_audio.py`,
+    but shipped no generator)."""
+    from data_synth import make_synth_va_index
+    from vipant_tpu.data import build_image_audio_dataloader
+
+    root = str(tmp_path)
+    make_synth_va_index(root, "train", n=6, seconds=1.05)
+    ov = [
+        "+running=bimodal",
+        "+model/image=vit_val",
+        "+model/audio=vit_val",
+        "+model/text=dummy",
+        "+model/loss=ce",
+        "+optimizer=standard",
+        "+running/audio=default",
+        "worker=CVAP",
+        "model.image.width=64",
+        "model.image.embed_dim=32",
+        "model.image.encoder.layers=2",
+        "model.image.heads=4",
+        "running.audio.max_len=100",
+        "model_file=",
+        "eval=True",
+    ]
+    eng = InferenceEngine(ov, batch_size=4)
+    out_dir = os.path.join(root, "femb")
+    n = eng.export_frame_embeddings(os.path.join(root, "train.jsonl"), out_dir)
+    assert n == 6
+    saved = np.load(os.path.join(out_dir, "clip0.0.npz"))["v"]
+    assert saved.shape == (32,)
+    # direct-embedding parity for the same jpg
+    direct = eng.embed_image_files([os.path.join(root, "frame", "clip0.0.jpg")])[0]
+    np.testing.assert_allclose(saved, direct, rtol=1e-6)
+
+    # consumer: the train loader serves the saved embedding as `image`
+    from vipant_tpu.config import compose
+
+    cfg = compose([
+        "+running=bimodal",
+        "+model/image=vit_val",
+        "+model/audio=vit_val",
+        "+model/text=transformer_val",
+        "+running/audio=default",
+        f"running.data_root={root}",
+        "running.batch_size=3",
+        "running.audio.max_len=100",
+        "running.frame_emb=femb",
+        "num_proc=2",
+    ])
+    loader = build_image_audio_dataloader(cfg, "train", train=True)
+    batch = next(iter(loader))
+    img = np.asarray(batch["image"])
+    assert img.shape == (3, 32)
+    names = list(batch["name"])
+    for row, name in zip(img, names):
+        want = np.load(os.path.join(out_dir, f"{name}.0.npz"))["v"]
+        np.testing.assert_allclose(row, want, rtol=1e-6)
+
+
+def test_frame_emb_passthrough_train_step(tmp_path):
+    """Precomputed [B, D] frame embeddings flow through CVAP's rank/dtype
+    passthrough into the contrastive loss (the reference's precomputed-
+    feature train mode, `/root/reference/cvap/model/cvalp.py:34-62`)."""
+    from data_synth import make_synth_va_index
+    from vipant_tpu.config import compose
+    from vipant_tpu.data import build_image_audio_dataloader
+    from vipant_tpu.models import build_main_model, init_model
+    import jax.numpy as jnp
+
+    root = str(tmp_path)
+    make_synth_va_index(root, "train", n=4, seconds=1.05)
+    ov = [
+        "+running=bimodal", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=dummy", "+model/loss=ce", "+optimizer=standard",
+        "+running/audio=default", "worker=CVAP",
+        "model.image.width=64", "model.image.embed_dim=32",
+        "model.image.encoder.layers=2", "model.image.heads=4",
+        "running.audio.max_len=100", "model_file=", "eval=True",
+    ]
+    eng = InferenceEngine(ov, batch_size=4)
+    eng.export_frame_embeddings(os.path.join(root, "train.jsonl"), os.path.join(root, "femb"))
+
+    cfg = compose(ov[:-2] + [
+        f"running.data_root={root}", "running.batch_size=4",
+        "running.frame_emb=femb", "num_proc=2", "compute_dtype=float32",
+    ])
+    model = build_main_model(cfg)
+    variables = init_model(cfg, model)
+    loader = build_image_audio_dataloader(cfg, "train", train=True)
+    batch = next(iter(loader))
+    out = model.apply(
+        variables, jnp.asarray(batch["image"]), jnp.asarray(batch["audio"]), train=True
+    )
+    loss = out[0] if isinstance(out, tuple) else out
+    assert np.isfinite(float(loss))

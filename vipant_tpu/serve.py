@@ -315,6 +315,44 @@ class InferenceEngine:
         """[N, 3, H, W] CLIP-preprocessed images → [N, D] normalized."""
         return self._run_batched("encode_image", np.asarray(images, np.float32))
 
+    def export_frame_embeddings(
+        self, index_path: str, out_dir: str, frame_key: str = "frame"
+    ) -> int:
+        """Precompute per-frame image embeddings for a VA index: writes
+        ``{out_dir}/{id}.{stem}.npz`` (key ``"v"``, [D] fp32) for EVERY
+        frame of every record — the files the ``running.frame_emb`` train
+        path consumes (`data/image_audio.py:_image_emb`). The reference
+        CONSUMED precomputed frame embeddings
+        (`/root/reference/cvap/data/image_audio.py:209-219`) but shipped no
+        generator; this is it. Returns the number of files written."""
+        from .data.indexfile import load_jsonl
+
+        recs = load_jsonl(index_path)
+        data_root = os.path.dirname(os.path.abspath(index_path))
+        os.makedirs(out_dir, exist_ok=True)
+        paths, outs = [], []
+        for rec in recs:
+            name = rec["id"]
+            sub = str(rec.get("dir", "") or "")
+            if sub and not sub.endswith("/"):
+                sub += "/"
+            frames = rec.get(frame_key)
+            if frames is None:
+                continue
+            if isinstance(frames, str):
+                frames = [frames]
+            for ext in frames:
+                stem = ext.rsplit(".", 1)[0]
+                paths.append(f"{data_root}/{sub}{frame_key}/{name}.{ext}")
+                outs.append(os.path.join(out_dir, f"{name}.{stem}.npz"))
+        if not paths:
+            return 0
+        embs = self.embed_image_files(paths)
+        for o, v in zip(outs, embs):
+            np.savez(o, v=np.asarray(v, np.float32))
+        self.echo.info(f"wrote {len(outs)} frame embeddings to {out_dir}")
+        return len(outs)
+
     def embed_image_files(self, paths: Sequence[str]) -> np.ndarray:
         """Image files → CLIP preprocessing (bicubic resize, center crop,
         normalize) → [N, D] normalized embeddings."""
@@ -417,7 +455,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     ap.add_argument(
         "--task", required=True,
-        choices=["embed_audio", "embed_image", "embed_text", "zero_shot", "caption"],
+        choices=[
+            "embed_audio", "embed_image", "embed_text", "zero_shot",
+            "caption", "embed_frames",
+        ],
+    )
+    ap.add_argument("--index", default="", help="embed_frames: VA index .jsonl")
+    ap.add_argument(
+        "--output_dir", default="", help="embed_frames: per-frame npz directory"
     )
     ap.add_argument("--beam", type=int, default=0, help="caption: beam width (0 = greedy)")
     ap.add_argument("--inputs", default="", help="wav/image glob (embed_*/zero_shot)")
@@ -442,6 +487,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         np.savez(args.output, captions=np.array(caps), names=np.array(paths))
         for p, c in zip(paths, caps):
             print(f"{p}\t{c}")
+    elif args.task == "embed_frames":
+        assert args.index and args.output_dir, "embed_frames needs --index/--output_dir"
+        n = eng.export_frame_embeddings(args.index, args.output_dir)
+        print(f"wrote {n} frame embeddings to {args.output_dir}")
+        return 0
     elif args.task == "embed_text":
         if os.path.exists(args.texts):
             texts = [l.strip() for l in open(args.texts) if l.strip()]
