@@ -162,18 +162,43 @@ def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False):
     from vipant_tpu.train import build_monitor
 
     root = "/tmp/vipant_bench_data"
-    data_name = "npz_train" if mode == "npz" else "train"
-    marker = os.path.join(root, f"ok_{mode}_{n_clips}")
+    data_name = "npz_train" if mode in ("npz", "femb") else "train"
+    marker = os.path.join(root, f"ok_{'npz' if mode == 'femb' else mode}_{n_clips}")
     if not os.path.exists(marker):
         os.makedirs(root, exist_ok=True)
         t0 = time.perf_counter()
-        if mode == "npz":
+        if mode in ("npz", "femb"):
             make_synth_va_npz_index(root, data_name, n=n_clips, frames=1030)
             log(f"e2e: fabricated {n_clips} fbank npz+jpg in {time.perf_counter()-t0:.1f}s")
         else:
             make_synth_va_index(root, data_name, n=n_clips, seconds=10.3)
             log(f"e2e: fabricated {n_clips} x 10.3s wav+jpg in {time.perf_counter()-t0:.1f}s")
         open(marker, "w").close()
+    if mode == "femb":
+        # fully-precomputed production path: fbank npz + per-frame image
+        # embeddings (serve --task embed_frames) — no jpg decode, no image
+        # tower; the host ships [D] floats per clip instead of a frame
+        femb_marker = os.path.join(root, f"ok_femb_emb_{n_clips}")
+        if not os.path.exists(femb_marker):
+            from vipant_tpu.serve import InferenceEngine
+
+            eng = InferenceEngine(
+                [
+                    "+running=bimodal", "+model/image=vit_val",
+                    "+model/audio=vit_val", "+model/text=dummy",
+                    "+model/loss=ce", "+optimizer=standard",
+                    "+running/audio=default", "worker=CVAP",
+                    "model_file=", "eval=True",
+                ],
+                batch_size=B,
+                fused_mlp=False,  # a training step is traced later in-process
+            )
+            t0 = time.perf_counter()
+            n = eng.export_frame_embeddings(
+                os.path.join(root, f"{data_name}.jsonl"), os.path.join(root, "femb")
+            )
+            log(f"e2e: embedded {n} frames in {time.perf_counter()-t0:.1f}s")
+            open(femb_marker, "w").close()
 
     audio_overrides = (
         [
@@ -187,6 +212,8 @@ def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False):
             else []
         )
     )
+    if mode == "femb":
+        audio_overrides = audio_overrides + ["running.frame_emb=femb"]
     cfg = compose(audio_overrides + [
         "+running=bimodal",
         "+model/image=vit_val",
@@ -283,7 +310,7 @@ def main() -> None:
     # e2e measures the HOST pipeline: fixed B=64 (host-bound throughput does
     # not improve with the device-side best batch, and fewer/larger batches
     # only reduce transfer/decode overlap)
-    e2e = e2e_npz = None
+    e2e = e2e_npz = e2e_femb = None
     if os.environ.get("BENCH_E2E", "1") == "1":
         B_e2e = int(os.environ.get("BENCH_E2E_BATCH", "64"))
         n_e2e = int(os.environ.get("BENCH_E2E_CLIPS", "512"))
@@ -302,6 +329,15 @@ def main() -> None:
                     e2e_npz = r
             except Exception as e:  # pragma: no cover
                 log(f"e2e npz bench failed: {type(e).__name__}: {e}")
+        # fully-precomputed path: fbank npz + frame embeddings — no jpg
+        # decode, no image tower (serve --task embed_frames output)
+        try:
+            e2e_femb = bench_e2e(
+                B_e2e, n_clips=n_e2e, mode="femb", epochs=3, ship_int16=True
+            )
+            log(f"e2e femb (precomputed fbank+frame-emb): {e2e_femb:.1f} clips/s")
+        except Exception as e:  # pragma: no cover
+            log(f"e2e femb bench failed: {type(e).__name__}: {e}")
 
     # baseline: the reference publishes no absolute throughput (BASELINE.md),
     # so vs_baseline compares against the newest previous-round record.
@@ -339,6 +375,8 @@ def main() -> None:
         out["e2e_clips_per_sec"] = round(e2e, 1)
     if e2e_npz:
         out["e2e_npz_clips_per_sec"] = round(e2e_npz, 1)
+    if e2e_femb:
+        out["e2e_femb_clips_per_sec"] = round(e2e_femb, 1)
     print(json.dumps(out))
 
 
