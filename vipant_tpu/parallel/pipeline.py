@@ -32,7 +32,7 @@ Design notes:
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
