@@ -347,3 +347,69 @@ def test_frame_emb_passthrough_train_step(tmp_path):
     )
     loss = out[0] if isinstance(out, tuple) else out
     assert np.isfinite(float(loss))
+
+
+def test_http_server_routes(tmp_path, engine):
+    """The stdlib HTTP endpoint over InferenceEngine: health, text/audio
+    embeddings, zero-shot; a failing route returns JSON 5xx without
+    killing the server."""
+    import base64
+    import json
+    import threading
+    import urllib.request
+
+    from data_synth import _tone_wav
+    from vipant_tpu.serve import make_server
+
+    wav = os.path.join(str(tmp_path), "a.wav")
+    _tone_wav(wav, 1.05, freq=440, seed=0)
+
+    srv = make_server(engine, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, data, ctype="application/json"):
+        req = urllib.request.Request(
+            base + path, data=data, headers={"Content-Type": ctype}
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        with urllib.request.urlopen(base + "/health") as r:
+            assert json.loads(r.read()) == {"ok": True}
+
+        code, out = post("/embed_text", json.dumps({"texts": ["a dog", "rain"]}).encode())
+        assert code == 200
+        emb = np.asarray(out["embeddings"])
+        assert emb.shape == (2, 32)
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-2)
+
+        raw = open(wav, "rb").read()
+        code, out = post("/embed_audio", raw, ctype="audio/wav")
+        assert code == 200 and np.asarray(out["embeddings"]).shape == (1, 32)
+
+        b64 = base64.b64encode(raw).decode()
+        code, out = post(
+            "/zero_shot",
+            json.dumps({"labels": ["dog", "rain"], "wav_b64": b64}).encode(),
+        )
+        assert code == 200
+        assert out["classes"] == ["dog", "rain"] and len(out["prediction"]) == 1
+        assert np.asarray(out["scores"]).shape == (1, 2)
+
+        # no decoder in this config: /caption must fail as JSON 5xx, server stays up
+        code, out = post("/caption", raw, ctype="audio/wav")
+        assert code >= 400 and "error" in out
+        with urllib.request.urlopen(base + "/health") as r:
+            assert json.loads(r.read()) == {"ok": True}
+
+        code, out = post("/nope", b"{}")
+        assert code == 404
+    finally:
+        srv.shutdown()

@@ -444,6 +444,123 @@ def _softmax(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def make_server(engine: "InferenceEngine", port: int = 8080, host: str = "127.0.0.1"):
+    """Minimal production HTTP endpoint over an :class:`InferenceEngine`
+    (stdlib only). Routes (JSON out; errors -> {"error": ...} with 4xx/5xx):
+
+    - ``GET  /health`` → ``{"ok": true}``
+    - ``POST /embed_text`` ``{"texts": [...], "prompt": ""}`` →
+      ``{"embeddings": [[...]]}``
+    - ``POST /embed_audio`` raw WAV body (Content-Type audio/wav) or JSON
+      ``{"wav_b64": "..."}`` → ``{"embeddings": [[...]]}``
+    - ``POST /caption?beam=N`` raw WAV body or ``{"wav_b64": ...}`` →
+      ``{"captions": ["..."]}``
+    - ``POST /zero_shot`` JSON ``{"labels": [...], "prompt": "the sound of ",
+      "wav_b64": ...}`` → ``{"classes": [...], "scores": [[...]],
+      "prediction": [...]}``
+
+    One TPU: inference calls serialize through a lock. Returns the
+    ``ThreadingHTTPServer`` (call ``serve_forever()`` /  ``shutdown()``)."""
+    import base64
+    import io
+    import json as _json
+    import tempfile
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    lock = threading.Lock()
+
+    def wavs_from_request(body: bytes, ctype: str) -> List[str]:
+        """Request → temp wav file paths (host fbank frontend reads files)."""
+        if ctype.startswith("application/json"):
+            payload = _json.loads(body)
+            blobs = payload.get("wavs_b64") or [payload["wav_b64"]]
+            raws = [base64.b64decode(b) for b in blobs]
+        else:
+            raws = [body]
+        paths = []
+        for raw in raws:
+            f = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+            f.write(raw)
+            f.close()
+            paths.append(f.name)
+        return paths
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route to the engine logger
+            engine.echo.info("http " + fmt % args)
+
+        def _send(self, code: int, obj) -> None:
+            data = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/health":
+                self._send(200, {"ok": True})
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            ctype = self.headers.get("Content-Type", "")
+            tmp: List[str] = []
+            try:
+                if url.path == "/embed_text":
+                    payload = _json.loads(body)
+                    with lock:
+                        emb = engine.embed_texts(
+                            payload["texts"], prompt=payload.get("prompt", "")
+                        )
+                    self._send(200, {"embeddings": emb.tolist()})
+                elif url.path == "/embed_audio":
+                    tmp = wavs_from_request(body, ctype)
+                    with lock:
+                        emb = engine.embed_audio_files(tmp)
+                    self._send(200, {"embeddings": emb.tolist()})
+                elif url.path == "/caption":
+                    tmp = wavs_from_request(body, ctype)
+                    beam = int(q.get("beam", ["0"])[0])
+                    with lock:
+                        caps = engine.caption_files(tmp, beam=beam)
+                    self._send(200, {"captions": caps})
+                elif url.path == "/zero_shot":
+                    payload = _json.loads(body)
+                    tmp = wavs_from_request(body, "application/json")
+                    labels = payload["labels"]
+                    prompt = payload.get("prompt", "the sound of ")
+                    with lock:
+                        res = engine.zero_shot(
+                            engine.fbank_files(tmp),
+                            {l: [f"{prompt}{l}"] for l in labels},
+                        )
+                    self._send(200, {
+                        "classes": list(res["classes"]),
+                        "scores": np.asarray(res["scores"]).tolist(),
+                        "prediction": list(res["prediction"]),
+                    })
+                else:
+                    self._send(404, {"error": f"no route {url.path}"})
+            except (KeyError, ValueError, _json.JSONDecodeError) as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001 - survive bad requests
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                for p in tmp:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
     import glob as _glob
@@ -457,13 +574,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         "--task", required=True,
         choices=[
             "embed_audio", "embed_image", "embed_text", "zero_shot",
-            "caption", "embed_frames",
+            "caption", "embed_frames", "serve",
         ],
     )
     ap.add_argument("--index", default="", help="embed_frames: VA index .jsonl")
     ap.add_argument(
         "--output_dir", default="", help="embed_frames: per-frame npz directory"
     )
+    ap.add_argument("--port", type=int, default=8080, help="serve: HTTP port")
+    ap.add_argument("--host", default="127.0.0.1", help="serve: bind address")
     ap.add_argument("--beam", type=int, default=0, help="caption: beam width (0 = greedy)")
     ap.add_argument("--inputs", default="", help="wav/image glob (embed_*/zero_shot)")
     ap.add_argument("--texts", default="", help="newline-separated file or inline ';'-list")
@@ -487,6 +606,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         np.savez(args.output, captions=np.array(caps), names=np.array(paths))
         for p, c in zip(paths, caps):
             print(f"{p}\t{c}")
+    elif args.task == "serve":
+        srv = make_server(eng, port=args.port, host=args.host)
+        print(f"serving on http://{args.host}:{args.port} (ctrl-c to stop)")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
     elif args.task == "embed_frames":
         assert args.index and args.output_dir, "embed_frames needs --index/--output_dir"
         n = eng.export_frame_embeddings(args.index, args.output_dir)
