@@ -338,3 +338,32 @@ def test_deit_blocks_name_collision():
     mesh = make_mesh(data=2, model=1, pipe=2)
     sh = param_shardings(jax.tree_util.tree_map(jnp.asarray, deit_like), mesh)
     assert sh["audio"]["blocks"]["block_0"]["attn"]["qkv"]["kernel"].spec == jax.sharding.PartitionSpec()
+
+
+def test_gpipe_four_stages_and_micro_override():
+    """4 pipeline stages (1 layer each) and an explicit microbatch count
+    still match sequential execution."""
+    mesh = make_mesh(data=2, model=1, pipe=4)
+    L, B, T, C = 4, 8, 3, 8
+    Ws = jax.random.normal(jax.random.PRNGKey(2), (L, C, C)) * 0.3
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T, C))
+
+    def stage(w, h):
+        return jnp.tanh(h @ w) + h
+
+    def seq(Ws, x):
+        h = x
+        for i in range(L):
+            h = stage(Ws[i], h)
+        return h
+
+    with jax.sharding.set_mesh(mesh):
+        y_seq = jax.jit(seq)(Ws, x)
+        for n_micro in (None, 2, 4):
+            y = jax.jit(
+                lambda W, x, m=n_micro: gpipe(stage, W, x, mesh=mesh, n_micro=m)
+            )(Ws, x)
+            np.testing.assert_allclose(
+                np.asarray(y_seq), np.asarray(y), rtol=1e-6, atol=1e-6,
+                err_msg=f"n_micro={n_micro}",
+            )
