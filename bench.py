@@ -199,6 +199,7 @@ def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False):
             )
             log(f"e2e: embedded {n} frames in {time.perf_counter()-t0:.1f}s")
             open(femb_marker, "w").close()
+            del eng  # release the towers + jitted encoders before training
 
     audio_overrides = (
         [

@@ -413,3 +413,41 @@ def test_http_server_routes(tmp_path, engine):
         assert code == 404
     finally:
         srv.shutdown()
+
+
+def test_frame_emb_string_frame_record(tmp_path):
+    """String-valued 'frame' records (single frame, no list) also resolve
+    precomputed embeddings under running.frame_emb."""
+    import json as _json
+
+    from data_synth import make_synth_va_index
+    from vipant_tpu.config import compose
+    from vipant_tpu.data import build_image_audio_dataloader
+
+    root = str(tmp_path)
+    make_synth_va_index(root, "train", n=4, seconds=1.05)
+    # rewrite the index with string frames
+    recs = [_json.loads(l) for l in open(os.path.join(root, "train.jsonl"))]
+    with open(os.path.join(root, "train.jsonl"), "w") as f:
+        for r in recs:
+            r["frame"] = r["frame"][0]
+            f.write(_json.dumps(r) + "\n")
+    out_dir = os.path.join(root, "femb")
+    os.makedirs(out_dir)
+    for r in recs:
+        np.savez(
+            os.path.join(out_dir, f"{r['id']}.0.npz"),
+            v=np.full(32, float(r["id"][-1]), np.float32),
+        )
+    cfg = compose([
+        "+running=bimodal", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=transformer_val", "+running/audio=default",
+        f"running.data_root={root}", "running.batch_size=4",
+        "running.audio.max_len=100", "running.frame_emb=femb", "num_proc=2",
+    ])
+    loader = build_image_audio_dataloader(cfg, "train", train=False)
+    batch = next(iter(loader))
+    img = np.asarray(batch["image"])
+    assert img.shape == (4, 32)
+    for row, name in zip(img, batch["name"]):
+        assert np.all(row == float(name[-1])), (name, row[:3])

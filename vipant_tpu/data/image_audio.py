@@ -84,6 +84,9 @@ class ImageAudioDatasetSrc:
             frame_file = None
         elif isinstance(frame, str):
             frame_file = f"{self.cfg.data_root}/{sub}{self.frame_key}/{name}.{frame}"
+            if self.cfg.get("frame_emb") is not None:
+                stem = frame.rsplit(".", 1)[0]
+                frame_emb_file = f"{self.cfg.data_root}/{self.cfg.frame_emb}/{name}.{stem}.npz"
         else:
             idx = (
                 int(np.random.choice(len(frame)))

@@ -395,8 +395,10 @@ class StackedTransformer(nn.Module):
     """``Transformer``'s pipeline-parallel twin: the same residual-block
     stack, but every layer's parameters live stacked on a leading ``[L]``
     axis under one ``blocks`` param — so a ``pipe`` mesh axis can shard
-    whole layers (GPipe, ``parallel/pipeline.py``) and sequential execution
-    is a single ``lax.scan`` (one trace for all layers).
+    whole layers (GPipe, ``parallel/pipeline.py``). Execution statically
+    unrolls the layers (both here and per pipeline stage): a Pallas kernel
+    inside a ``lax.scan``/``while`` body exceeds XLA's scoped-vmem
+    accounting on real TPUs.
 
     Same math as the unrolled ``Transformer`` given converted params
     (``parallel.pipeline.stack_block_tree``); pinned in

@@ -347,9 +347,14 @@ class InferenceEngine:
                 outs.append(os.path.join(out_dir, f"{name}.{stem}.npz"))
         if not paths:
             return 0
-        embs = self.embed_image_files(paths)
-        for o, v in zip(outs, embs):
-            np.savez(o, v=np.asarray(v, np.float32))
+        # chunked: preprocess + embed + write per slice so host memory stays
+        # bounded and a crash loses at most one chunk (production indexes
+        # run to millions of frames)
+        chunk = max(self.batch_size * 4, 64)
+        for i in range(0, len(paths), chunk):
+            embs = self.embed_image_files(paths[i : i + chunk])
+            for o, v in zip(outs[i : i + chunk], embs):
+                np.savez(o, v=np.asarray(v, np.float32))
         self.echo.info(f"wrote {len(outs)} frame embeddings to {out_dir}")
         return len(outs)
 
@@ -521,24 +526,26 @@ def make_server(engine: "InferenceEngine", port: int = 8080, host: str = "127.0.
                     self._send(200, {"embeddings": emb.tolist()})
                 elif url.path == "/embed_audio":
                     tmp = wavs_from_request(body, ctype)
+                    fb = engine.fbank_files(tmp)  # host CPU: outside the lock
                     with lock:
-                        emb = engine.embed_audio_files(tmp)
+                        emb = engine.embed_audio(fb)
                     self._send(200, {"embeddings": emb.tolist()})
                 elif url.path == "/caption":
                     tmp = wavs_from_request(body, ctype)
                     beam = int(q.get("beam", ["0"])[0])
+                    fb = engine.fbank_files(tmp)
                     with lock:
-                        caps = engine.caption_files(tmp, beam=beam)
+                        caps = engine.caption(fb, beam=beam)
                     self._send(200, {"captions": caps})
                 elif url.path == "/zero_shot":
                     payload = _json.loads(body)
                     tmp = wavs_from_request(body, "application/json")
                     labels = payload["labels"]
                     prompt = payload.get("prompt", "the sound of ")
+                    fb = engine.fbank_files(tmp)
                     with lock:
                         res = engine.zero_shot(
-                            engine.fbank_files(tmp),
-                            {l: [f"{prompt}{l}"] for l in labels},
+                            fb, {l: [f"{prompt}{l}"] for l in labels}
                         )
                     self._send(200, {
                         "classes": list(res["classes"]),
