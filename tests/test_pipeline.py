@@ -367,3 +367,26 @@ def test_gpipe_four_stages_and_micro_override():
                 np.asarray(y_seq), np.asarray(y), rtol=1e-6, atol=1e-6,
                 err_msg=f"n_micro={n_micro}",
             )
+
+
+def test_token_pack_composes_with_pipeline():
+    """token_pack's block-diagonal mask rides gpipe's consts path: a packed
+    + pipeline-stacked image tower matches the plain tower."""
+    from vipant_tpu.nn import build_image_head
+
+    cfg = compose(SMALL + ["compute_dtype=float32"])
+    tower = build_image_head(cfg.model.image)
+    cfg_p = compose(SMALL + ["compute_dtype=float32"])
+    cfg_p.model.image["token_pack"] = 4
+    cfg_p.model.image["stacked"] = True
+    packed = build_image_head(cfg_p.model.image)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 3, 224, 224)), jnp.float32)
+    params = tower.init(jax.random.PRNGKey(0), x)["params"]
+    params_p = adapt_trunk_layout(
+        params, packed.init(jax.random.PRNGKey(1), x)["params"]
+    )
+    y0 = tower.apply({"params": params}, x)
+    mesh = make_mesh(data=2, model=1, pipe=2)
+    with jax.sharding.set_mesh(mesh):
+        y1 = jax.jit(lambda p, x: packed.apply({"params": p}, x))(params_p, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-5, atol=2e-5)
