@@ -429,3 +429,67 @@ def test_pipelined_state_checkpoint_roundtrip(tmp_path):
     ) else None
     if npz is not None:
         assert not any(".blocks." in k for k in npz.files)
+
+
+def test_pipelined_trainer_train_save_resume(tmp_path):
+    """Production path under mesh.pipe=2: _apply_pipeline_cfg auto-stacks
+    the transformer towers, the monitor trains, saves a collective
+    checkpoint, and a fresh monitor resumes from it with identical params."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from data_synth import make_synth_va_index
+    from vipant_tpu.train import build_monitor
+
+    make_synth_va_index(str(tmp_path / "data"), "train", n=8, seconds=1.05)
+    make_synth_va_index(str(tmp_path / "data"), "val", n=4, seconds=1.05)
+    base = [
+        "+running=bimodal",
+        "+model/image=vit_val",
+        "+model/audio=vit_val",
+        "+model/text=dummy",
+        "+model/loss=ce",
+        "+optimizer=standard",
+        "+running/audio=default",
+        "model.image.width=64",
+        "model.image.embed_dim=32",
+        "model.image.encoder.layers=2",
+        "model.image.heads=4",
+        "running.audio.max_len=100",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "worker=CVAP",
+        "monitor=VAMonitor",
+        f"running.data_root={tmp_path}/data",
+        "running.data_name=train",
+        "running.eval_name=val",
+        "running.batch_size=8",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=True",
+        "running.eval_samples=4",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "eval=False",
+        "mesh.data=2",
+        "mesh.model=1",
+        "mesh.pipe=2",
+    ]
+    mon = build_monitor(compose(base + ["model_file="]))
+    # auto-stacking happened and the params really are layer-stacked
+    assert bool(mon.cfg.model.audio.get("stacked")) is True
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(mon.state.params)
+    }
+    assert any("/blocks/" in f"/{k}/" for k in flat), sorted(flat)[:5]
+    mon.learn()
+    ckpts = sorted(d for d in os.listdir(f"{tmp_path}/run/test") if d.isdigit())
+    assert ckpts, "no checkpoint saved"
+
+    mon2 = build_monitor(compose(base + [f"model_file={ckpts[-1]}"]))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(mon.state.params),
+        jax.tree_util.tree_leaves(mon2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
