@@ -308,6 +308,35 @@ def main() -> None:
         log(f"  fwd {fwd_ms*1e3:.2f} ms | fwd+bwd {bwd_ms*1e3:.2f} ms | optimizer+loss rest {dt*1e3 - bwd_ms*1e3:.2f} ms")
     log(f"  MFU {100*mfu:.1f}% of {gen} bf16 peak ({model_flops_per_clip()/1e9:.0f} GFLOP/clip)")
 
+    # gradient cache at scale (the "+AT w/ GC" capability): B=2048 in 16
+    # chunks — 4x past the plain step's activation-memory boundary
+    gc_clips = None
+    if os.environ.get("BENCH_GC", "1") == "1":
+        try:
+            import jax.numpy as jnp
+
+            from vipant_tpu.train.step import make_grad_cache_step
+
+            Bg, chunk = 2048, 128
+            cfg, model, tx, _, state, _, _ = build(Bg)
+            gc_step = make_grad_cache_step(
+                model, tx, Bg // chunk, "encode_image", "encode_audio"
+            )
+            rng = np.random.default_rng(0)
+            gi = jnp.asarray(rng.standard_normal((Bg, 3, 224, 224)), jnp.float32)
+            ga = jnp.asarray(rng.standard_normal((Bg, 1, 1000, 128)), jnp.float32)
+            state, m = gc_step(state, gi, ga)
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(3):
+                state, m = gc_step(state, gi, ga)
+            float(m["loss"])
+            gc_clips = Bg / ((time.perf_counter() - t0) / 3)
+            log(f"grad cache B={Bg} (16x{chunk}): {gc_clips:.0f} clips/s")
+            del state, gi, ga
+        except Exception as e:  # pragma: no cover
+            log(f"gc bench failed: {type(e).__name__}: {e}")
+
     # e2e measures the HOST pipeline: fixed B=64 (host-bound throughput does
     # not improve with the device-side best batch, and fewer/larger batches
     # only reduce transfer/decode overlap)
@@ -378,6 +407,8 @@ def main() -> None:
         out["e2e_npz_clips_per_sec"] = round(e2e_npz, 1)
     if e2e_femb:
         out["e2e_femb_clips_per_sec"] = round(e2e_femb, 1)
+    if gc_clips:
+        out["gc_b2048_clips_per_sec"] = round(gc_clips, 1)
     print(json.dumps(out))
 
 

@@ -96,6 +96,7 @@ class Trainer:
         if pipe <= 1 or "model" not in cfg:
             return
         mb = cfg.mesh.get("microbatches", None)
+        stacked_any = False
         for key in ("image", "image_v", "audio", "text"):
             head = cfg.model.get(key)
             if head is None or not hasattr(head, "get"):
@@ -105,8 +106,14 @@ class Trainer:
                 continue
             if head.get("stacked", None) is None:
                 head["stacked"] = True
+            stacked_any = stacked_any or bool(head.get("stacked"))
             if mb and head.get("pipe_microbatches", None) is None:
                 head["pipe_microbatches"] = int(mb)
+        if not stacked_any:
+            self.echo.info(
+                f"mesh.pipe={pipe} but no transformer-trunk tower to stack — "
+                "the pipe axis will only replicate compute"
+            )
 
     # ------------------------------------------------------------------ data
     def loader_device_put(self, batch: Dict) -> Dict:
