@@ -107,3 +107,43 @@ def test_checkpoint_retention_and_resave(tmp_path):
     # re-saving the same step overwrites (no existing-directory crash)
     save_checkpoint(d, 150, {"w": np.ones(4, np.float32)}, keep_last=2)
     assert "00000150" in os.listdir(d)
+
+
+def test_metrics_jsonl_sink(tmp_path):
+    """metrics_jsonl=true writes machine-readable step telemetry beside the
+    rank logs (beyond reference: its only sink was train_0.out)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from data_synth import make_synth_va_index
+    from vipant_tpu.config import compose
+    from vipant_tpu.train import build_monitor
+
+    make_synth_va_index(str(tmp_path / "data"), "train", n=8, seconds=1.05)
+    make_synth_va_index(str(tmp_path / "data"), "val", n=4, seconds=1.05)
+    cfg = compose([
+        "+running=bimodal", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=dummy", "+model/loss=ce", "+optimizer=standard",
+        "+running/audio=default",
+        "model.image.width=64", "model.image.embed_dim=32",
+        "model.image.encoder.layers=2", "model.image.heads=4",
+        "running.audio.max_len=100", "model.audio.pre_encoder.stride=[16,24]",
+        "worker=CVAP", "monitor=VAMonitor",
+        f"running.data_root={tmp_path}/data", "running.data_name=train",
+        "running.eval_name=val", "running.eval_samples=4",
+        "running.batch_size=4", "running.epochs=1",
+        "running.peep_rate=1", "running.save_rate=1000000",
+        "running.save_epoch=False", f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run", "model_file=", "eval=False",
+        "mesh.data=2", "metrics_jsonl=true",
+    ])
+    mon = build_monitor(cfg)
+    mon.learn()
+    path = os.path.join(str(tmp_path), "run", "test", "metrics.jsonl")
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) >= 2
+    for r in rows:
+        assert {"ts", "epoch", "step", "loss", "loss_avg", "lr", "samples_per_sec"} <= set(r)
+        assert np.isfinite(r["loss"])
+    assert rows[-1]["step"] > rows[0]["step"]

@@ -591,6 +591,25 @@ class Trainer:
                         f"(avg {meter.avg:.4f}) lr {lr:.2e} "
                         f"{nsample / dt:.1f} samples/s ({self.timer.summary()})"
                     )
+                    if bool(self.cfg.get("metrics_jsonl", False)) and (
+                        jax.process_index() == 0
+                    ):
+                        # machine-readable telemetry beside the rank logs
+                        # (beyond reference: its only sink was train_0.out)
+                        import json as _json
+
+                        with open(
+                            os.path.join(self.out_dir, "metrics.jsonl"), "a"
+                        ) as f:
+                            f.write(_json.dumps({
+                                "ts": time.time(),
+                                "epoch": ie,
+                                "step": self.global_step,
+                                "loss": loss,
+                                "loss_avg": meter.avg,
+                                "lr": lr,
+                                "samples_per_sec": nsample / max(dt, 1e-9),
+                            }) + "\n")
                 if save_rate > 0 and self.global_step % save_rate == 0:
                     self.save()
                     if self.evalloader is not None:
