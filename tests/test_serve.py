@@ -451,3 +451,37 @@ def test_frame_emb_string_frame_record(tmp_path):
     assert img.shape == (4, 32)
     for row, name in zip(img, batch["name"]):
         assert np.all(row == float(name[-1])), (name, row[:3])
+
+
+def test_stacked_engine_loads_unrolled_export(tmp_path, engine):
+    """model.npz exports are canonically unrolled; an engine whose config
+    carries pipeline-stacked trunks (e.g. a config.json snapshotted from a
+    mesh.pipe>1 run) must re-lay the loaded tree and serve identical
+    embeddings."""
+    from vipant_tpu.ckpt.orbax_io import _flatten
+
+    params = engine.variables["params"]
+    step_dir = tmp_path / "run" / "00000009"
+    os.makedirs(step_dir)
+    np.savez(
+        str(step_dir / "model.npz"),
+        **{k: v for k, v in _flatten("", {"audio": params["audio"], "text": params["text"]})},
+    )
+    eng2 = InferenceEngine(
+        TINY[:-2]
+        + [
+            f"model_root={tmp_path}", "model_name=run", "model_file=00000009",
+            "model.audio.stacked=true", "model.text.stacked=true", "eval=True",
+        ],
+        batch_size=4,
+    )
+    blocks = eng2.variables["params"]["audio"]["encoder"]["transformer"]
+    assert "blocks" in blocks and "block_0" not in blocks  # genuinely stacked
+    rng = np.random.default_rng(5)
+    fb = rng.standard_normal((2, 100, 128)).astype(np.float32)
+    np.testing.assert_allclose(
+        engine.embed_audio(fb), eng2.embed_audio(fb), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        engine.embed_texts(["rain"]), eng2.embed_texts(["rain"]), rtol=1e-3, atol=1e-4
+    )
