@@ -318,22 +318,25 @@ def main() -> None:
             from vipant_tpu.train.step import make_grad_cache_step
 
             Bg, chunk = 2048, 128
-            cfg, model, tx, _, state, _, _ = build(Bg)
-            gc_step = make_grad_cache_step(
-                model, tx, Bg // chunk, "encode_image", "encode_audio"
-            )
-            rng = np.random.default_rng(0)
-            gi = jnp.asarray(rng.standard_normal((Bg, 3, 224, 224)), jnp.float32)
-            ga = jnp.asarray(rng.standard_normal((Bg, 1, 1000, 128)), jnp.float32)
-            state, m = gc_step(state, gi, ga)
-            float(m["loss"])
-            t0 = time.perf_counter()
-            for _ in range(3):
+            state = gi = ga = None
+            try:
+                cfg, model, tx, _, state, _, _ = build(Bg)
+                gc_step = make_grad_cache_step(
+                    model, tx, Bg // chunk, "encode_image", "encode_audio"
+                )
+                rng = np.random.default_rng(0)
+                gi = jnp.asarray(rng.standard_normal((Bg, 3, 224, 224)), jnp.float32)
+                ga = jnp.asarray(rng.standard_normal((Bg, 1, 1000, 128)), jnp.float32)
                 state, m = gc_step(state, gi, ga)
-            float(m["loss"])
-            gc_clips = Bg / ((time.perf_counter() - t0) / 3)
-            log(f"grad cache B={Bg} (16x{chunk}): {gc_clips:.0f} clips/s")
-            del state, gi, ga
+                float(m["loss"])
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    state, m = gc_step(state, gi, ga)
+                float(m["loss"])
+                gc_clips = Bg / ((time.perf_counter() - t0) / 3) / n_chips
+                log(f"grad cache B={Bg} (16x{chunk}): {gc_clips:.0f} clips/s/chip")
+            finally:
+                del state, gi, ga  # free ~2.3 GB of HBM before the e2e benches
         except Exception as e:  # pragma: no cover
             log(f"gc bench failed: {type(e).__name__}: {e}")
 

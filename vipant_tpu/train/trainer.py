@@ -76,6 +76,7 @@ class Trainer:
         self.timer = PhaseTimer()
         self.eval_mode = bool(cfg.get("eval", False))
         self.global_step = 0
+        self.run_id = f"{int(time.time())}-{os.getpid()}"  # metrics.jsonl rows
 
         self.timer.start("build")
         self.build_data()
@@ -595,19 +596,24 @@ class Trainer:
                         jax.process_index() == 0
                     ):
                         # machine-readable telemetry beside the rank logs
-                        # (beyond reference: its only sink was train_0.out)
+                        # (beyond reference: its only sink was train_0.out).
+                        # `run` disambiguates rows re-logged after a
+                        # crash-resume; non-finite values become null so
+                        # every line stays RFC-8259 JSON.
                         import json as _json
 
+                        fin = lambda v: float(v) if np.isfinite(v) else None
                         with open(
                             os.path.join(self.out_dir, "metrics.jsonl"), "a"
                         ) as f:
                             f.write(_json.dumps({
+                                "run": self.run_id,
                                 "ts": time.time(),
                                 "epoch": ie,
                                 "step": self.global_step,
-                                "loss": loss,
-                                "loss_avg": meter.avg,
-                                "lr": lr,
+                                "loss": fin(loss),
+                                "loss_avg": fin(meter.avg),
+                                "lr": fin(lr),
                                 "samples_per_sec": nsample / max(dt, 1e-9),
                             }) + "\n")
                 if save_rate > 0 and self.global_step % save_rate == 0:
