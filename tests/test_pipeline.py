@@ -492,3 +492,35 @@ def test_pipelined_trainer_train_save_resume(tmp_path):
         jax.tree_util.tree_leaves(mon2.state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stacked_remat_matches_unrolled():
+    """remat'd stacked trunk: gradients match the plain module, and the
+    pipelined remat forward matches sequential."""
+    from vipant_tpu.nn.layers import StackedTransformer, Transformer
+
+    B, T, C, H, L = 2, 5, 16, 4, 4
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, T, C)), jnp.float32)
+    u = Transformer(layers=L, num_heads=H)
+    pu = u.init(jax.random.PRNGKey(0), x)["params"]
+    ps = {"blocks": stack_block_tree(pu)}
+    s = StackedTransformer(layers=L, num_heads=H, remat=True)
+
+    gu = jax.grad(lambda p: (u.apply({"params": p}, x) ** 2).sum())(pu)
+    gs = unstack_block_tree(
+        jax.grad(lambda p: (s.apply({"params": p}, x) ** 2).sum())(ps)["blocks"]
+    )
+    for i in range(L):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gu[f"block_{i}"]),
+            jax.tree_util.tree_leaves(gs[f"block_{i}"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    mesh = make_mesh(data=2, model=1, pipe=2)
+    xb = jnp.tile(x, (4, 1, 1))
+    with jax.sharding.set_mesh(mesh):
+        y_pipe = jax.jit(lambda p, x: s.apply({"params": p}, x))(ps, xb)
+    np.testing.assert_allclose(
+        np.asarray(u.apply({"params": pu}, xb)), np.asarray(y_pipe), rtol=1e-5, atol=1e-5
+    )
