@@ -33,7 +33,7 @@ SMALL = [
 def test_mesh_has_8_devices():
     mesh = make_mesh()
     assert mesh.devices.size == 8
-    assert mesh.axis_names == ("data", "model", "pipe")
+    assert mesh.axis_names == ("data", "model", "pipe", "seq")
 
 
 def test_sharded_train_step_matches_single_device():

@@ -189,11 +189,16 @@ class MultiHeadAttention(nn.Module):
                 fused_block_applicable,
                 fused_ln_attention_block,
             )
+            from ..parallel.sequence import seq_axis
 
             T = x.shape[1]
             # Mosaic kernels lower on TPU only; CPU uses interpret mode in
-            # tests via direct calls, GPU and anything else gets plain XLA
-            if jax.default_backend() == "tpu" and fused_block_applicable(
+            # tests via direct calls, GPU and anything else gets plain XLA.
+            # Under a seq-parallel trunk (token axis sharded, seq_axis set)
+            # the fused kernel would attend to local tokens only — fall
+            # through to the dense-qkv path, whose attention() dispatch
+            # routes to ring attention.
+            if seq_axis() is None and jax.default_backend() == "tpu" and fused_block_applicable(
                 T, d, self.num_heads, bool_mask is not None
             ):
                 bias2d = None
@@ -443,8 +448,29 @@ class StackedTransformer(nn.Module):
             stage = jax.checkpoint(stage)
 
         from ..parallel.pipeline import gpipe, pipe_mesh_info
+        from ..parallel.sequence import seq_context, seq_mesh_info
+        from ..parallel.spmd import smap
 
         mesh, S = pipe_mesh_info()
+        smesh, Sq = seq_mesh_info()
+        if Sq > 1 and mask is None and x.shape[1] % Sq == 0:
+            # sequence parallelism: tokens shard over `seq`; every stage op
+            # is token-wise except attention, which the seq_context reroutes
+            # to ring attention (parallel/sequence.py). Masked trunks
+            # (causal text, token packing) fall through to the dense paths.
+            assert S <= 1, "seq and pipe cannot shard the same trunk"
+            from jax.sharding import PartitionSpec as P
+
+            def run(p_all, h):
+                with seq_context("seq"):
+                    for i in range(self.layers):
+                        p_i = jax.tree_util.tree_map(lambda v, i=i: v[i], p_all)
+                        h = stage(p_i, h, None)
+                return h
+
+            dsz = int(smesh.shape.get("data", 1)) if "data" in smesh.axis_names else 1
+            xspec = P("data" if dsz > 1 else None, "seq")
+            return smap(run, smesh, (P(), xspec), xspec)(stack, x)
         if S > 1 and self.layers % S == 0:
             consts = () if mask is None else (mask,)
             fn = stage if mask is not None else (lambda p, h: stage(p, h, None))

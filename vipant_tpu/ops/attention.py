@@ -424,6 +424,18 @@ def attention(
     XLA attention elsewhere. Biases reaching this entry point are constant
     masks (causal/padding, built in layers.py), so the flash backward skips
     the [T, T] dbias accumulation unless ``bias_grad=True``."""
+    from ..parallel.sequence import ring_attention, seq_axis
+
+    ax = seq_axis()
+    if ax is not None:
+        # token axis is sharded over the `seq` mesh axis (sequence
+        # parallelism): per-device kernels would attend to local tokens
+        # only — ring attention streams the key/value blocks around the ring
+        assert bias is None and mask is None, (
+            "ring attention (seq-parallel trunk) has no mask support"
+        )
+        assert q.shape[1] == k.shape[1], "ring attention is self-attention"
+        return ring_attention(q, k, v, ax)
     if use_flash is None:
         # Mosaic kernels lower on TPU only (GPU etc. use XLA attention)
         use_flash = (

@@ -1,6 +1,7 @@
-"""SPMD parallelism: mesh, sharding, gradient cache, pipeline."""
+"""SPMD parallelism: mesh, sharding, gradient cache, pipeline, sequence."""
 
 from .grad_cache import grad_cache_value_and_grad
+from .sequence import ring_attention, seq_context, seq_mesh_info
 from .pipeline import (
     adapt_trunk_layout,
     gpipe,
@@ -31,6 +32,9 @@ __all__ = [
     "pipe_mesh_info",
     "replicate",
     "replicated",
+    "ring_attention",
+    "seq_context",
+    "seq_mesh_info",
     "shard_batch",
     "shard_params",
     "stack_block_tree",

@@ -39,21 +39,25 @@ def make_mesh(
     data: int = -1,
     model: int = 1,
     pipe: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """3-axis mesh: ``data`` (batch), ``model`` (tensor parallel), ``pipe``
-    (pipeline stages, parallel/pipeline.py). Unused axes have size 1."""
+    """4-axis mesh: ``data`` (batch), ``model`` (tensor parallel), ``pipe``
+    (pipeline stages, parallel/pipeline.py), ``seq`` (sequence/ring-attention
+    parallelism, parallel/sequence.py). Unused axes have size 1."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (model * pipe) == 0, (
-            f"{n} devices not divisible by model={model}·pipe={pipe}"
+        assert n % (model * pipe * seq) == 0, (
+            f"{n} devices not divisible by model={model}·pipe={pipe}·seq={seq}"
         )
-        data = n // (model * pipe)
-    need = data * model * pipe
-    assert need <= n, f"mesh {data}x{model}x{pipe} needs more than {n} devices"
-    arr = np.asarray(devices[:need]).reshape(data, model, pipe)
-    return Mesh(arr, axis_names=("data", "model", "pipe"))
+        data = n // (model * pipe * seq)
+    need = data * model * pipe * seq
+    assert need <= n, (
+        f"mesh {data}x{model}x{pipe}x{seq} needs more than {n} devices"
+    )
+    arr = np.asarray(devices[:need]).reshape(data, model, pipe, seq)
+    return Mesh(arr, axis_names=("data", "model", "pipe", "seq"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

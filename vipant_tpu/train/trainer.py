@@ -71,6 +71,7 @@ class Trainer:
             int(cfg.mesh.get("data", -1)),
             int(cfg.mesh.get("model", 1)),
             int(cfg.mesh.get("pipe", 1)),
+            int(cfg.mesh.get("seq", 1)),
         )
         self._apply_pipeline_cfg()
         self.timer = PhaseTimer()
@@ -89,11 +90,19 @@ class Trainer:
         )
 
     def _apply_pipeline_cfg(self) -> None:
-        """mesh.pipe > 1: mark transformer-trunk towers as layer-stacked so
-        the pipeline executor (parallel/pipeline.py) can shard whole layers
-        over the pipe axis. Explicit per-head ``stacked`` settings win."""
+        """mesh.pipe > 1 or mesh.seq > 1: mark transformer-trunk towers as
+        layer-stacked so the pipeline executor (parallel/pipeline.py) can
+        shard whole layers over the pipe axis / the seq ring can shard_map
+        the explicit param stack (parallel/sequence.py). Explicit per-head
+        ``stacked`` settings win."""
         cfg = self.cfg
         pipe = int(cfg.mesh.get("pipe", 1))
+        seq = int(cfg.mesh.get("seq", 1))
+        assert pipe <= 1 or seq <= 1, "mesh.pipe and mesh.seq cannot combine"
+        # seq>1 also runs through the stacked trunk (its shard_map needs the
+        # explicit [L, ...] param stack, nn.layers.StackedTransformer)
+        axis_name, axis = ("pipe", pipe) if pipe > 1 else ("seq", seq)
+        pipe = max(pipe, seq)
         if pipe <= 1 or "model" not in cfg:
             return
         mb = cfg.mesh.get("microbatches", None)
@@ -112,8 +121,8 @@ class Trainer:
                 head["pipe_microbatches"] = int(mb)
         if not stacked_any:
             self.echo.info(
-                f"mesh.pipe={pipe} but no transformer-trunk tower to stack — "
-                "the pipe axis will only replicate compute"
+                f"mesh.{axis_name}={axis} but no transformer-trunk tower to "
+                f"stack — the {axis_name} axis will only replicate compute"
             )
 
     # ------------------------------------------------------------------ data
