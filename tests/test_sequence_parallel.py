@@ -290,3 +290,18 @@ def test_ring_attention_bf16():
     np.testing.assert_allclose(
         np.asarray(y_ref, np.float32), np.asarray(y_ring, np.float32), atol=2e-2
     )
+
+
+def test_seq_and_model_axes_refuse_to_combine():
+    """The ring's in_specs replicate params, so a model-sharded trunk under
+    seq would silently all-gather its Megatron slices — asserted instead."""
+    from vipant_tpu.nn.layers import StackedTransformer
+
+    model = StackedTransformer(layers=2, num_heads=4)
+    B, T, C = 2, 16, 32
+    x = jnp.zeros((B, T, C), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    mesh = make_mesh(data=2, model=2, pipe=1, seq=2)
+    with jax.sharding.set_mesh(mesh):
+        with pytest.raises(AssertionError, match="seq and model"):
+            model.apply({"params": params}, x)

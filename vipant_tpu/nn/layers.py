@@ -459,6 +459,14 @@ class StackedTransformer(nn.Module):
             # to ring attention (parallel/sequence.py). Masked trunks
             # (causal text, token packing) fall through to the dense paths.
             assert S <= 1, "seq and pipe cannot shard the same trunk"
+            msize = (
+                int(smesh.shape.get("model", 1))
+                if "model" in smesh.axis_names
+                else 1
+            )
+            # the ring's in_specs replicate params: a model-sharded trunk
+            # would silently all-gather its Megatron slices every step
+            assert msize <= 1, "seq and model cannot shard the same trunk"
             from jax.sharding import PartitionSpec as P
 
             def run(p_all, h):
