@@ -433,3 +433,92 @@ def test_two_process_pipeline(tmp_path):
             pytest.skip(f"multi-process unsupported: {out[-200:]}")
         assert rc == 0, out[-2000:]
         assert "OK pipe sum=" in out
+
+
+RING_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1],
+        num_processes=2,
+        process_id=int(sys.argv[2]),
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from vipant_tpu.parallel import ring_attention
+    from vipant_tpu.parallel.spmd import smap
+
+    # seq pairs SPAN the two processes: the ring's k/v ppermute hops cross
+    # the process boundary (the multi-host sequence-parallel path)
+    devs = np.array(jax.devices()).reshape(2, 2).T
+    mesh = Mesh(devs, ("data", "seq"))
+
+    B, T, H, D = 4, 8, 2, 4
+    rng = np.random.default_rng(0)  # same arrays on every process
+    q, k, v = (
+        rng.standard_normal((B, T, H, D)).astype(np.float32) for _ in range(3)
+    )
+
+    ring = smap(
+        lambda a, b, c: ring_attention(a, b, c, "seq"),
+        mesh,
+        in_specs=(P("data", "seq"),) * 3,
+        out_specs=P("data", "seq"),
+    )
+    pid = jax.process_index()
+    with jax.sharding.set_mesh(mesh):
+        y = jax.jit(ring)(q, k, v)
+        total = float(jax.jit(jnp.sum)(y))
+
+    # local reference on this process alone (no mesh)
+    s = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    expect = float(np.einsum("bhqk,bkhd->bqhd", p, v).sum())
+    assert abs(total - expect) < 1e-3 * max(1.0, abs(expect)), (total, expect)
+    print(f"proc {pid} OK ring sum={total:.4f}")
+    """
+)
+
+
+def test_two_process_ring_attention(tmp_path):
+    """Ring attention with the seq axis spanning two real processes: the
+    k/v ppermute ring crosses the process boundary and the result matches
+    unsharded attention."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "ring_worker.py"
+    script.write_text(RING_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = os.getcwd()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=120)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("multi-process CPU runtime timed out in this environment")
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        if rc != 0 and ("not implemented" in out.lower() or "unavailable" in out.lower()):
+            pytest.skip(f"multi-process unsupported: {out[-200:]}")
+        assert rc == 0, out[-2000:]
+        assert "OK ring sum=" in out
