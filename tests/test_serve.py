@@ -134,6 +134,8 @@ def test_embed_image_files_cli(tmp_path):
     assert rc == 0
     z = np.load(out)
     assert z["embeddings"].shape == (2, 32)
+    # plain-NumPy-readable floats (bf16 npz dumps need ml_dtypes to load)
+    assert z["embeddings"].dtype == np.float32
 
 
 def test_caption_task(tmp_path):
@@ -485,3 +487,34 @@ def test_stacked_engine_loads_unrolled_export(tmp_path, engine):
     np.testing.assert_allclose(
         engine.embed_texts(["rain"]), eng2.embed_texts(["rain"]), rtol=1e-3, atol=1e-4
     )
+
+
+def test_data_parallel_engine_matches_single_device(engine):
+    """data_parallel=True shards each batch over the 8-device CPU mesh
+    (weights replicated); embeddings must match the single-device engine —
+    the inference analogue of the dp-mode scatter/gather
+    (`/root/reference/cvap/model/cvap.py:28-39`)."""
+    import jax
+
+    assert jax.device_count() >= 2  # conftest forces an 8-device CPU mesh
+    dp = InferenceEngine(TINY, batch_size=8, data_parallel=True)
+    rng = np.random.default_rng(7)
+    fb = rng.standard_normal((11, 100, 128)).astype(np.float32)  # ragged tail
+    a_dp = dp.embed_audio(fb)
+    a_1d = engine.embed_audio(fb)
+    np.testing.assert_allclose(a_dp, a_1d, rtol=2e-2, atol=2e-3)
+    t_dp = dp.embed_texts(["a dog barking", "heavy rain"])
+    t_1d = engine.embed_texts(["a dog barking", "heavy rain"])
+    np.testing.assert_allclose(t_dp, t_1d, rtol=2e-2, atol=2e-3)
+    # the engine's variables are placed on ALL devices, replicated
+    leaf = jax.tree_util.tree_leaves(dp.variables)[0]
+    assert len(leaf.sharding.device_set) == jax.device_count()
+
+
+def test_data_parallel_rejects_indivisible_batch():
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    with pytest.raises(ValueError, match="not divisible"):
+        InferenceEngine(TINY, batch_size=3, data_parallel=True)

@@ -308,13 +308,24 @@ class MLP(nn.Module):
             # Kept opt-in for forward-only workloads (eval/serving).
             import os
 
-            from ..ops.fused_mlp import fused_ln_mlp_block, fused_mlp_applicable
+            from ..ops.fused_mlp import (
+                fused_ln_mlp_block,
+                fused_ln_mlp_block_int8,
+                fused_mlp_applicable,
+            )
 
             if (
                 os.environ.get("VIPANT_FUSED_MLP") == "1"
                 and jax.default_backend() == "tpu"
                 and fused_mlp_applicable(x.shape[1], d, self.expansion)
             ):
+                if os.environ.get("VIPANT_INT8_MLP") == "1":
+                    # serving-only int8 MXU path (InferenceEngine
+                    # quantize="int8"): no VJP — differentiating through it
+                    # fails loudly, which is correct for a training misuse
+                    return fused_ln_mlp_block_int8(
+                        x, *ln_residual, wfc, bfc, wproj, bproj, act=self.act
+                    )
                 return fused_ln_mlp_block(
                     x, *ln_residual, wfc, bfc, wproj, bproj, act=self.act
                 )

@@ -94,6 +94,30 @@ def _bwd_kernel(
     dx_ref[0] = (dx + gy32).astype(dx_ref.dtype)
 
 
+def _fwd_int8_kernel(
+    x_ref, lns_ref, lnb_ref, wfc_ref, sfc_ref, bfc_ref,
+    wproj_ref, sproj_ref, bproj_ref, o_ref, *, act,
+):
+    """Serving-only int8 variant: both MLP dots run int8×int8→int32 on the
+    MXU (measured 1.26× over the bf16 kernel at B=256 — docs/performance.md).
+    Activations are per-token dynamically quantized IN VMEM, which is what
+    the XLA-level int8 path cannot do (its [T, 4C] quantize pass through HBM
+    measured a 0.80× regression on the proj dot, experiments/int8_probe.py).
+    Weights arrive pre-quantized per output column (w ≈ w_i8·scale)."""
+    from .quant import quantize_rows
+
+    x = x_ref[0]  # [T, C]
+    h = _ln_fwd(x, lns_ref[...], lnb_ref[...])[0].astype(jnp.float32)
+    hi, hs = quantize_rows(h)
+    a = jnp.dot(hi, wfc_ref[...], preferred_element_type=jnp.int32)
+    a = a.astype(jnp.float32) * hs * sfc_ref[...] + bfc_ref[...]  # [T, 4C]
+    g = _act_fwd(a, act)
+    gi, gs = quantize_rows(g)
+    y = jnp.dot(gi, wproj_ref[...], preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * gs * sproj_ref[...] + bproj_ref[...]  # [T, C]
+    o_ref[0] = x + y.astype(x.dtype)
+
+
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
@@ -153,6 +177,24 @@ def _bwd_call(x, lns, lnb, wfc, bfc, wproj, g, act):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
     )(x, lns, lnb, wfc, bfc, wproj, g)
+
+
+def _fwd_int8_call(x, lns, lnb, wfc_i8, sfc, bfc, wproj_i8, sproj, bproj, act):
+    B, T, C = x.shape
+    E = wfc_i8.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_int8_kernel, act=act),
+        grid=(B,),
+        in_specs=[
+            _item(T, C), _const((1, C)), _const((1, C)),
+            _const((C, E)), _const((1, E)), _const((1, E)),
+            _const((E, C)), _const((1, C)), _const((1, C)),
+        ],
+        out_specs=_item(T, C),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(x, lns, lnb, wfc_i8, sfc, bfc, wproj_i8, sproj, bproj)
 
 
 def _fwd_sharded(x, lns, lnb, wfc, bfc, wproj, bproj, act):
@@ -243,6 +285,46 @@ def fused_ln_mlp_block(
 ) -> jnp.ndarray:
     """x + proj(act(fc(LN(x)))). x: [B,T,C]; wfc: [C,E]; wproj: [E,C]."""
     return _fused(x, lns, lnb, wfc, bfc, wproj, bproj, act)
+
+
+def fused_ln_mlp_block_int8(
+    x: jnp.ndarray,
+    lns: jnp.ndarray,
+    lnb: jnp.ndarray,
+    wfc: jnp.ndarray,
+    bfc: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    act: str = "quick_gelu",
+) -> jnp.ndarray:
+    """Int8-MXU x + proj(act(fc(LN(x)))) — SERVING ONLY (no VJP; attempting
+    to differentiate through it fails loudly). Weights are quantized
+    per-output-column inside the jitted call (one cheap pass over weights,
+    amortized over the batch); activations per-token in VMEM. Block output
+    cosine vs the bf16 kernel ≥ 0.9999 at ViT-B shapes
+    (tests/test_quant.py)."""
+    from .quant import quantize_cols
+
+    f32row = lambda v: v.astype(jnp.float32).reshape(1, -1)
+    wfc_i8, sfc = quantize_cols(wfc)
+    wproj_i8, sproj = quantize_cols(wproj)
+    args = (
+        f32row(lns), f32row(lnb), wfc_i8, sfc, f32row(bfc),
+        wproj_i8, sproj, f32row(bproj),
+    )
+    mesh, _ = _mesh_info(heads=1)  # data-axis sharding only
+    if mesh is None:
+        return _fwd_int8_call(x, *args, act)
+    from jax.sharding import PartitionSpec as P
+
+    d, r = P("data"), P()
+    fn = _smap(
+        lambda *a: _fwd_int8_call(*a, act),
+        mesh,
+        in_specs=(d,) + (r,) * 8,
+        out_specs=d,
+    )
+    return fn(x, *args)
 
 
 def fused_mlp_applicable(T: int, C: int, expansion: int) -> bool:

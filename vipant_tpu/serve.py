@@ -49,6 +49,21 @@ class InferenceEngine:
     is process-global; pass ``fused_mlp=False`` if a *training* step will
     be traced later in this same TPU process (training measures faster on
     the XLA MLP path — docs/performance.md).
+
+    ``quantize="int8"`` additionally routes the MLP dots through the int8
+    MXU kernel (`ops/fused_mlp.fused_ln_mlp_block_int8`): weights
+    per-output-channel, activations per-token dynamic, quantized in VMEM.
+    Measured +26% on the MLP blocks at B=256 with embedding cosine ≥ 0.999
+    vs bf16 (docs/performance.md); serving-only (no backward). Requires
+    ``fused_mlp=True`` (the int8 path lives inside the fused kernel
+    dispatch) — also process-global.
+
+    ``data_parallel=True`` shards every device batch over ALL local devices
+    (1-D ``data`` mesh, weights replicated): one jitted call encodes
+    ``batch_size`` items across the slice, the TPU-native analogue of the
+    reference's dp-mode per-head scatter/gather
+    (`/root/reference/cvap/model/cvap.py:28-39`) for inference. No-op on a
+    single device.
     """
 
     def __init__(
@@ -58,6 +73,8 @@ class InferenceEngine:
         echo=None,
         fused_mlp: bool = True,
         token_pack: int = 4,
+        quantize: str = "",
+        data_parallel: bool = False,
     ):
         import jax
 
@@ -65,11 +82,28 @@ class InferenceEngine:
         from .models import build_main_model, init_model
         from .utils import setup_logger
 
+        # persistent compiled-executable cache: a restarted server skips the
+        # 20-70s first-compile of each encoder (same knob as train.py)
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001 - cache is best-effort
+            pass
         if fused_mlp and "VIPANT_FUSED_MLP" not in os.environ:
             # fwd-only workload: the fused LN+MLP kernel measured +12% at
             # B=256 (experiments/serve_bench.py) — on by default here, while
             # training keeps the XLA path (docs/performance.md)
             os.environ["VIPANT_FUSED_MLP"] = "1"
+        if quantize:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r} (only 'int8')")
+            if os.environ.get("VIPANT_FUSED_MLP") != "1":
+                raise ValueError(
+                    "quantize='int8' requires the fused MLP path (fused_mlp=True)"
+                )
+            os.environ["VIPANT_INT8_MLP"] = "1"
         self.cfg = cfg if isinstance(cfg, Config) else compose(list(cfg))
         if token_pack > 1 and batch_size % token_pack == 0:
             # exact block-diagonal attention packing for the short image
@@ -97,6 +131,18 @@ class InferenceEngine:
         self.model = build_main_model(self.cfg)
         variables = init_model(self.cfg, self.model)
         self.variables = self._load(variables)
+        self.mesh = None
+        if data_parallel and jax.device_count() > 1:
+            from .parallel import make_mesh, replicate
+
+            self.mesh = make_mesh()  # 1-D: every device on the data axis
+            n = int(self.mesh.shape["data"])
+            if self.batch_size % n:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"{n}-device data mesh"
+                )
+            self.variables = replicate(self.variables, self.mesh)
         self._jitted: Dict[str, Any] = {}
         self._jax = jax
 
@@ -256,6 +302,17 @@ class InferenceEngine:
                 continue
         raise ValueError("no embed_dim found in model config")
 
+    def _call(self, fn, chunk):
+        """One jitted call; under ``data_parallel`` the batch axis shards
+        over the device mesh (weights stay replicated) and GSPMD runs the
+        encoder SPMD — each device sees batch_size / n_devices items."""
+        if self.mesh is None:
+            return fn(self.variables, chunk)
+        from .parallel import shard_batch
+
+        with self._jax.sharding.set_mesh(self.mesh):
+            return fn(self.variables, shard_batch(np.asarray(chunk), self.mesh))
+
     def _run_batched(self, method: str, arr: np.ndarray) -> np.ndarray:
         """Chunk [N, ...] host array into fixed [B, ...] device batches."""
         if arr.shape[0] == 0:
@@ -269,7 +326,10 @@ class InferenceEngine:
             if n < B:  # pad to the fixed compile shape
                 pad = np.repeat(chunk[-1:], B - n, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            out = np.asarray(fn(self.variables, chunk))
+            # fp32 on the host: bf16-model outputs savez'd as bfloat16 are
+            # unreadable by plain NumPy (ml_dtypes descriptor), and every
+            # consumer of a [N, D] embedding matrix wants floats
+            out = np.asarray(self._call(fn, chunk), dtype=np.float32)
             outs.append(out[:n])
         return np.concatenate(outs, axis=0)
 
@@ -397,7 +457,7 @@ class InferenceEngine:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], B - n, axis=0)], axis=0
                 )
-            ids, _ = fn(self.variables, chunk)
+            ids, _ = self._call(fn, chunk)
             for row in np.asarray(ids)[:n]:
                 out.append(detokenize_ids(row))
         return out
@@ -597,10 +657,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--prompt", default="the sound of ", help="zero-shot prompt prefix")
     ap.add_argument("--output", default="out.npz")
     ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument(
+        "--quantize", default="", choices=["", "int8"],
+        help="int8: MXU-int8 MLP dots (serving only; cosine >= 0.999 vs bf16)",
+    )
+    ap.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard each batch over all local devices (weights replicated)",
+    )
     args, overrides = ap.parse_known_args(argv)
     overrides = [o for o in overrides if o != "--"]
 
-    eng = InferenceEngine(overrides, batch_size=args.batch_size)
+    eng = InferenceEngine(
+        overrides, batch_size=args.batch_size, quantize=args.quantize,
+        data_parallel=args.data_parallel,
+    )
     if args.task in ("embed_audio", "embed_image"):
         paths = sorted(_glob.glob(args.inputs))
         assert paths, f"no inputs match {args.inputs}"
