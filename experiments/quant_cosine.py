@@ -41,6 +41,7 @@ def main():
     for mode in ("bf16", "int8"):
         os.environ["VIPANT_FUSED_MLP"] = "1"
         os.environ["VIPANT_INT8_MLP"] = "1" if mode == "int8" else "0"
+        os.environ["VIPANT_INT8_ATTN"] = "1" if mode == "int8" else "0"
         outs[mode] = np.asarray(jax.jit(embed)(params, audios), np.float32)
         jax.clear_caches()  # the env switch is read at trace time
 

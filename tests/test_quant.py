@@ -103,3 +103,134 @@ def test_engine_quantize_flag_validation():
 
     with pytest.raises(ValueError, match="unknown quantize"):
         InferenceEngine([], quantize="int4")
+
+
+def _attn_ref(x, lns, lnb, wqkv, bqkv, wout, bout, heads, bias=None):
+    """fp32 NumPy pre-LN attention sub-block x + proj(attn(LN(x)))."""
+    x32 = x.astype(np.float64)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    h = (x32 - mu) / np.sqrt(var + 1e-5) * lns + lnb
+    B, T, C = x.shape
+    D = C // heads
+    qkv = h @ wqkv + bqkv  # [B, T, 3C]
+    q, k, v = np.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+    s = q @ k.transpose(0, 1, 3, 2) / np.sqrt(D)
+    if bias is not None:
+        s = s + bias
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    o = (p @ v).transpose(0, 2, 1, 3).reshape(B, T, C)
+    return x32 + o @ wout + bout
+
+
+def test_int8_fused_attention_matches_fp32():
+    """Interpret-mode int8 attention kernel vs fp32 NumPy math: per-token
+    cosine ≥ 0.999 (score/context dots stay high precision; only the two
+    projections quantize)."""
+    from vipant_tpu.ops.fused_attn import fused_ln_attention_block_int8
+
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(4)
+    B, T, C, H = 2, 24, 64, 4
+    x = r.standard_normal((B, T, C)).astype(np.float32)
+    lns = (1.0 + 0.1 * r.standard_normal(C)).astype(np.float32)
+    lnb = (0.1 * r.standard_normal(C)).astype(np.float32)
+    wqkv = (r.standard_normal((C, 3 * C)) * 0.05).astype(np.float32)
+    bqkv = (r.standard_normal(3 * C) * 0.01).astype(np.float32)
+    wout = (r.standard_normal((C, C)) * 0.05).astype(np.float32)
+    bout = (r.standard_normal(C) * 0.01).astype(np.float32)
+
+    out = np.asarray(
+        fused_ln_attention_block_int8(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(lns), jnp.asarray(lnb),
+            jnp.asarray(wqkv), jnp.asarray(bqkv), jnp.asarray(wout),
+            jnp.asarray(bout), heads=H,
+        ),
+        np.float32,
+    )
+    ref = _attn_ref(x, lns, lnb, wqkv, bqkv, wout, bout, H)
+    cos = (out * ref).sum(-1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_int8_fused_attention_causal_bias():
+    """The additive-mask path (causal text tower / token packing) must
+    compose with the int8 projections."""
+    from vipant_tpu.nn.layers import causal_mask
+    from vipant_tpu.ops.fused_attn import fused_ln_attention_block_int8
+
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(5)
+    B, T, C, H = 2, 16, 64, 4
+    x = r.standard_normal((B, T, C)).astype(np.float32)
+    lns = np.ones(C, np.float32)
+    lnb = np.zeros(C, np.float32)
+    wqkv = (r.standard_normal((C, 3 * C)) * 0.05).astype(np.float32)
+    bqkv = np.zeros(3 * C, np.float32)
+    wout = (r.standard_normal((C, C)) * 0.05).astype(np.float32)
+    bout = np.zeros(C, np.float32)
+    m = np.asarray(causal_mask(T), np.float32)
+
+    out = np.asarray(
+        fused_ln_attention_block_int8(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(lns), jnp.asarray(lnb),
+            jnp.asarray(wqkv), jnp.asarray(bqkv), jnp.asarray(wout),
+            jnp.asarray(bout), bias=jnp.asarray(m), heads=H,
+        ),
+        np.float32,
+    )
+    ref = _attn_ref(
+        x, lns, lnb, wqkv, bqkv, wout, bout, H,
+        bias=np.maximum(m, -1e30)[None, None],
+    )
+    cos = (out * ref).sum(-1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_int8_kernels_under_data_mesh():
+    """The int8 fwd kernels' shard_map branch (ambient data mesh) must equal
+    the unsharded call — the path InferenceEngine(data_parallel=True,
+    quantize='int8') takes on a multi-device host."""
+    import jax.numpy as jnp
+
+    from vipant_tpu.ops.fused_attn import fused_ln_attention_block_int8
+    from vipant_tpu.ops.fused_mlp import fused_ln_mlp_block_int8
+    from vipant_tpu.parallel import make_mesh, shard_batch
+
+    r = np.random.default_rng(6)
+    B, T, C, H = 8, 16, 64, 4
+    x = jnp.asarray(r.standard_normal((B, T, C)), jnp.float32)
+    lns = jnp.ones(C)
+    lnb = jnp.zeros(C)
+    wq = jnp.asarray(r.standard_normal((C, 3 * C)) * 0.05, jnp.float32)
+    bq = jnp.zeros(3 * C)
+    wo = jnp.asarray(r.standard_normal((C, C)) * 0.05, jnp.float32)
+    bo = jnp.zeros(C)
+    wfc = jnp.asarray(r.standard_normal((C, 4 * C)) * 0.05, jnp.float32)
+    bfc = jnp.zeros(4 * C)
+    wpj = jnp.asarray(r.standard_normal((4 * C, C)) * 0.05, jnp.float32)
+    bpj = jnp.zeros(C)
+
+    ref_a = fused_ln_attention_block_int8(x, lns, lnb, wq, bq, wo, bo, heads=H)
+    ref_m = fused_ln_mlp_block_int8(x, lns, lnb, wfc, bfc, wpj, bpj)
+    mesh = make_mesh(data=4, model=1)
+    with jax.sharding.set_mesh(mesh):
+        (xs,) = shard_batch((x,), mesh)
+        out_a = jax.jit(
+            lambda a: fused_ln_attention_block_int8(a, lns, lnb, wq, bq, wo, bo, heads=H)
+        )(xs)
+        out_m = jax.jit(
+            lambda a: fused_ln_mlp_block_int8(a, lns, lnb, wfc, bfc, wpj, bpj)
+        )(xs)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m), atol=1e-5)

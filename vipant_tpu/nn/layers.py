@@ -184,6 +184,8 @@ class MultiHeadAttention(nn.Module):
                 out = out if residual is None else residual + out
                 return out, {"k": ck, "v": cv, "pos": pos + 1}
 
+            import os
+
             from ..ops.fused_attn import (
                 fused_attention_block,
                 fused_block_applicable,
@@ -208,6 +210,23 @@ class MultiHeadAttention(nn.Module):
                         assert b.shape[0] == 1, "fused path expects a [T, T] bias"
                         b = b[0]
                     bias2d = b
+                if os.environ.get("VIPANT_INT8_ATTN") == "1":
+                    # serving-only int8 MXU projections (InferenceEngine
+                    # quantize="int8"): fwd-only, fails loudly under grad
+                    from ..ops.fused_attn import (
+                        fused_attention_block_int8,
+                        fused_ln_attention_block_int8,
+                    )
+
+                    if ln_residual is not None:
+                        return fused_ln_attention_block_int8(
+                            x, *ln_residual, wqkv, bqkv, wout, bout,
+                            bias=bias2d, heads=self.num_heads,
+                        )
+                    return fused_attention_block_int8(
+                        x, wqkv, bqkv, wout, bout, bias=bias2d,
+                        heads=self.num_heads,
+                    )
                 if ln_residual is not None:
                     return fused_ln_attention_block(
                         x, *ln_residual, wqkv, bqkv, wout, bout,

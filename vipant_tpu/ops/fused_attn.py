@@ -114,6 +114,56 @@ def _fwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, save_qkv,
     o_ref[0] = x + y if has_res else y
 
 
+def _fwd_int8_kernel(*refs, scale, heads, has_bias, has_ln, has_res):
+    """Serving-only int8 variant of ``_fwd_kernel``: the qkv and output
+    projections run int8×int8→int32 on the MXU (weights pre-quantized per
+    output column; activations per-token, quantized in VMEM), the score /
+    context dots stay bf16 (K=D=64 contractions gain nothing from int8).
+    Measured 1.09× over the bf16 kernel at B=256, block cosine ≥ 0.999997
+    (docs/performance.md int8 serving section)."""
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    lns_ref = refs.pop(0) if has_ln else None
+    lnb_ref = refs.pop(0) if has_ln else None
+    wqkv_ref, swq_ref, bqkv_ref, wout_ref, swo_ref, bout_ref = refs[:6]
+    refs = refs[6:]
+    bias_ref = refs.pop(0) if has_bias else None
+    o_ref = refs.pop(0)
+
+    x = x_ref[0]  # [T, C]
+    T, C = x.shape
+    D = C // heads
+    h = _ln_fwd(x, lns_ref[...], lnb_ref[...])[0] if has_ln else x
+    h32 = h.astype(jnp.float32)
+    sh = jnp.max(jnp.abs(h32), axis=-1, keepdims=True) / 127.0 + 1e-12  # [T, 1]
+    hi = jnp.clip(jnp.round(h32 / sh), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(  # TT orientation, contract C: [3C, T] int32
+        wqkv_ref[...], hi, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    qkv = (
+        acc.astype(jnp.float32) * swq_ref[...].reshape(-1, 1) * sh.reshape(1, -1)
+        + bqkv_ref[...]
+    )
+    qkv3 = qkv.astype(x.dtype).reshape(3 * heads, D, T)
+    q3, k3, v3 = qkv3[:heads], qkv3[heads:2 * heads], qkv3[2 * heads:]
+    s = _bdg(q3, k3, ((1,), (1,))) * scale  # [H, Ti, Tj]
+    if has_bias:
+        s = s + bias_ref[...][None]
+    p = _softmax_rows(s).astype(x.dtype)
+    o3 = _bdg(v3, p, ((2,), (2,)))  # [H, D, Ti] f32
+    out_t = o3.reshape(heads * D, T)
+    so = jnp.max(jnp.abs(out_t), axis=0, keepdims=True) / 127.0 + 1e-12  # [1, T]
+    oi = jnp.clip(jnp.round(out_t / so), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(  # contract HD: [T, C] int32
+        oi, wout_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc2.astype(jnp.float32) * so.reshape(-1, 1) * swo_ref[...] + bout_ref[...]
+    y = y.astype(o_ref.dtype)
+    o_ref[0] = x + y if has_res else y
+
+
 def _bwd_kernel(*refs, scale, heads, has_bias, has_ln, has_res, saved_qkv,
                 head_dim=None):
     refs = list(refs)
@@ -241,6 +291,37 @@ def _fwd_call(x, lns, lnb, wqkv, bqkv, wout, bout, bias, scale, heads, has_res,
         + ([_const_spec((T, T))] if has_bias else []),
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+
+
+def _fwd_int8_call(x, lns, lnb, wqkv_i8, swq, bqkv, wout_i8, swo, bout, bias,
+                   scale, heads, has_res):
+    B, T, C = x.shape
+    has_bias, has_ln = bias is not None, lns is not None
+    args = (x,) + ((lns, lnb) if has_ln else ())
+    args += (wqkv_i8, swq, bqkv, wout_i8, swo, bout)
+    args += (bias,) if has_bias else ()
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_int8_kernel, scale=scale, heads=heads, has_bias=has_bias,
+            has_ln=has_ln, has_res=has_res,
+        ),
+        grid=(B,),
+        in_specs=[_item_spec(T, C)]
+        + ([_const_spec((1, C))] * 2 if has_ln else [])
+        + [
+            _const_spec(wqkv_i8.shape),
+            _const_spec(swq.shape),
+            _const_spec(bqkv.shape),
+            _const_spec(wout_i8.shape),
+            _const_spec(swo.shape),
+            _const_spec(bout.shape),
+        ]
+        + ([_const_spec((T, T))] if has_bias else []),
+        out_specs=_item_spec(T, C),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
     )(*args)
@@ -676,6 +757,85 @@ def fused_ln_attention_block(
     lns/lnb: LayerNorm scale/bias [C] (fp32-island semantics)."""
     D = x.shape[-1] // heads
     return _fused(
+        x, wqkv, bqkv, wout, bout, lns, lnb, _canon_bias(bias),
+        1.0 / float(np.sqrt(D)), heads,
+    )
+
+
+def _fused_int8(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads):
+    """Int8 fwd-only dispatch: quantize the projection weights per output
+    column in-jit, shard the batch over a data mesh if one is ambient, and
+    fall back to the bf16 custom-VJP op under tensor parallelism (the int8
+    kernel has no head-parallel path)."""
+    from .quant import quantize_cols
+
+    mesh, tp = _mesh_info(heads)
+    if tp > 1:
+        return _fused(x, wqkv, bqkv, wout, bout, lns, lnb, bias, scale, heads)
+    has_res = lns is not None
+    ls, lb, wq, bq, wo, bo = _prep(x, wqkv, bqkv, wout, bout, lns, lnb)
+    wq_i8, swq = quantize_cols(wq)
+    wo_i8, swo = quantize_cols(wo)
+    args = (x,) + ((ls, lb) if ls is not None else ())
+    args += (wq_i8, swq, bq, wo_i8, swo, bo)
+    args += (bias,) if bias is not None else ()
+    has_ln, has_bias = ls is not None, bias is not None
+
+    def call(*a):
+        a = list(a)
+        xs = a.pop(0)
+        ls_, lb_ = (a.pop(0), a.pop(0)) if has_ln else (None, None)
+        wq_, swq_, bq_, wo_, swo_, bo_ = a[:6]
+        bb = a[6] if has_bias else None
+        return _fwd_int8_call(
+            xs, ls_, lb_, wq_, swq_, bq_, wo_, swo_, bo_, bb, scale, heads,
+            has_res,
+        )
+
+    if mesh is None:
+        return call(*args)
+    from jax.sharding import PartitionSpec as P
+
+    d, r = P("data"), P()
+    n_const = (2 if has_ln else 0) + 6 + (1 if has_bias else 0)
+    return _smap(call, mesh, in_specs=(d,) + (r,) * n_const, out_specs=d)(*args)
+
+
+def fused_attention_block_int8(
+    x: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wout: jnp.ndarray,
+    bout: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    heads: int = 12,
+) -> jnp.ndarray:
+    """Int8-MXU packed attention (no LN / residual) — SERVING ONLY (no VJP;
+    differentiating it fails loudly). Same signature/semantics as
+    :func:`fused_attention_block`."""
+    D = x.shape[-1] // heads
+    return _fused_int8(
+        x, wqkv, bqkv, wout, bout, None, None, _canon_bias(bias),
+        1.0 / float(np.sqrt(D)), heads,
+    )
+
+
+def fused_ln_attention_block_int8(
+    x: jnp.ndarray,
+    lns: jnp.ndarray,
+    lnb: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wout: jnp.ndarray,
+    bout: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    heads: int = 12,
+) -> jnp.ndarray:
+    """Int8-MXU x + proj(attn(LN(x))) — SERVING ONLY. Same semantics as
+    :func:`fused_ln_attention_block`; qkv/out projections on the int8 MXU,
+    score/context dots bf16 (K=64 gains nothing from int8)."""
+    D = x.shape[-1] // heads
+    return _fused_int8(
         x, wqkv, bqkv, wout, bout, lns, lnb, _canon_bias(bias),
         1.0 / float(np.sqrt(D)), heads,
     )

@@ -50,13 +50,15 @@ class InferenceEngine:
     be traced later in this same TPU process (training measures faster on
     the XLA MLP path — docs/performance.md).
 
-    ``quantize="int8"`` additionally routes the MLP dots through the int8
-    MXU kernel (`ops/fused_mlp.fused_ln_mlp_block_int8`): weights
+    ``quantize="int8"`` additionally routes the MLP dots and the attention
+    qkv / output projections through int8-MXU kernels
+    (`ops/fused_mlp.fused_ln_mlp_block_int8`,
+    `ops/fused_attn.fused_ln_attention_block_int8`): weights
     per-output-channel, activations per-token dynamic, quantized in VMEM.
-    Measured +26% on the MLP blocks at B=256 with embedding cosine ≥ 0.999
-    vs bf16 (docs/performance.md); serving-only (no backward). Requires
-    ``fused_mlp=True`` (the int8 path lives inside the fused kernel
-    dispatch) — also process-global.
+    Measured 2435 → 3070 clips/s (+26%) on audio embedding at B=256 with
+    embedding cosine ≥ 0.999 vs bf16 (docs/performance.md); serving-only
+    (no backward). Requires ``fused_mlp=True`` (the int8 MLP lives inside
+    the fused kernel dispatch) — also process-global.
 
     ``data_parallel=True`` shards every device batch over ALL local devices
     (1-D ``data`` mesh, weights replicated): one jitted call encodes
@@ -104,6 +106,9 @@ class InferenceEngine:
                     "quantize='int8' requires the fused MLP path (fused_mlp=True)"
                 )
             os.environ["VIPANT_INT8_MLP"] = "1"
+            # attention projections too (qkv/out on the int8 MXU; the fused
+            # attention dispatch falls back to bf16 off-TPU and under TP)
+            os.environ["VIPANT_INT8_ATTN"] = "1"
         self.cfg = cfg if isinstance(cfg, Config) else compose(list(cfg))
         if token_pack > 1 and batch_size % token_pack == 0:
             # exact block-diagonal attention packing for the short image
