@@ -372,6 +372,47 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             log(f"e2e femb bench failed: {type(e).__name__}: {e}")
 
+    # forward-only serving throughput, bf16 fused kernels vs int8 MXU
+    # (quantize="int8"). LAST: the int8 switches are process-global
+    # trace-time env vars — nothing may trace after them.
+    serve_bf16 = serve_int8 = None
+    if os.environ.get("BENCH_SERVE", "1") == "1":
+        try:
+            import jax.numpy as jnp
+
+            from vipant_tpu.optim.partition import merge_params
+
+            Bs = int(os.environ.get("BENCH_SERVE_BATCH", "256"))
+            _, smodel, _, _, sstate, _, _ = build(Bs)
+            sparams = merge_params(sstate.params, sstate.frozen_params)
+            saudios = jnp.asarray(
+                np.random.default_rng(0).standard_normal((Bs, 1, 1000, 128)),
+                jnp.float32,
+            )
+
+            def embed(p, a):
+                out = smodel.apply({"params": p}, a, method="encode_audio", train=False)
+                return out / jnp.linalg.norm(out, axis=-1, keepdims=True).clip(1e-8)
+
+            for mode in ("bf16", "int8"):
+                os.environ["VIPANT_FUSED_MLP"] = "1"
+                os.environ["VIPANT_INT8_MLP"] = "1" if mode == "int8" else "0"
+                os.environ["VIPANT_INT8_ATTN"] = "1" if mode == "int8" else "0"
+                fn = jax.jit(embed)
+                sdt = time_device_loop(
+                    fn, (sparams, saudios), STEPS, lambda o: float(o[0, 0])
+                )
+                rate = Bs / sdt / n_chips
+                log(f"serve[{mode}] B={Bs}: {sdt*1e3:.1f} ms -> {rate:.0f} clips/s/chip")
+                if mode == "bf16":
+                    serve_bf16 = rate
+                else:
+                    serve_int8 = rate
+                jax.clear_caches()  # env switches are read at trace time
+            del sstate, sparams, saudios
+        except Exception as e:  # pragma: no cover
+            log(f"serve bench failed: {type(e).__name__}: {e}")
+
     # baseline: the reference publishes no absolute throughput (BASELINE.md),
     # so vs_baseline compares against the newest previous-round record.
     vs = 1.0
@@ -412,6 +453,10 @@ def main() -> None:
         out["e2e_femb_clips_per_sec"] = round(e2e_femb, 1)
     if gc_clips:
         out["gc_b2048_clips_per_sec"] = round(gc_clips, 1)
+    if serve_bf16:
+        out["serve_bf16_clips_per_sec"] = round(serve_bf16, 1)
+    if serve_int8:
+        out["serve_int8_clips_per_sec"] = round(serve_int8, 1)
     print(json.dumps(out))
 
 

@@ -417,6 +417,46 @@ def test_http_server_routes(tmp_path, engine):
         srv.shutdown()
 
 
+def test_http_embed_image_route(tmp_path):
+    """POST /embed_image: base64 image bytes through CLIP preprocessing to
+    normalized embeddings (CVAP engine with an image tower)."""
+    import base64
+    import json
+    import threading
+    import urllib.request
+
+    from data_synth import make_synth_va_index
+    from vipant_tpu.serve import make_server
+
+    make_synth_va_index(str(tmp_path), "train", n=2, seconds=0.3)
+    jpgs = sorted(
+        os.path.join(str(tmp_path), "frame", f)
+        for f in os.listdir(os.path.join(str(tmp_path), "frame"))
+    )
+    cfg = [o for o in TINY if not o.startswith(("worker", "+model/text", "model.text"))]
+    eng = InferenceEngine(cfg + ["+model/text=dummy", "worker=CVAP"], batch_size=2)
+    srv = make_server(eng, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        blobs = [base64.b64encode(open(p, "rb").read()).decode() for p in jpgs]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/embed_image",
+            data=json.dumps({"images_b64": blobs}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        emb = np.asarray(out["embeddings"])
+        assert emb.shape == (2, 32)
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-2)
+        # matches the library path exactly
+        lib = eng.embed_image_files(jpgs)
+        np.testing.assert_allclose(emb, lib, rtol=1e-4, atol=1e-5)
+    finally:
+        srv.shutdown()
+
+
 def test_frame_emb_string_frame_record(tmp_path):
     """String-valued 'frame' records (single frame, no list) also resolve
     precomputed embeddings under running.frame_emb."""

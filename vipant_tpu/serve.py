@@ -523,6 +523,8 @@ def make_server(engine: "InferenceEngine", port: int = 8080, host: str = "127.0.
       ``{"embeddings": [[...]]}``
     - ``POST /embed_audio`` raw WAV body (Content-Type audio/wav) or JSON
       ``{"wav_b64": "..."}`` → ``{"embeddings": [[...]]}``
+    - ``POST /embed_image`` JSON ``{"images_b64": ["...jpg/png bytes..."]}``
+      (or singular ``image_b64``) → ``{"embeddings": [[...]]}``
     - ``POST /caption?beam=N`` raw WAV body or ``{"wav_b64": ...}`` →
       ``{"captions": ["..."]}``
     - ``POST /zero_shot`` JSON ``{"labels": [...], "prompt": "the sound of ",
@@ -594,6 +596,24 @@ def make_server(engine: "InferenceEngine", port: int = 8080, host: str = "127.0.
                     fb = engine.fbank_files(tmp)  # host CPU: outside the lock
                     with lock:
                         emb = engine.embed_audio(fb)
+                    self._send(200, {"embeddings": emb.tolist()})
+                elif url.path == "/embed_image":
+                    from PIL import Image
+
+                    from .data.transforms_image import clip_preprocess
+
+                    payload = _json.loads(body)
+                    blobs = payload.get("images_b64") or [payload["image_b64"]]
+                    res = int(engine.cfg.running.get("resolution", 224))
+                    # decode + CLIP preprocess on the host, outside the lock
+                    imgs = np.stack([
+                        clip_preprocess(
+                            Image.open(io.BytesIO(base64.b64decode(b))), res
+                        )
+                        for b in blobs
+                    ])
+                    with lock:
+                        emb = engine.embed_images(imgs)
                     self._send(200, {"embeddings": emb.tolist()})
                 elif url.path == "/caption":
                     tmp = wavs_from_request(body, ctype)
