@@ -234,3 +234,39 @@ def test_int8_kernels_under_data_mesh():
         )(xs)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m), atol=1e-5)
+
+
+def test_int8_frozen_tower_forward_and_grads(monkeypatch):
+    """`int8_frozen=True` routes a tower's trunk through the fwd-only int8
+    kernels. A frozen tower's output is constant w.r.t. the differentiated
+    params, so jax.grad over OTHER params must work (no VJP is ever needed
+    through the int8 kernels), and the embeddings must match the bf16 tower
+    to cosine > 0.99."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vipant_tpu.nn.heads import VisionTower
+
+    kw = dict(
+        width=64, embed_dim=32, resolution=64, heads=4, layers=2,
+        patch_size=32, dtype=jnp.float32,
+    )
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((2, 3, 64, 64)), jnp.float32)
+    ref_tower = VisionTower(**kw)
+    variables = ref_tower.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_tower.apply(variables, x), np.float32)
+
+    # the dispatch gates on the TPU backend; force it + interpret kernels
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        int8_tower = VisionTower(int8_frozen=True, **kw)
+        out = np.asarray(int8_tower.apply(variables, x), np.float32)
+        cos = (out * ref).sum(-1) / (
+            np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+        )
+        assert cos.min() > 0.99, cos.min()
+
+        # frozen-tower training pattern: grads w.r.t. params OUTSIDE the
+        # tower flow fine even though the int8 kernels have no VJP
+        w = jnp.ones((32,), jnp.float32)
+        g = jax.grad(lambda w: jnp.sum(int8_tower.apply(variables, x) @ w))(w)
+        assert np.isfinite(np.asarray(g)).all()

@@ -90,6 +90,15 @@ class VisionTower(nn.Module):
     # tower, experiments/pack_probe.py). Counterproductive for T near the
     # tile boundary (audio T=306→384); keep 1 there.
     token_pack: int = 1
+    # Run this tower's trunk on the fwd-only int8-MXU kernels (weights
+    # per-channel / activations per-token, quantized in VMEM — ops/quant.py).
+    # For FROZEN towers only: their output is constant w.r.t. the trainable
+    # params, so AD never needs a VJP through them; a tunable tower with
+    # this flag fails loudly at trace time. A training-recipe knob (the
+    # embeddings move by cosine ~1e-4, like the reference's fp16 autocast
+    # did, `/root/reference/cvap/monitor/cvap.py:104`); TPU-only, no-op on
+    # other backends.
+    int8_frozen: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -160,17 +169,27 @@ class VisionTower(nn.Module):
         if pack:
             B_full, Tt, _ = h.shape
             h, attn_bias = pack_tokens(h, k)
-        h = TransformerBackbone(
-            layers=int(self.layers),
-            width=self.width,
-            heads=self.heads,
-            use_attn_mask=False,
-            remat=self.remat,
-            stacked=self.stacked,
-            pipe_microbatches=self.pipe_microbatches,
-            name="encoder",
-            **kw,
-        )(h, attn_bias=attn_bias)
+        import contextlib
+
+        from ..ops.quant import int8_fwd_context
+
+        int8_ctx = (
+            int8_fwd_context()
+            if self.int8_frozen and jax.default_backend() == "tpu"
+            else contextlib.nullcontext()
+        )
+        with int8_ctx:
+            h = TransformerBackbone(
+                layers=int(self.layers),
+                width=self.width,
+                heads=self.heads,
+                use_attn_mask=False,
+                remat=self.remat,
+                stacked=self.stacked,
+                pipe_microbatches=self.pipe_microbatches,
+                name="encoder",
+                **kw,
+            )(h, attn_bias=attn_bias)
         if pack:
             h = h.reshape(B_full, Tt, h.shape[-1])
         h = AddonEncoder(name="post_addon")(h)
@@ -297,6 +316,7 @@ def _vision_from_cfg(cfg, dtype, param_dtype, remat) -> VisionTower:
         stacked=bool(cfg.get("stacked", False)),
         pipe_microbatches=cfg.get("pipe_microbatches", None),
         token_pack=int(cfg.get("token_pack", 1) or 1),
+        int8_frozen=bool(cfg.get("int8_frozen", False)),
         **_common(cfg, dtype, param_dtype, remat),
     )
 

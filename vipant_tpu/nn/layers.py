@@ -210,9 +210,13 @@ class MultiHeadAttention(nn.Module):
                         assert b.shape[0] == 1, "fused path expects a [T, T] bias"
                         b = b[0]
                     bias2d = b
-                if os.environ.get("VIPANT_INT8_ATTN") == "1":
-                    # serving-only int8 MXU projections (InferenceEngine
-                    # quantize="int8"): fwd-only, fails loudly under grad
+                from ..ops.quant import int8_fwd_enabled
+
+                if os.environ.get("VIPANT_INT8_ATTN") == "1" or int8_fwd_enabled():
+                    # fwd-only int8 MXU projections: process-global for
+                    # serving (InferenceEngine quantize="int8") or scoped to
+                    # a frozen tower's trunk (model.image.int8_frozen);
+                    # fails loudly if a cotangent ever reaches it
                     from ..ops.fused_attn import (
                         fused_attention_block_int8,
                         fused_ln_attention_block_int8,
@@ -332,16 +336,18 @@ class MLP(nn.Module):
                 fused_ln_mlp_block_int8,
                 fused_mlp_applicable,
             )
+            from ..ops.quant import int8_fwd_enabled
 
+            int8_ctx = int8_fwd_enabled()  # frozen-tower scope (quant.py)
             if (
-                os.environ.get("VIPANT_FUSED_MLP") == "1"
+                (os.environ.get("VIPANT_FUSED_MLP") == "1" or int8_ctx)
                 and jax.default_backend() == "tpu"
                 and fused_mlp_applicable(x.shape[1], d, self.expansion)
             ):
-                if os.environ.get("VIPANT_INT8_MLP") == "1":
-                    # serving-only int8 MXU path (InferenceEngine
-                    # quantize="int8"): no VJP — differentiating through it
-                    # fails loudly, which is correct for a training misuse
+                if os.environ.get("VIPANT_INT8_MLP") == "1" or int8_ctx:
+                    # fwd-only int8 MXU path (serving quantize="int8", or a
+                    # frozen tower's trunk): no VJP — differentiating
+                    # through it fails loudly, which is correct
                     return fused_ln_mlp_block_int8(
                         x, *ln_residual, wfc, bfc, wproj, bproj, act=self.act
                     )

@@ -15,7 +15,31 @@ the reference serves fp16 CUDA, `/root/reference/clip/model.py:372-393`).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax.numpy as jnp
+
+# Trace-time switch for the fwd-only int8 kernels, scoped to one module's
+# subtree (unlike the process-global VIPANT_INT8_* env vars): a FROZEN tower
+# inside a training step is legitimately forward-only — its output is a
+# constant w.r.t. the differentiated params, so AD never needs a VJP through
+# it — and can run the int8 kernels while the trainable towers stay bf16
+# (`model.image.int8_frozen`, nn/heads.py).
+_INT8_FWD = contextvars.ContextVar("vipant_int8_fwd", default=False)
+
+
+@contextlib.contextmanager
+def int8_fwd_context(enabled: bool = True):
+    token = _INT8_FWD.set(bool(enabled))
+    try:
+        yield
+    finally:
+        _INT8_FWD.reset(token)
+
+
+def int8_fwd_enabled() -> bool:
+    return _INT8_FWD.get()
 
 
 def quantize_cols(w: jnp.ndarray):
