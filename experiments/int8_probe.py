@@ -55,11 +55,9 @@ def main():
         def bf16(x, w):
             return x @ w
 
-        def _rowq(x):
-            ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-            s = ax / 127.0 + 1e-12
-            xi = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
-            return xi.astype(jnp.int8), s
+        # the production quantizer — so the probe measures the same math
+        # the kernels run, not a private copy
+        from vipant_tpu.ops.quant import quantize_rows as _rowq
 
         @jax.jit
         def int8_staticw(x, w_i8, ws):

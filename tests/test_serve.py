@@ -537,7 +537,9 @@ def test_data_parallel_engine_matches_single_device(engine):
     import jax
 
     assert jax.device_count() >= 2  # conftest forces an 8-device CPU mesh
-    dp = InferenceEngine(TINY, batch_size=8, data_parallel=True)
+    # 4*n keeps the default token_pack=4 active (packed batch n divides the
+    # mesh), so both engines run the identical packed numerics path
+    dp = InferenceEngine(TINY, batch_size=4 * jax.device_count(), data_parallel=True)
     rng = np.random.default_rng(7)
     fb = rng.standard_normal((11, 100, 128)).astype(np.float32)  # ragged tail
     a_dp = dp.embed_audio(fb)
@@ -558,3 +560,67 @@ def test_data_parallel_rejects_indivisible_batch():
         pytest.skip("needs a multi-device mesh")
     with pytest.raises(ValueError, match="not divisible"):
         InferenceEngine(TINY, batch_size=3, data_parallel=True)
+
+
+def test_quantize_is_engine_scoped_not_process_global(engine):
+    """quantize='int8' must not leak into later engines: the mode lives on
+    the engine (int8_fwd_context around every traced call), never in the
+    VIPANT_INT8_* env vars (review finding, round 3)."""
+    import os
+
+    from vipant_tpu.ops.quant import int8_fwd_enabled
+
+    for var in ("VIPANT_INT8_MLP", "VIPANT_INT8_ATTN"):
+        assert os.environ.get(var) != "1"
+    os.environ["VIPANT_FUSED_MLP"] = "1"  # required by the quantize check
+    try:
+        q = InferenceEngine(TINY, batch_size=4, quantize="int8")
+        # building the int8 engine leaves the process env untouched
+        for var in ("VIPANT_INT8_MLP", "VIPANT_INT8_ATTN"):
+            assert os.environ.get(var) != "1"
+        assert q._int8 and not engine._int8
+        # the contextvar is live exactly inside _call (where traces happen)
+        seen = {}
+
+        def probe(variables, chunk):
+            seen["int8"] = int8_fwd_enabled()
+            return chunk
+
+        q._call(probe, np.zeros(1))
+        assert seen["int8"] is True
+        engine._call(probe, np.zeros(1))
+        assert seen["int8"] is False
+        assert int8_fwd_enabled() is False  # context restored
+    finally:
+        os.environ.pop("VIPANT_FUSED_MLP", None)
+
+
+def test_token_pack_dp_fallback():
+    """batch_size=8 over an 8-device data mesh leaves a packed batch of 2
+    (default token_pack=4) that cannot shard — the engine must drop packing
+    (and say so) instead of crashing at trace time on TPU."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    n = jax.device_count()
+    dp = InferenceEngine(TINY, batch_size=n, data_parallel=True)
+    assert dp._token_pack == 1 and "packing disabled" in dp.echo_note
+    dp_big = InferenceEngine(TINY, batch_size=4 * n, data_parallel=True)
+    assert dp_big._token_pack == 4 and not dp_big.echo_note
+
+
+def test_embed_image_bytes_shares_preprocessing(tmp_path, engine):
+    """The HTTP /embed_image route and embed_image_files must run the SAME
+    preprocessing: preprocess_images accepts paths and file-like sources."""
+    import io
+
+    from PIL import Image
+
+    p = tmp_path / "img.png"
+    arr = (np.random.default_rng(3).random((40, 60, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(p)
+    via_path = engine.preprocess_images([str(p)])
+    via_bytes = engine.preprocess_images([io.BytesIO(p.read_bytes())])
+    np.testing.assert_array_equal(via_path, via_bytes)
+    assert via_path.shape[1] == 3

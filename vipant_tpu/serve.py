@@ -105,11 +105,28 @@ class InferenceEngine:
                 raise ValueError(
                     "quantize='int8' requires the fused MLP path (fused_mlp=True)"
                 )
-            os.environ["VIPANT_INT8_MLP"] = "1"
-            # attention projections too (qkv/out on the int8 MXU; the fused
-            # attention dispatch falls back to bf16 off-TPU and under TP)
-            os.environ["VIPANT_INT8_ATTN"] = "1"
+        # int8 is scoped per-engine via int8_fwd_context (ops/quant.py), NOT
+        # process-global env vars: a later bf16 engine in the same process
+        # must not inherit int8 numerics from an earlier quantized one.
+        # (The VIPANT_INT8_* env vars remain an explicit user-level override
+        # read by the layers; the engine itself never sets them.)
+        self._int8 = bool(quantize)
         self.cfg = cfg if isinstance(cfg, Config) else compose(list(cfg))
+        # Token packing reshapes [B, T, C] -> [B/pack, pack*T, C] BEFORE the
+        # fused TPU kernels shard_map dim 0 over the data axis, so under
+        # data_parallel the PACKED batch must divide the mesh; when it
+        # doesn't, drop packing rather than crash at trace time (at
+        # B/n items per device the packing win is marginal anyway).
+        dp_n = jax.device_count() if data_parallel and jax.device_count() > 1 else 1
+        if token_pack > 1 and dp_n > 1 and (batch_size // token_pack) % dp_n:
+            self.echo_note = (
+                f"token_pack={token_pack} incompatible with batch_size "
+                f"{batch_size} over the {dp_n}-device data mesh "
+                f"(packed batch {batch_size // token_pack}); packing disabled"
+            )
+            token_pack = 1
+        else:
+            self.echo_note = ""
         if token_pack > 1 and batch_size % token_pack == 0:
             # exact block-diagonal attention packing for the short image
             # (T=50) / caption (T=77, per-segment causal) sequences
@@ -131,8 +148,13 @@ class InferenceEngine:
                     changed = True
             if changed:
                 self.cfg = patched
+            self._token_pack = int(token_pack) if changed else 1
+        else:
+            self._token_pack = 1
         self.batch_size = int(batch_size)
         self.echo = echo or setup_logger(None, 0, verbose=False)
+        if self.echo_note:
+            self.echo.info(self.echo_note)
         self.model = build_main_model(self.cfg)
         variables = init_model(self.cfg, self.model)
         self.variables = self._load(variables)
@@ -147,6 +169,9 @@ class InferenceEngine:
                     f"batch_size {self.batch_size} not divisible by the "
                     f"{n}-device data mesh"
                 )
+            # the packed batch divides the mesh by construction (see the
+            # token_pack fallback above)
+            assert (self.batch_size // self._token_pack) % n == 0
             self.variables = replicate(self.variables, self.mesh)
         self._jitted: Dict[str, Any] = {}
         self._jax = jax
@@ -310,13 +335,20 @@ class InferenceEngine:
     def _call(self, fn, chunk):
         """One jitted call; under ``data_parallel`` the batch axis shards
         over the device mesh (weights stay replicated) and GSPMD runs the
-        encoder SPMD — each device sees batch_size / n_devices items."""
-        if self.mesh is None:
-            return fn(self.variables, chunk)
-        from .parallel import shard_batch
+        encoder SPMD — each device sees batch_size / n_devices items.
 
-        with self._jax.sharding.set_mesh(self.mesh):
-            return fn(self.variables, shard_batch(np.asarray(chunk), self.mesh))
+        Wrapped in :func:`int8_fwd_context` so ``quantize='int8'`` is scoped
+        to THIS engine's traces (the contextvar is read at trace time, and
+        every first-call trace happens inside ``_call``)."""
+        from .ops.quant import int8_fwd_context
+
+        with int8_fwd_context(self._int8):
+            if self.mesh is None:
+                return fn(self.variables, chunk)
+            from .parallel import shard_batch
+
+            with self._jax.sharding.set_mesh(self.mesh):
+                return fn(self.variables, shard_batch(np.asarray(chunk), self.mesh))
 
     def _run_batched(self, method: str, arr: np.ndarray) -> np.ndarray:
         """Chunk [N, ...] host array into fixed [B, ...] device batches."""
@@ -423,17 +455,20 @@ class InferenceEngine:
         self.echo.info(f"wrote {len(outs)} frame embeddings to {out_dir}")
         return len(outs)
 
-    def embed_image_files(self, paths: Sequence[str]) -> np.ndarray:
-        """Image files → CLIP preprocessing (bicubic resize, center crop,
-        normalize) → [N, D] normalized embeddings."""
+    def preprocess_images(self, sources: Sequence[Any]) -> np.ndarray:
+        """PIL-openable sources (paths or file-like) → CLIP preprocessing
+        (bicubic resize, center crop, normalize) → [N, 3, R, R] fp32. Host
+        CPU only — the HTTP server runs it outside the device lock."""
         from PIL import Image
 
         from .data.transforms_image import clip_preprocess
 
         res = int(self.cfg.running.get("resolution", 224))
-        return self.embed_images(
-            np.stack([clip_preprocess(Image.open(p), res) for p in paths])
-        )
+        return np.stack([clip_preprocess(Image.open(p), res) for p in sources])
+
+    def embed_image_files(self, paths: Sequence[str]) -> np.ndarray:
+        """Image files → [N, D] normalized embeddings."""
+        return self.embed_images(self.preprocess_images(paths))
 
     # ------------------------------------------------------------ captioning
     def caption(self, fbanks: np.ndarray, beam: int = 0) -> List[str]:
@@ -598,20 +633,12 @@ def make_server(engine: "InferenceEngine", port: int = 8080, host: str = "127.0.
                         emb = engine.embed_audio(fb)
                     self._send(200, {"embeddings": emb.tolist()})
                 elif url.path == "/embed_image":
-                    from PIL import Image
-
-                    from .data.transforms_image import clip_preprocess
-
                     payload = _json.loads(body)
                     blobs = payload.get("images_b64") or [payload["image_b64"]]
-                    res = int(engine.cfg.running.get("resolution", 224))
                     # decode + CLIP preprocess on the host, outside the lock
-                    imgs = np.stack([
-                        clip_preprocess(
-                            Image.open(io.BytesIO(base64.b64decode(b))), res
-                        )
-                        for b in blobs
-                    ])
+                    imgs = engine.preprocess_images(
+                        [io.BytesIO(base64.b64decode(b)) for b in blobs]
+                    )
                     with lock:
                         emb = engine.embed_images(imgs)
                     self._send(200, {"embeddings": emb.tolist()})
