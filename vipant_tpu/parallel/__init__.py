@@ -20,10 +20,12 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .zero import constrain_to, state_placement, zero_shard_opt_state
 
 __all__ = [
     "adapt_trunk_layout",
     "batch_sharding",
+    "constrain_to",
     "distributed_init",
     "gpipe",
     "grad_cache_value_and_grad",
@@ -38,6 +40,8 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "stack_block_tree",
+    "state_placement",
     "unstack_block_tree",
     "unstack_in_tree",
+    "zero_shard_opt_state",
 ]

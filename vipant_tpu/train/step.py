@@ -28,6 +28,7 @@ def make_train_step(
     has_batch_stats: bool = False,
     loss_adapter: Optional[Callable] = None,
     donate: bool = True,
+    constrain: Optional[Callable] = None,
 ):
     """Build a jitted ``(state, *batch) -> (state, metrics)`` step.
 
@@ -80,6 +81,12 @@ def make_train_step(
             batch_stats=new_stats if has_batch_stats else state.batch_stats,
             rng=new_rng,
         )
+        if constrain is not None:
+            # ZeRO: pin the output state to its input placement (params
+            # replicated, opt moments data-sharded) so the donation
+            # round-trip is stable and GSPMD lowers the grad all-reduce to
+            # reduce-scatter + update all-gather (parallel/zero.py)
+            new_state = constrain(new_state)
         metrics = {"loss": loss, **{f"loss_{k}": v for k, v in aux.items()}}
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
@@ -96,6 +103,7 @@ def make_grad_cache_step(
     ties: Sequence[Tuple[str, str]] = (),
     preprocess_a: Optional[Callable] = None,
     preprocess_b: Optional[Callable] = None,
+    constrain: Optional[Callable] = None,
 ):
     """Two-pass gradient-cache train step (the "+AT w/ GC" capability;
     see :mod:`vipant_tpu.parallel.grad_cache`): activation memory scales
@@ -157,6 +165,8 @@ def make_grad_cache_step(
         f = grad_cache_value_and_grad(encode_a, encode_b, loss_of_embs, n_chunks)
         loss, grads = f(state.params, batch_a, batch_b)
         new_state = state.apply_gradients(tx, grads, rng=new_rng)
+        if constrain is not None:
+            new_state = constrain(new_state)  # ZeRO placement pin (see above)
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return step

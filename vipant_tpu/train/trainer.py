@@ -312,6 +312,26 @@ class Trainer:
                 batch_stats=stats,
                 rng=jax.random.PRNGKey(int(cfg.seed)),
             )
+            self.constrain_state = None
+            if bool(cfg.mesh.get("zero", False)) and int(self.mesh.shape["data"]) > 1:
+                # ZeRO-1: Adam/LARS moments shard 1/N over the data axis;
+                # the step output is pinned to this placement so GSPMD
+                # reduce-scatters grads into the sharded update and
+                # all-gathers params once (parallel/zero.py)
+                from ..parallel.zero import (
+                    constrain_to,
+                    state_placement,
+                    zero_shard_opt_state,
+                )
+
+                self.state = self.state.replace(
+                    opt_state=zero_shard_opt_state(self.state.opt_state, self.mesh)
+                )
+                self.constrain_state = constrain_to(state_placement(self.state))
+                self.echo.info(
+                    f"ZeRO-1: optimizer state sharded over the "
+                    f"{int(self.mesh.shape['data'])}-way data axis"
+                )
         # native resume
         model_file = str(cfg.get("model_file", "") or "")
         ckpt_path = os.path.join(str(cfg.model_root), str(cfg.model_name), model_file)
@@ -375,6 +395,7 @@ class Trainer:
                 ties=self.ties,
                 preprocess_a=preprocess_a,
                 preprocess_b=preprocess_b,
+                constrain=self.constrain_state,
             )
             self.echo.info(
                 f"gradient cache on: {n_chunks} chunks of {bsz // n_chunks}"
@@ -387,6 +408,7 @@ class Trainer:
                 has_batch_stats=self.has_batch_stats,
                 loss_adapter=self.loss_adapter,
                 donate=True,
+                constrain=self.constrain_state,
             )
 
     # ---------------------------------------------------------------- batch
