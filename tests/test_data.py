@@ -260,3 +260,74 @@ def test_process_worker_reproducible_augmentations(tmp_path):
     finally:
         la.shutdown()
         lb.shutdown()
+
+
+def test_fbank_views_reference_semantics():
+    """FbankViews (siamese two-view audio) matches the reference's
+    FbankTransform (`/root/reference/cvap/data/audio/transform.py:223-258`):
+    hardcoded AudioSet normalization, per-view masks, sentinel gating."""
+    from vipant_tpu.data.transforms_audio import (
+        AUDIOSET_FBANK_MEAN,
+        AUDIOSET_FBANK_STD,
+        FbankViews,
+    )
+
+    fv = FbankViews()
+    rng = np.random.default_rng(0)
+    fb = rng.standard_normal((100, 128)).astype(np.float32) * 5.7 - 4.9
+    want = (fb - AUDIOSET_FBANK_MEAN) / AUDIOSET_FBANK_STD
+
+    # eval: normalize-only + sentinel
+    y1, y2 = fv(fb, both=True, train=False)
+    np.testing.assert_allclose(y1, want, rtol=1e-6)
+    assert y2.shape == (1, 1, 1)
+
+    # train, aa off: one masked view + sentinel
+    np.random.seed(3)
+    y1, y2 = fv(fb, both=False, train=True)
+    assert y2.shape == (1, 1, 1)
+    # every surviving (unmasked) entry is exactly the normalized value
+    masked = y1 == 0.0
+    np.testing.assert_allclose(y1[~masked], want[~masked], rtol=1e-6)
+    assert masked.any()  # the masks really applied
+
+    # train, aa on: two views from the SAME normalized base, different masks
+    np.random.seed(3)
+    y1, y2 = fv(fb, both=True, train=True)
+    assert y2.shape == fb.shape
+    m2 = y2 == 0.0
+    np.testing.assert_allclose(y2[~m2], want[~m2], rtol=1e-6)
+
+
+def test_siamese_dataset_view_gating(tmp_path):
+    """The siamese dataset produces both audio views from ONE extraction and
+    ships [1,1,1] sentinels for views whose loss flag is off (default
+    ce_va: vv=True, aa=False), like the reference
+    (`/root/reference/cvap/data/image_audio.py:256-305`)."""
+    from data_synth import make_synth_va_index
+
+    from vipant_tpu.data.image_audio import ImageAudioDatasetSiameseSrc
+
+    make_synth_va_index(str(tmp_path), "train", n=4, seconds=1.05)
+    cfg = base_cfg(str(tmp_path)).running
+
+    ds = ImageAudioDatasetSiameseSrc(cfg, "train", True, loss_flags={"vv": True, "aa": False})
+    item = ds[0]
+    assert item["audio_v2"].shape == (1, 1, 1)  # aa off -> sentinel
+    assert item["image_v2"].shape[0] == 3  # vv on -> real CHW view
+    # audio_v1 is normalized (AudioSet stats): values nowhere near raw log-mel
+    a1 = item["audio_v1"]
+    assert abs(float(a1.mean())) < 3.0  # raw log-mel means sit near -5
+
+    ds2 = ImageAudioDatasetSiameseSrc(cfg, "train", True, loss_flags={"vv": False, "aa": True})
+    item2 = ds2[0]
+    assert item2["image_v2"].shape == (1, 1, 1)  # vv off -> sentinel
+    assert item2["audio_v2"].shape == item2["audio_v1"].shape  # aa on -> real
+
+    # eval: deterministic single views + sentinels
+    dse = ImageAudioDatasetSiameseSrc(cfg, "train", False, loss_flags={"vv": True, "aa": True})
+    ie = dse[0]
+    assert ie["audio_v2"].shape == (1, 1, 1) and ie["image_v2"].shape == (1, 1, 1)
+    again = dse[0]
+    np.testing.assert_array_equal(ie["image_v1"], again["image_v1"])
+    np.testing.assert_array_equal(ie["audio_v1"], again["audio_v1"])

@@ -223,11 +223,43 @@ class ImageAudioDatasetNpz(ImageAudioDatasetSrc):
 
 class ImageAudioDatasetSiameseSrc(ImageAudioDatasetSrc):
     """Two views of image and audio for siamese training
-    (parity: `/root/reference/cvap/data/image_audio.py:224-305`)."""
+    (parity: `/root/reference/cvap/data/image_audio.py:224-305`): both
+    audio views come from ONE fbank extraction (same crop/augs) through
+    :class:`FbankViews` (hardcoded AudioSet normalization + asymmetric
+    SpecAugment masks), and the second image/audio view is produced only
+    when the corresponding ``vv``/``aa`` loss flag is on (otherwise a
+    [1, 1, 1] sentinel ships, exactly like the reference)."""
 
-    def __init__(self, cfg, data_name: str, train: bool):
+    def __init__(self, cfg, data_name: str, train: bool, loss_flags=None):
         super().__init__(cfg, data_name, train)
+        from .transforms_audio import FbankViews
+
         self.two_view_image = SharedImageTransform(int(self.cfg.get("resolution", 224)))
+        self.fbank_views = FbankViews()
+        flags = loss_flags or {}
+        self.use_vv = bool(flags.get("vv", True))
+        self.use_aa = bool(flags.get("aa", False))
+
+    def _audio_views(self, fname: str):
+        if self.on_device:
+            # waveform-shipping mode: masks/normalization run on device
+            # (ops.specaugment); two independent crops stand in for the
+            # host two-view path
+            a1 = self._audio_waveform(fname)
+            a2 = self._audio_waveform(fname) if (self.train and self.use_aa) else a1[:1]
+            return a1, a2
+        fb = extract_fbank_features(
+            fname,
+            self.params,
+            max_audio_len=int(self.cfg.max_audio_len),
+            train=self.train,
+            zero_mean_wf=bool(self.acfg.get("zero_mean_wf", True)),
+            tile_audio=bool(self.acfg.get("tile_audio", False)),
+            transform_audio=self.transform_audio if self.train else None,
+            norms=None,  # FbankViews owns the (reference-hardcoded) norms
+            transform_fbank=None,  # masks are per-view, below
+        )
+        return self.fbank_views(fb, both=self.use_aa, train=self.train)
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         name, aclip_file, frame_file, frame_emb_file = self._paths(index)
@@ -241,9 +273,8 @@ class ImageAudioDatasetSiameseSrc(ImageAudioDatasetSrc):
         except Exception:
             res = int(self.cfg.get("resolution", 224))
             img = PILImage.fromarray((np.random.rand(res, res, 3) * 256).astype(np.uint8))
-        v1, v2 = self.two_view_image(img)
-        a1 = self._audio(aclip_file)
-        a2 = self._audio(aclip_file)
+        v1, v2 = self.two_view_image(img, both=self.use_vv, train=self.train)
+        a1, a2 = self._audio_views(aclip_file)
         return {
             "image": pivot,
             "image_v1": v1,
@@ -289,7 +320,17 @@ def build_image_audio_dataloader(
     run = cfg.running
     siamese = bool(run.get("multi_view", False))
     if siamese:
-        ds = ImageAudioDatasetSiameseSrc(run, data_name, train)
+        # view production follows the active loss flags (the reference
+        # dataset reads cfg.model.loss directly,
+        # `/root/reference/cvap/data/image_audio.py:230`)
+        loss_cfg = cfg.get("model", None)
+        loss_cfg = loss_cfg.get("loss", None) if loss_cfg is not None else None
+        flags = (
+            {k: loss_cfg.get(k, None) for k in ("vv", "aa") if loss_cfg.get(k, None) is not None}
+            if loss_cfg is not None
+            else {}
+        )
+        ds = ImageAudioDatasetSiameseSrc(run, data_name, train, loss_flags=flags)
     elif data_name.startswith("npz"):
         ds = ImageAudioDatasetNpz(run, data_name, train)
     else:

@@ -126,8 +126,11 @@ class TrainImageTransform:
 
 class SharedImageTransform:
     """Two-view BYOL/Barlow augmentation
-    (parity: `/root/reference/cvap/data/image/transform.py` multi-view
-    classes): view 1 always blurred, view 2 rarely blurred + solarized."""
+    (parity: `/root/reference/cvap/data/image/transform.py:98-145`
+    ``CLIPImageTransform``): view 1 is the *prime* branch (blur p=0.1,
+    solarize p=0.2), view 2 the heavy branch (blur p=1.0, no solarize) and
+    exists only when the ``vv`` loss is on; eval returns the deterministic
+    CLIP preprocessing with a sentinel second view."""
 
     def __init__(self, size: int = 224):
         self.size = size
@@ -144,5 +147,12 @@ class SharedImageTransform:
         img = Solarization(solar_p)(img)
         return _to_chw(img)
 
-    def __call__(self, img: Image.Image) -> Tuple[np.ndarray, np.ndarray]:
-        return self._view(img, 1.0, 0.0), self._view(img, 0.1, 0.2)
+    def __call__(
+        self, img: Image.Image, both: bool = True, train: bool = True
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        sentinel = np.ones((1, 1, 1), np.float32)
+        if not train:
+            return clip_preprocess(img, self.size), sentinel
+        y1 = self._view(img, 0.1, 0.2)
+        y2 = self._view(img, 1.0, 0.0) if both else sentinel
+        return y1, y2
