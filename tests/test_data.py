@@ -331,3 +331,48 @@ def test_siamese_dataset_view_gating(tmp_path):
     again = dse[0]
     np.testing.assert_array_equal(ie["image_v1"], again["image_v1"])
     np.testing.assert_array_equal(ie["audio_v1"], again["audio_v1"])
+
+
+def test_authentic_clip_views_and_clip_tf_switch(tmp_path):
+    """running.clip_tf selects the un-augmented CLIP two-view path
+    (`/root/reference/cvap/data/image_audio.py:232-237` resolving to
+    AuthenticCLIPImageTransform, `.../image/transform.py:73-96`)."""
+    from data_synth import make_synth_va_index
+
+    from vipant_tpu.data.image_audio import ImageAudioDatasetSiameseSrc
+    from vipant_tpu.data.transforms_image import AuthenticImageViews, clip_preprocess
+    from PIL import Image
+
+    img = Image.fromarray((np.random.rand(64, 96, 3) * 255).astype(np.uint8))
+    av = AuthenticImageViews(32)
+    y1, y2 = av(img, both=True, train=True)
+    want = clip_preprocess(img, 32)
+    np.testing.assert_array_equal(y1, want)
+    np.testing.assert_array_equal(y2, want)  # both views deterministic
+    _, s = av(img, both=False, train=True)
+    assert s.shape == (1, 1, 1)
+
+    make_synth_va_index(str(tmp_path), "train", n=2, seconds=1.05)
+    cfg = base_cfg(str(tmp_path), ["running.clip_tf=true"]).running
+    ds = ImageAudioDatasetSiameseSrc(cfg, "train", True, loss_flags={"vv": True})
+    assert isinstance(ds.two_view_image, AuthenticImageViews)
+    item = ds[0]
+    np.testing.assert_array_equal(item["image_v1"], item["image_v2"])
+
+
+def test_print_label_dist_table():
+    """Dependency-free analogue of the reference's tabulate table
+    (`/root/reference/cvap/data/audioset_cls.py:39-58`)."""
+    from vipant_tpu.data.audioset import print_label_dist
+
+    lines = []
+    msg = print_label_dist(
+        lines.append,
+        np.array([5.0, 2.0, 700.0]),
+        {0: "dog", 1: "a very long category name", 2: "cat"},
+        ncol=4,
+    )
+    assert lines and msg.count("|") > 6
+    assert "dog" in msg and "cat" in msg and "700" in msg
+    assert "a very long c.." in msg  # 15-char truncation
+    assert "total 707" in msg

@@ -218,3 +218,22 @@ def test_val_trainer_label_map_zero_shot(tmp_path, on_device):
     mon.learn()
     report = mon.infer(mon.evalloader)
     assert "A->T: p1 =" in report
+
+
+def test_la_mid_train_eval_gate():
+    """LATrainer skips the periodic retrieval eval while CE >= 5
+    (parity: `/root/reference/cvap/monitor/clap.py:245,256`); the base
+    trainer never skips; running.eval_loss_bound overrides."""
+    from vipant_tpu.train.monitors import LATrainer
+    from vipant_tpu.train.trainer import Trainer
+
+    t = object.__new__(LATrainer)
+    t.cfg = compose(["+running=clotho"])
+    assert t.mid_train_eval_ok(4.99)
+    assert not t.mid_train_eval_ok(5.0)
+
+    t.cfg = compose(["+running=clotho", "running.eval_loss_bound=inf"])
+    assert t.mid_train_eval_ok(1e9)
+
+    base = object.__new__(Trainer)
+    assert base.mid_train_eval_ok(float("inf"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import csv
 import json
+import logging
 import os
 import warnings
 from collections import defaultdict
@@ -90,14 +91,45 @@ def build_audioset_label_map(
     return label_map
 
 
-def sampling_weights(records: List[Dict], label_map: Dict, nlabel: int) -> np.ndarray:
-    """1000/(count+1) weights summed per record's labels
-    (parity: `/root/reference/cvap/data/audioset_cls.py:222-231`)."""
+def print_label_dist(echo, label_counts, lid2label, ncol: int = 18) -> str:
+    """Per-category instance-count table logged when weighted sampling is
+    on (parity: `/root/reference/cvap/data/audioset_cls.py:39-58`, minus
+    the tabulate/termcolor deps): names truncated to 15 chars, ``ncol``
+    alternating category/# columns, pipe format."""
+    short = lambda x: x[:13] + ".." if len(x) > 15 else x
+    cells: List[str] = []
+    for i, v in enumerate(label_counts):
+        cells += [short(str(lid2label.get(i, i))), str(int(v))]
+    total = int(sum(label_counts))
+    cells += [""] * ((-len(cells)) % ncol)
+    rows = [cells[r : r + ncol] for r in range(0, len(cells), ncol)]
+    widths = [max(len(r[c]) for r in rows) for c in range(ncol)]
+    header = ["category", "#"] * (ncol // 2)
+    widths = [max(w, len(h)) for w, h in zip(widths, header)]
+    fmt = lambda row: "| " + " | ".join(c.ljust(w) for c, w in zip(row, widths)) + " |"
+    sep = "|" + "|".join("-" * (w + 2) for w in widths) + "|"
+    table = "\n".join([fmt(header), sep] + [fmt(r) for r in rows])
+    msg = (
+        f"Distribution of instances among all {len(label_counts)} categories "
+        f"(total {total}):\n{table}"
+    )
+    echo(msg)
+    return msg
+
+
+def label_counts(records: List[Dict], label_map: Dict, nlabel: int) -> np.ndarray:
     counts = np.zeros(nlabel, np.float64)
     for rec in records:
         for lid in rec.get("labels", []):
             if lid in label_map:
                 counts[label_map[lid][0]] += 1
+    return counts
+
+
+def sampling_weights(records: List[Dict], label_map: Dict, nlabel: int) -> np.ndarray:
+    """1000/(count+1) weights summed per record's labels
+    (parity: `/root/reference/cvap/data/audioset_cls.py:222-231`)."""
+    counts = label_counts(records, label_map, nlabel)
     per_label = 1000.0 / (counts + 1.0)
     weights = np.zeros(len(records), np.float64)
     for i, rec in enumerate(records):
@@ -334,6 +366,20 @@ def build_audioset_dataloader(
     weights = None
     if train and bool(run.get("weighted_sampling", False)):
         weights = sampling_weights(ds.records, label_map, len(label_map))
+        # the reference prints the label distribution whenever it computes
+        # the weights (`/root/reference/cvap/data/audioset_clf.py:51`)
+        import re as _re
+
+        prompt = str(run.get("prompt", "") or "")
+        lid2label = {
+            v[0]: _re.sub(f"^{_re.escape(prompt)}", "", v[1]).strip()
+            for v in label_map.values()
+        }
+        print_label_dist(
+            logging.getLogger("vipant").info,
+            label_counts(ds.records, label_map, len(label_map)),
+            lid2label,
+        )
     return DataLoader(
         ds,
         batch_size=int(run.batch_size) // max(num_processes, 1),

@@ -233,8 +233,17 @@ class ImageAudioDatasetSiameseSrc(ImageAudioDatasetSrc):
     def __init__(self, cfg, data_name: str, train: bool, loss_flags=None):
         super().__init__(cfg, data_name, train)
         from .transforms_audio import FbankViews
+        from .transforms_image import AuthenticImageViews
 
-        self.two_view_image = SharedImageTransform(int(self.cfg.get("resolution", 224)))
+        # running.clip_tf selects the un-augmented CLIP two-view path, like
+        # the reference (`/root/reference/cvap/data/image_audio.py:232-237`;
+        # its clip_tf branch resolves to AuthenticCLIPImageTransform)
+        res = int(self.cfg.get("resolution", 224))
+        self.two_view_image = (
+            AuthenticImageViews(res)
+            if bool(self.cfg.get("clip_tf", False))
+            else SharedImageTransform(res)
+        )
         self.fbank_views = FbankViews()
         flags = loss_flags or {}
         self.use_vv = bool(flags.get("vv", True))

@@ -126,11 +126,13 @@ class TrainImageTransform:
 
 class SharedImageTransform:
     """Two-view BYOL/Barlow augmentation
-    (parity: `/root/reference/cvap/data/image/transform.py:98-145`
-    ``CLIPImageTransform``): view 1 is the *prime* branch (blur p=0.1,
-    solarize p=0.2), view 2 the heavy branch (blur p=1.0, no solarize) and
-    exists only when the ``vv`` loss is on; eval returns the deterministic
-    CLIP preprocessing with a sentinel second view."""
+    (parity: `/root/reference/cvap/data/image/transform.py:146-198`
+    ``BarlowImageTransform``, the siamese dataset's default): each view is
+    RandomResizedCrop + flip + color jitter + grayscale; view 1 is the
+    *prime* branch (blur p=0.1, solarize p=0.2), view 2 the heavy branch
+    (blur p=1.0, no solarize) and exists only when the ``vv`` loss is on;
+    eval returns the deterministic CLIP preprocessing with a sentinel
+    second view."""
 
     def __init__(self, size: int = 224):
         self.size = size
@@ -156,3 +158,22 @@ class SharedImageTransform:
         y1 = self._view(img, 0.1, 0.2)
         y2 = self._view(img, 1.0, 0.0) if both else sentinel
         return y1, y2
+
+
+class AuthenticImageViews:
+    """Both views are the deterministic CLIP eval preprocessing — no
+    augmentation at all (parity:
+    `/root/reference/cvap/data/image/transform.py:73-96`
+    ``AuthenticCLIPImageTransform``, selected by ``running.clip_tf``)."""
+
+    def __init__(self, size: int = 224):
+        self.size = size
+
+    def __call__(
+        self, img: Image.Image, both: bool = True, train: bool = True
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        sentinel = np.ones((1, 1, 1), np.float32)
+        y1 = clip_preprocess(img, self.size)
+        if not train or not both:
+            return y1, sentinel
+        return y1, y1.copy()

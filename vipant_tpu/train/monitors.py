@@ -96,6 +96,14 @@ class LATrainer(Trainer):
             f"R@10 {ref['R@10']:2.2f} R@50 {ref['R@50']:2.2f} MED {ref['MED']:2.2f} AVG {ref['AVG']:2.2f}"
         )
 
+    def mid_train_eval_ok(self, loss: float) -> bool:
+        """Skip the periodic retrieval eval while the CE is still too large
+        (parity: `/root/reference/cvap/monitor/clap.py:245,256` — "no need
+        to eval if CE is too large", bound 5). ``running.eval_loss_bound``
+        overrides; inf disables the guard."""
+        bound = float(self.cfg.running.get("eval_loss_bound", 5.0))
+        return not np.isfinite(bound) or float(loss) < bound
+
     def learn(self):
         """Adds the reference's end-of-training test-set pass and
         log-manifest repeated eval (`/root/reference/cvap/monitor/clap.py:116-133`)."""

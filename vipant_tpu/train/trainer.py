@@ -667,7 +667,7 @@ class Trainer:
                             }) + "\n")
                 if save_rate > 0 and self.global_step % save_rate == 0:
                     self.save()
-                    if self.evalloader is not None:
+                    if self.evalloader is not None and self.mid_train_eval_ok(loss):
                         self.echo.info(self.infer(self.evalloader))
                 self.timer.start("data")
         self.timer.stop("data")
@@ -676,6 +676,12 @@ class Trainer:
         )
 
     # ---------------------------------------------------------------- eval
+    def mid_train_eval_ok(self, loss: float) -> bool:
+        """Hook gating the periodic mid-training eval on the current loss.
+        The base trainer always evals; the AT fine-tune trainer skips while
+        the CE is still too large (see ``LATrainer``)."""
+        return True
+
     def memo(self, name: str, builder):
         """Per-trainer memoization for jitted closures — a fresh jit
         closure per call would recompile on every eval."""
