@@ -376,3 +376,72 @@ def test_print_label_dist_table():
     assert "dog" in msg and "cat" in msg and "700" in msg
     assert "a very long c.." in msg  # 15-char truncation
     assert "total 707" in msg
+
+
+def test_build_filter_set_reference_formats(tmp_path):
+    """The reference's three filter-file formats + "name,topk" spec
+    (`/root/reference/cvap/data/audioset_hub.py:32-58`)."""
+    import json
+    from vipant_tpu.data import build_filter_set
+
+    root = str(tmp_path)
+    # csv: one sample id per line
+    with open(tmp_path / "ids.csv", "w") as f:
+        f.write("y0\ny1\n\n")
+    assert build_filter_set("ids.csv", root) == {"y0", "y1"}
+    # samples-per-label buckets: filename ends with "k"
+    with open(tmp_path / "per_label_50k", "w") as f:
+        json.dump({"/m/dog": ["a", "b"], "/m/rain": ["c"]}, f)
+    assert build_filter_set("per_label_50k", root) == {"a", "b", "c"}
+    # jsonl neighbor lists sliced by topk, keys kept
+    with open(tmp_path / "sims.jsonl", "w") as f:
+        f.write(json.dumps({"q0": [["n1", 0.9], ["n2", 0.8], ["n3", 0.7]]}) + "\n")
+        f.write(json.dumps({"q1": [["m1", 0.5], ["m2", 0.4]]}) + "\n")
+    assert build_filter_set("sims.jsonl,2", root) == {"q0", "n1", "n2", "q1", "m1", "m2"}
+    # failures collapse to None like the reference's bare except
+    assert build_filter_set(None) is None
+    assert build_filter_set("missing.csv", root) is None
+    assert build_filter_set("sims.jsonl,notanint", root) is None
+
+
+def test_label_map_ontology_order(tmp_path):
+    """Class indices follow ontology order, not lexicographic order
+    (`/root/reference/cvap/data/audioset_hub.py:84-103`)."""
+    import json
+
+    # rain precedes dog in the ontology although "/m/dog" sorts first
+    with open(tmp_path / "ontology.json", "w") as f:
+        json.dump(
+            [
+                {"id": "/m/rain", "name": "Rain"},
+                {"id": "/m/unused", "name": "Unused"},
+                {"id": "/m/dog", "name": "Dog"},
+            ],
+            f,
+        )
+    with open(tmp_path / "eval_segments.csv", "w") as f:
+        f.write("# h\n# h\n")
+        f.write('y0, 0.0, 1.0, "/m/dog"\n')
+        f.write('y1, 0.0, 1.0, "/m/rain"\n')
+    cfg = base_cfg(str(tmp_path), ["running.label_map=ontology,eval_segments"])
+    label_map = build_audioset_label_map(cfg.running)
+    assert label_map["/m/rain"][0] == 0
+    assert label_map["/m/dog"][0] == 1
+    assert "/m/unused" not in label_map
+
+
+def test_audioset_filter_set_through_dataloader(tmp_path):
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    with open(tmp_path / "keep.csv", "w") as f:
+        f.write("y0\ny2\ny4\n")
+    cfg = base_cfg(
+        str(tmp_path),
+        [
+            "running.prompt=the sound of",
+            "running.clf=True",
+            "running.label_map=ontology,eval_segments",
+            "running.filter_set=keep.csv",
+        ],
+    )
+    loader = build_audioset_dataloader(cfg, "as_train", train=True)
+    assert {r["id"] for r in loader.dataset.records} == {"y0", "y2", "y4"}

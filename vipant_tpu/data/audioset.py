@@ -29,22 +29,53 @@ from .transforms_audio import extract_fbank_features, random_crop
 from .wav import read_wav
 
 
-def build_filter_set(path: Optional[str]) -> Optional[set]:
-    """ytid filter from csv (col 0), jsonl ({"id"}), or plain txt
-    (parity: `/root/reference/cvap/data/audioset_hub.py:32-58`)."""
-    if not path or not os.path.exists(path):
+def build_filter_set(spec: Optional[str], data_root: Optional[str] = None) -> Optional[set]:
+    """ytid filter set from a ``"name,topk"`` spec, resolved against
+    ``data_root`` (parity: `/root/reference/cvap/data/audioset_hub.py:32-58`).
+
+    Three file formats, keyed like the reference:
+      * ``*.csv``        — one sample id per line;
+      * name ends ``k``  — JSON dict ``{label: [sample, ...]}``, union of values
+                           (the reference's samples-per-label buckets);
+      * otherwise        — JSONL, each line ``{key: [(name, score), ...]}``:
+                           keep the top-``topk`` names plus the key itself.
+    Returns None when the spec is empty or the file is missing (the reference
+    swallows every failure into ``samples = None``)."""
+    if not spec:
         return None
-    ids = set()
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            if line.startswith("{"):
-                ids.add(json.loads(line)["id"])
-            else:
-                ids.add(line.split(",")[0].strip())
-    return ids
+    name, _, topk = str(spec).partition(",")
+    name = name.strip()
+    path = name
+    if not os.path.exists(path) and data_root:
+        path = os.path.join(str(data_root), name)
+    if not os.path.exists(path):
+        return None
+    try:
+        ids: set = set()
+        if path.endswith(".csv"):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        ids.add(line)
+        elif path.endswith("k"):
+            with open(path) as f:
+                samples_per_label = json.load(f)
+            for v in samples_per_label.values():
+                ids.update(v)
+        else:
+            k = int(topk)
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    key, v = next(iter(json.loads(line).items()))
+                    ids.update(str(nm) for nm, _ in v[:k])
+                    ids.add(key)
+        return ids
+    except Exception:
+        return None
 
 
 def label_map_token_matrix(label_map, ctx: int = 77) -> np.ndarray:
@@ -80,7 +111,11 @@ def build_audioset_label_map(
                 continue
             labels = parts[3].strip().strip('"').split(",")
             present.extend(l.strip() for l in labels)
-    keep = sorted(set(l for l in present if l in name_by_id))
+    # class indices follow ONTOLOGY order, not lexicographic order — the
+    # reference builds category_list in ontology order then filters it
+    # (`audioset_hub.py:84-103`), so index assignments must match.
+    present_set = set(l for l in present if l in name_by_id)
+    keep = [o["id"] for o in ontology if o["id"] in present_set]
 
     prompt = str(cfg.get("prompt", "") or "")
     label_map: Dict[str, Tuple[int, str, List[int]]] = {}
@@ -345,7 +380,7 @@ def build_audioset_dataloader(
     `/root/reference/cvap/data/audioset_clf.py:154-194` weighted path)."""
     run = cfg.running
     label_map = label_map or build_audioset_label_map(run)
-    filter_set = build_filter_set(run.get("filter_set"))
+    filter_set = build_filter_set(run.get("filter_set"), run.get("data_root"))
     clf = bool(run.get("clf", True))
     external_text = None
     if run.get("text_emb"):  # {data_root}/caption/{text_emb}.csv: id -> captions
