@@ -83,6 +83,17 @@ def test_la_encode_text_dump_and_manifest_eval(tmp_path):
     assert len(reports) >= 1
     assert all("A->T" in r for r in reports)
 
+    # per-audio-name caption-embedding dump (the reference's clap.encode_text
+    # asset layout: caption/audiocap/{clip_model_name}/{name}.npz, v=[ncap,D])
+    mon.cfg.running.set_path("clip_model_name", "ViT-B-32")
+    out_root = mon.encode_text(mon.evalloader)
+    assert out_root.endswith("caption/audiocap/vit-b-32")
+    import glob
+    files = sorted(glob.glob(os.path.join(out_root, "*.npz")))
+    assert len(files) == 4  # one per audio clip
+    v = np.load(files[0])["v"]
+    assert v.shape == (5, 32)  # 5 captions per clip, embed dim 32
+
 
 def test_checkpoint_retention_and_resave(tmp_path):
     """keep_last pruning must never delete the checkpoint just written —
@@ -147,3 +158,41 @@ def test_metrics_jsonl_sink(tmp_path):
         assert {"ts", "epoch", "step", "loss", "loss_avg", "lr", "samples_per_sec"} <= set(r)
         assert np.isfinite(r["loss"])
     assert rows[-1]["step"] > rows[0]["step"]
+
+
+def test_save_cadence_independent_of_peep_and_warmup_force_eval(tmp_path):
+    """A save step whose loss was never peeked must not crash (the save
+    branch reads the loss gate itself), and warmup completion forces an
+    eval+save like the reference's SGDR force_eval
+    (`/root/reference/cvap/monitor/clap.py:190-200`)."""
+    make_synth_va_index(str(tmp_path / "d"), "train", n=8, seconds=1.05)
+    cfg = compose([
+        "+running=bimodal",
+        *TINY_MODEL,
+        "+model/loss=ce",
+        "worker=CVAP",
+        "monitor=VAMonitor",
+        f"running.data_root={tmp_path}/d",
+        "running.data_name=train",
+        "running.eval_name=train",
+        "running.batch_size=2",
+        "running.epochs=1",
+        "running.peep_rate=5",   # never fires before the save below
+        "running.save_rate=3",   # fires at step 3 with no peeked loss
+        "running.save_epoch=False",
+        "running.eval_samples=4",
+        "optimizer.use_lars=False",
+        "optimizer.warmup=True",
+        "optimizer.warmup_steps=2",  # force_eval at step 2
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    mon.learn()  # 4 steps: force save at 2 (warmup done), save at 3
+    steps = sorted(
+        d for d in os.listdir(f"{tmp_path}/run/test") if d.startswith("0")
+    )
+    assert any(int(s) == 2 for s in steps), steps  # warmup force_eval save
+    assert any(int(s) == 3 for s in steps), steps  # cadence save, no NameError

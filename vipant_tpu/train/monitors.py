@@ -148,6 +148,40 @@ class LATrainer(Trainer):
         np.savez(out_path, v=np.concatenate(embs))
         return out_path
 
+    def encode_text(self, loader=None, out_root: Optional[str] = None) -> str:
+        """Per-audio-name caption-embedding dump — the asset generator for
+        the trimodal external-text recipe (parity:
+        `/root/reference/cvap/monitor/clap.py:46-76`): writes
+        ``{data_root}/caption/audiocap/{clip_model_name}/{name}.npz`` with
+        ``v = [ncap, D]`` text embeddings, consumable as precomputed
+        text embeddings downstream."""
+        run = self.cfg.running
+        loader = loader if loader is not None else (self.evalloader or self.loader)
+        if out_root is None:
+            model_file = str(run.get("clip_model_name", "model")).lower()
+            out_root = os.path.join(str(run.data_root), "caption", "audiocap", model_file)
+        os.makedirs(out_root, exist_ok=True)
+        variables = self.eval_variables()
+        enc = self.memo(
+            "la_text_step_b",
+            lambda: jax.jit(lambda v, t: self.model.apply(v, t, method="encode_text")),
+        )
+        nsample = 0
+        for batch in loader:
+            names = list(batch["name"])
+            text = np.asarray(batch["text"])
+            n = int(batch.get("_count", len(names)))
+            emb = np.asarray(enc(variables, jax.numpy.asarray(text)))
+            assert emb.shape[0] % len(names) == 0, "captions must tile names evenly"
+            k = emb.shape[0] // len(names)
+            for i, name in enumerate(names[:n]):
+                np.savez_compressed(
+                    os.path.join(out_root, str(name)), v=emb[i * k : (i + 1) * k]
+                )
+            nsample += n * k
+        self.echo.info(f"Saving {nsample} text vectors to `{out_root}`.")
+        return out_root
+
     @staticmethod
     def _detok_row(tk, row) -> str:
         from ..tokenizer import detokenize_ids

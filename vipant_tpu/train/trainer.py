@@ -600,6 +600,17 @@ class Trainer:
         prof = self.cfg.get("profile")
         prof_on = prof is not None and bool(prof.get("alive", False))
         halt_on_nan = bool(self.cfg.get("halt_on_nan", True))
+        # the reference forces an eval+save at the exact step warmup reaches
+        # the base lr (SGDR recommendation,
+        # `/root/reference/cvap/monitor/clap.py:190-200`) — non-LARS path only
+        opt = self.cfg.get("optimizer")
+        warmup_done_step = -1
+        if (
+            opt is not None
+            and not bool(opt.get("use_lars", False))
+            and bool(opt.get("warmup", False))
+        ):
+            warmup_done_step = int(opt.get("warmup_steps", 0))
         meter = AverageMeter(window=peep_rate)
         nsample = 0
         t_epoch = time.time()
@@ -665,7 +676,11 @@ class Trainer:
                                 "lr": fin(lr),
                                 "samples_per_sec": nsample / max(dt, 1e-9),
                             }) + "\n")
-                if save_rate > 0 and self.global_step % save_rate == 0:
+                force_eval = self.global_step == warmup_done_step
+                if force_eval or (save_rate > 0 and self.global_step % save_rate == 0):
+                    # loss may not have been read this step (peep and save
+                    # cadences are independent) — read it here for the gate
+                    loss = float(metrics["loss"])
                     self.save()
                     if self.evalloader is not None and self.mid_train_eval_ok(loss):
                         self.echo.info(self.infer(self.evalloader))
