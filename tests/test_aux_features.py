@@ -184,6 +184,8 @@ def test_save_cadence_independent_of_peep_and_warmup_force_eval(tmp_path):
         "optimizer.use_lars=False",
         "optimizer.warmup=True",
         "optimizer.warmup_steps=2",  # force_eval at step 2
+        "optimizer.batch_sch=True",
+        "optimizer.steps=[1]",       # MultiStepLR milestone: epoch 1 = step 4
         f"alias_root={tmp_path}/run",
         f"model_root={tmp_path}/run",
         "model_file=",
@@ -196,3 +198,4 @@ def test_save_cadence_independent_of_peep_and_warmup_force_eval(tmp_path):
     )
     assert any(int(s) == 2 for s in steps), steps  # warmup force_eval save
     assert any(int(s) == 3 for s in steps), steps  # cadence save, no NameError
+    assert any(int(s) == 4 for s in steps), steps  # MultiStepLR milestone force_eval

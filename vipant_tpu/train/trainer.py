@@ -605,13 +605,23 @@ class Trainer:
         # `/root/reference/cvap/monitor/clap.py:190-200`) — non-LARS path only
         opt = self.cfg.get("optimizer")
         warmup_done_step = -1
-        if (
-            opt is not None
-            and not bool(opt.get("use_lars", False))
-            and bool(opt.get("warmup", False))
-        ):
-            warmup_done_step = int(opt.get("warmup_steps", 0))
+        milestone_steps: set = set()
+        if opt is not None and not bool(opt.get("use_lars", False)):
+            if bool(opt.get("warmup", False)):
+                warmup_done_step = int(opt.get("warmup_steps", 0))
+            if bool(opt.get("batch_sch", False)):
+                # the reference also forces an eval when a per-batch
+                # MultiStepLR crosses a milestone
+                # (`/root/reference/cvap/monitor/audioset_clf.py:263-270`)
+                milestone_steps = {
+                    int(m) * self.steps_per_epoch for m in (opt.get("steps", []) or [])
+                }
         meter = AverageMeter(window=peep_rate)
+        # per-component running losses for composite loss heads — the
+        # reference's `stats()` peep breakdown (va/lv/al, vp/ap/va/vv/aa,
+        # ce/bce; `/root/reference/cvap/module/decoder/loss_head.py:453-457`).
+        # Sampled at peep cadence so no extra device syncs are added.
+        comp_meters: Dict[str, AverageMeter] = {}
         nsample = 0
         t_epoch = time.time()
         self.timer.start("data")
@@ -645,11 +655,17 @@ class Trainer:
                                 f"loss became {loss} at step {self.global_step}"
                             )
                     meter.update(loss)
+                    comp = ""
+                    for k in sorted(metrics):
+                        if k.startswith("loss_"):
+                            m = comp_meters.setdefault(k, AverageMeter(window=peep_rate))
+                            m.update(float(metrics[k]))
+                            comp += f"{k[5:]} {m.avg:.3f} "
                     lr = float(self.lr_schedule(self.global_step))
                     dt = time.time() - t_epoch
                     self.echo.info(
                         f"epoch {ie} step {self.global_step} loss {loss:.4f} "
-                        f"(avg {meter.avg:.4f}) lr {lr:.2e} "
+                        f"(avg {meter.avg:.4f}) {comp}lr {lr:.2e} "
                         f"{nsample / dt:.1f} samples/s ({self.timer.summary()})"
                     )
                     if bool(self.cfg.get("metrics_jsonl", False)) and (
@@ -676,7 +692,10 @@ class Trainer:
                                 "lr": fin(lr),
                                 "samples_per_sec": nsample / max(dt, 1e-9),
                             }) + "\n")
-                force_eval = self.global_step == warmup_done_step
+                force_eval = (
+                    self.global_step == warmup_done_step
+                    or self.global_step in milestone_steps
+                )
                 if force_eval or (save_rate > 0 and self.global_step % save_rate == 0):
                     # loss may not have been read this step (peep and save
                     # cadences are independent) — read it here for the gate
