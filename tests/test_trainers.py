@@ -134,7 +134,7 @@ def test_esc_trainer_supervised_folds(tmp_path):
         "running.data_name=esc50",
         "running.zero_shot=False",
         "running.batch_size=4",
-        "running.epochs=1",
+        "running.epochs=2",
         "running.peep_rate=1",
         "running.save_rate=1000000",
         f"alias_root={tmp_path}/run",
@@ -145,6 +145,27 @@ def test_esc_trainer_supervised_folds(tmp_path):
     mon = build_monitor(cfg)
     mean = mon.learn()
     assert 0.0 <= mean <= 100.0
+
+
+def test_esc_summary_report_best_and_max_epochs():
+    """The reference's cross-fold summary: mean±std at the best COMMON
+    epoch (headline) plus per-fold maxima
+    (`/root/reference/cvap/monitor/esc50_clf.py:104-120`)."""
+    import types
+
+    import numpy as np
+
+    from vipant_tpu.train.monitors import ESCTrainer
+
+    lines = []
+    stub = types.SimpleNamespace(echo=types.SimpleNamespace(info=lines.append))
+    report = np.array([[50.0, 75.0, 60.0], [60.0, 70.0, 65.0]])
+    mean = ESCTrainer.summary_report(stub, report)
+    # column sums [110, 145, 125] -> best common epoch 1; mean(75, 70) = 72.5
+    assert abs(mean - 72.5) < 1e-9
+    assert any("Best mean and std: 72.50" in l for l in lines)
+    # per-fold maxima 75 (epoch 1) and 70 (epoch 1)
+    assert any("Max mean and std: 72.50" in l and "[1, 1]" in l for l in lines)
 
 
 def test_mid_epoch_exact_resume(tmp_path):

@@ -645,9 +645,11 @@ class ESCTrainer(Trainer):
     def learn(self):
         if bool(self.cfg.running.get("zero_shot", False)) or self.eval_mode:
             return self.standard_zero_shot()
-        # supervised x-fold loop with re-initialization per fold
-        # (parity: `/root/reference/cvap/monitor/esc50_clf.py:43-102`)
-        accs = []
+        # supervised x-fold loop with re-initialization per fold and a
+        # per-EPOCH eval trace — the reference's model-selection protocol
+        # scores every epoch and summarizes over the best common epoch
+        # (parity: `/root/reference/cvap/monitor/esc50_clf.py:43-120`)
+        report_by_fold = []
         for fi, (train_loader, eval_loader) in enumerate(self.folds):
             if train_loader is None:  # eval-only sets (AudioSet, VoxCeleb2)
                 return self.standard_zero_shot()
@@ -655,20 +657,43 @@ class ESCTrainer(Trainer):
             # len(self.loader) (per-fold steps_per_epoch)
             self.loader, self.evalloader = train_loader, eval_loader
             self.reinitialize()
+            report_by_epoch = []
             for ie in range(int(self.cfg.running.epochs)):
                 self.loader.set_epoch(ie)
                 self.epoch(ie)
-            preds, labels = self._fold_predictions(eval_loader)
-            acc = classification_p1(preds, labels)
-            accs.append(acc)
-            self.echo.info(f"fold {fi}: p1 = {acc:2.2f}")
+                preds, labels = self._fold_predictions(eval_loader)
+                acc = classification_p1(preds, labels)
+                report_by_epoch.append(acc)
+            report_by_fold.append(report_by_epoch)
+            self.echo.info(
+                f"fold {fi}: p1 = {report_by_epoch[-1]:2.2f} "
+                f"(best {max(report_by_epoch):2.2f})"
+            )
             # release this fold's worker pools (process backend) — the
             # loaders stay referenced in self.folds for the whole run
             train_loader.shutdown()
             if eval_loader is not None:
                 eval_loader.shutdown()
-        mean, std = float(np.mean(accs)), float(np.std(accs))
-        self.echo.info(f"summary: p1 = {mean:2.2f} ± {std:2.2f} over {len(accs)} folds")
+        return self.summary_report(np.asarray(report_by_fold))
+
+    def summary_report(self, report: np.ndarray) -> float:
+        """Cross-fold summary at (a) the best COMMON epoch (the reference's
+        headline) and (b) each fold's own best epoch
+        (parity: `/root/reference/cvap/monitor/esc50_clf.py:104-120`)."""
+        nfold, nepoch = report.shape[:2]
+        self.echo.info(f"Total {nepoch} epochs for each of {nfold} folds.")
+        best_epoch = int(report.sum(0).argmax())
+        best = report[:, best_epoch]
+        mean, std = float(best.mean()), float(best.std())
+        self.echo.info(
+            f"Best mean and std: {mean:2.2f} \\pm {std:2.2f} "
+            f"in the {best_epoch}th epoch."
+        )
+        max_p, max_e = report.max(axis=1), report.argmax(axis=1)
+        self.echo.info(
+            f"Max mean and std: {max_p.mean():2.2f} \\pm {max_p.std():2.2f} "
+            f"in the {max_e.tolist()}th epoch."
+        )
         return mean
 
     def reinitialize(self):
