@@ -237,3 +237,66 @@ def test_la_mid_train_eval_gate():
 
     base = object.__new__(Trainer)
     assert base.mid_train_eval_ok(float("inf"))
+
+
+class _CapturingEcho:
+    def __init__(self):
+        self.msgs = []
+
+    def info(self, m):
+        self.msgs.append(str(m))
+
+    def error(self, m):
+        self.msgs.append(str(m))
+
+
+def test_midtrain_test_pass_and_sample_caps(tmp_path):
+    """Save-time evals run BOTH the eval and test loaders under their
+    sample budgets (parity: `/root/reference/cvap/monitor/cvalp.py:240-264`,
+    eval_samples/test_samples at `/root/reference/cvap/monitor/cvap.py:252-254`).
+    eval_samples additionally truncates eval datasets at build time
+    (`data/image_audio.py:49`); test_samples is applied as an iteration cap."""
+    make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
+    cfg = compose([
+        "+running=trimodal",
+        *TINY_MODEL,
+        "+model/loss=ce_val",
+        "worker=CVALP",
+        "monitor=VALMonitor",
+        f"running.data_root={tmp_path}",
+        "running.data_name=as_train",
+        "running.eval_name=as_train",
+        "running.test_name=as_train",
+        "running.clf=False",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.eval_samples=250",
+        "running.test_samples=4",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.testloader is not None
+
+    # iteration-cap budget: stops feature collection after the first
+    # batch that reaches it (batch 4, cap 4 -> exactly one batch)
+    data = mon.collect_features(mon.evalloader, samples=4)
+    assert data["x1"].shape[0] == 4
+    full = mon.collect_features(mon.evalloader)
+    assert full["x1"].shape[0] == 8
+    assert mon._samples_cap("eval_samples") == 250.0
+    assert mon._samples_cap("test_samples") == 4.0
+
+    # the save-time hook emits an eval report AND a capped TEST report
+    echo = _CapturingEcho()
+    mon.echo = echo
+    mon.mid_train_evals(0.0)
+    test_msgs = [m for m in echo.msgs if m.startswith("TEST ")]
+    assert test_msgs and "@ 4" in test_msgs[0], echo.msgs
+    assert sum("VA:" in m for m in echo.msgs) == 2  # eval + test reports
+    assert any("@ 8" in m and not m.startswith("TEST") for m in echo.msgs)

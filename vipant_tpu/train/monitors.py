@@ -78,13 +78,13 @@ class LATrainer(Trainer):
             variables, *batch, retrieval=retrieval, train=True, rngs=rngs, mutable=mutable
         )
 
-    def infer(self, loader) -> str:
+    def infer(self, loader, samples=None, gold_file=None) -> str:
         """1-vs-5 retrieval report
         (parity: `/root/reference/cvap/module/decoder/loss_head.py:135-169`);
         captioning configs report decoded samples instead."""
         if getattr(self.model, "text", None) is None:
-            return self.caption_report(loader)
-        data = self.collect_features(loader)
+            return self.caption_report(loader, samples=samples)
+        data = self.collect_features(loader, samples=samples)
         a, t = data["x1"], data["x2"]
         k = t.shape[0] // a.shape[0]
         m = one_vs_k_retrieval(a, t, k=k)
@@ -112,7 +112,10 @@ class LATrainer(Trainer):
             return self.repeated_retrieval()
         out = super().learn()
         if self.testloader is not None:
-            self.echo.info("TEST " + self.infer(self.testloader))
+            self.echo.info(
+                "TEST "
+                + self.infer(self.testloader, samples=self._samples_cap("test_samples"))
+            )
         return out
 
     def repeated_retrieval(self) -> List[str]:
@@ -214,7 +217,7 @@ class LATrainer(Trainer):
                 out.append(self._detok_row(tk, row[1:]))
         return out
 
-    def caption_report(self, loader) -> str:
+    def caption_report(self, loader, samples=None) -> str:
         """Decode the whole eval set and score corpus BLEU-1..4, ROUGE-L and
         CIDEr-D against the k gold captions per clip
         (parity: `/root/reference/cvap/module/decoder/loss_more.py:328-371`,
@@ -227,6 +230,8 @@ class LATrainer(Trainer):
         dec = self._decode_step()
         cands, refs = [], []
         for batch in loader:
+            if samples is not None and len(cands) >= samples:
+                break
             B = batch["audio"].shape[0]
             n = int(batch.get("_count", B))
             k = batch["text"].shape[0] // B
@@ -270,10 +275,17 @@ class VALTrainer(Trainer):
             if run.get("eval_name")
             else None
         )
+        # separate test split evaluated at every save
+        # (parity: `/root/reference/cvap/monitor/cvalp.py:97-104,254-264`)
+        self.testloader = (
+            build_audioset_dataloader(cfg, str(run.test_name), False, **kw)
+            if not self.eval_mode and run.get("test_name")
+            else None
+        )
         self.output_dim = None
 
-    def infer(self, loader) -> str:
-        data = self.collect_features(loader)
+    def infer(self, loader, samples=None, gold_file=None) -> str:
+        data = self.collect_features(loader, samples=samples)
         parts = []
         if "x1" in data and "x2" in data:
             sym = symmetric_retrieval(data["x1"], data["x2"])
@@ -360,17 +372,17 @@ class VASTrainer(Trainer):
         sharded = list(shard_batch(tuple(present), self.mesh))
         return tuple(sharded.pop(0) if a is not None else None for a in args)
 
-    def infer(self, loader) -> str:
+    def infer(self, loader, samples=None, gold_file=None) -> str:
         """Pivot-image ↔ audio retrieval on eval batches
         (parity: `/root/reference/cvap/monitor/siamese_va.py:154-180`)."""
-        data = self._collect_pivot_features(loader)
+        data = self._collect_pivot_features(loader, samples=samples)
         sym = symmetric_retrieval(data["v"], data["a"])
         return (
             f"I->A: t1 = {sym['12']['t1']:2.2f} A->I: t1 = {sym['21']['t1']:2.2f} "
             f"@ {data['v'].shape[0]}"
         )
 
-    def _collect_pivot_features(self, loader):
+    def _collect_pivot_features(self, loader, samples=None):
         variables = self.eval_variables()
 
         def _enc(variables, image, audio):
@@ -381,9 +393,12 @@ class VASTrainer(Trainer):
         enc = self.memo("pivot_step", lambda: jax.jit(_enc))
 
         vs, aas = [], []
+        n_got = 0
         iidx = self.batch_keys.index("image")
         aidx = self.batch_keys.index("audio_v1")
         for batch in loader:
+            if samples is not None and n_got >= samples:
+                break
             # through the device frontend (uint8 normalize / waveform
             # fbank), same invariant as every other eval path
             # (trainer.eval_frontend_args)
@@ -392,6 +407,7 @@ class VASTrainer(Trainer):
             n = int(batch.get("_count", len(batch["name"])))
             vs.append(np.asarray(v)[:n])
             aas.append(np.asarray(a)[:n])
+            n_got += n
         return {"v": np.concatenate(vs), "a": np.concatenate(aas)}
 
     def collect_model_export(self):
@@ -424,8 +440,15 @@ class ASTrainer(Trainer):
             if run.get("eval_name")
             else None
         )
+        # separate test split evaluated at every save
+        # (parity: `/root/reference/cvap/monitor/audioset_clf.py:137-144,314-321`)
+        self.testloader = (
+            build_audioset_dataloader(cfg, str(run.test_name), False, **kw)
+            if not self.eval_mode and run.get("test_name")
+            else None
+        )
 
-    def infer(self, loader) -> str:
+    def infer(self, loader, samples=None, gold_file=None) -> str:
         """Multi-label report over sigmoid scores
         (parity: `/root/reference/cvap/module/decoder/loss_more.py:92-131`)."""
         variables = self.eval_variables()
@@ -440,8 +463,12 @@ class ASTrainer(Trainer):
         )
 
         scores, labels = [], []
+        n_got = 0
         for batch in loader:
+            if samples is not None and n_got >= samples:
+                break
             n = int(batch.get("_count", batch["label"].shape[0]))
+            n_got += n
             image, audio, label = self.eval_frontend_args(batch)
             s = score(
                 variables,
@@ -593,10 +620,11 @@ class ESCTrainer(Trainer):
     def _fold_predictions(self, loader) -> Tuple[np.ndarray, np.ndarray]:
         return self._fold_apply(loader, "predictions")
 
-    def infer(self, loader) -> str:
+    def infer(self, loader, samples=None, gold_file=None) -> str:
         """Supervised P@1 on a fold's eval loader — the base class's
         feature-pair retrieval infer does not apply to a single-tower
-        classifier (ESClassifier has no ``features`` method)."""
+        classifier (ESClassifier has no ``features`` method). Folds are
+        small; the sample budget is ignored."""
         preds, labels = self._fold_predictions(loader)
         p1 = 100.0 * float(np.mean(preds == labels)) if len(labels) else 0.0
         return f"P@1 = {p1:2.2f} @ {len(labels)}"

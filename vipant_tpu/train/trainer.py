@@ -80,6 +80,7 @@ class Trainer:
         self.run_id = f"{int(time.time())}-{os.getpid()}"  # metrics.jsonl rows
 
         self.timer.start("build")
+        self.testloader = None  # monitors with a test split set this in build_data
         self.build_data()
         self.build_model()
         self.build_optimizer()
@@ -566,7 +567,9 @@ class Trainer:
             # (parity: `/root/reference/cvap/monitor/cvap.py:43-65`)
             return self.eval_norms(self.evalloader or self.loader)
         if self.eval_mode:
-            report = self.infer(self.evalloader)
+            report = self.infer(
+                self.evalloader, samples=self._samples_cap("eval_samples")
+            )
             self.echo.info(report)
             return report
         run = self.cfg.running
@@ -586,8 +589,7 @@ class Trainer:
             self.epoch(ie)
             if bool(run.get("save_epoch", False)):
                 self.save()
-                if self.evalloader is not None:
-                    self.echo.info(self.infer(self.evalloader))
+                self.mid_train_evals(float("-inf"))  # epoch boundary: ungated
         if bool(self.cfg.get("async_ckpt", False)):
             from ..ckpt.orbax_io import wait_for_saves
 
@@ -701,8 +703,7 @@ class Trainer:
                     # cadences are independent) — read it here for the gate
                     loss = float(metrics["loss"])
                     self.save()
-                    if self.evalloader is not None and self.mid_train_eval_ok(loss):
-                        self.echo.info(self.infer(self.evalloader))
+                    self.mid_train_evals(loss)
                 self.timer.start("data")
         self.timer.stop("data")
         self.echo.info(
@@ -710,6 +711,41 @@ class Trainer:
         )
 
     # ---------------------------------------------------------------- eval
+    def _samples_cap(self, key: str) -> Optional[float]:
+        """``running.eval_samples`` / ``running.test_samples`` budget, or
+        None when unset/inf/non-positive (= evaluate everything)."""
+        run = self.cfg.get("running")
+        v = run.get(key) if run is not None else None
+        if v is None:
+            return None
+        v = float(v)
+        return v if np.isfinite(v) and v > 0 else None
+
+    def mid_train_evals(self, loss: float) -> None:
+        """Save-time eval of the evalloader AND (when configured) the
+        testloader, each under its sample budget (parity:
+        `/root/reference/cvap/monitor/cvalp.py:240-264`,
+        `/root/reference/cvap/monitor/clap.py:245-262`,
+        `/root/reference/cvap/monitor/audioset_clf.py:300-321` — the
+        reference runs both loaders at every save; CLAP gates both on the
+        CE bound, see ``mid_train_eval_ok``)."""
+        if not self.mid_train_eval_ok(loss):
+            return
+        if self.evalloader is not None:
+            self.echo.info(
+                self.infer(self.evalloader, samples=self._samples_cap("eval_samples"))
+            )
+        if self.testloader is not None:
+            gold = self.cfg.running.get("gold_file_test")
+            self.echo.info(
+                "TEST "
+                + self.infer(
+                    self.testloader,
+                    samples=self._samples_cap("test_samples"),
+                    gold_file=gold,
+                )
+            )
+
     def mid_train_eval_ok(self, loss: float) -> bool:
         """Hook gating the periodic mid-training eval on the current loss.
         The base trainer always evals; the AT fine-tune trainer skips while
@@ -726,7 +762,11 @@ class Trainer:
             cache[name] = builder()
         return cache[name]
 
-    def collect_features(self, loader) -> Dict[str, np.ndarray]:
+    def collect_features(self, loader, samples: Optional[float] = None) -> Dict[str, np.ndarray]:
+        """Encode the loader's items; ``samples`` caps the number of items
+        (the reference's ``eval_samples``/``test_samples`` budgets — it
+        breaks once the count reaches the cap, overshooting by at most one
+        batch: `/root/reference/cvap/monitor/cvap.py:252-254`)."""
         from .step import make_eval_step
 
         eval_step = self.memo(
@@ -737,6 +777,8 @@ class Trainer:
         variables = self.eval_variables()
         with jax.sharding.set_mesh(self.mesh):
             for batch in loader:
+                if samples is not None and len(names) >= samples:
+                    break
                 args = tuple(batch[k] for k in self.batch_keys)
                 if self.needs_device_frontend:
                     args = self.device_frontend(args, None, train=False)
@@ -764,17 +806,18 @@ class Trainer:
             variables["batch_stats"] = self.state.batch_stats
         return variables
 
-    def infer(self, loader) -> str:
+    def infer(self, loader, samples=None, gold_file=None) -> str:
         """Paired retrieval eval (I↔A) — the VA report, plus per-class
         precision/recall when a gold file is configured
         (parity: `/root/reference/cvap/monitor/cvap.py:246-272` +
         `/root/reference/cvap/module/decoder/loss_head.py:109-231`)."""
         self.timer.start("report")
-        data = self.collect_features(loader)
+        data = self.collect_features(loader, samples=samples)
         sym = symmetric_retrieval(data["x1"], data["x2"])
         n = data["x1"].shape[0]
         msg = ""
-        gold_file = self.cfg.running.get("gold_file") if "running" in self.cfg else None
+        if gold_file is None:
+            gold_file = self.cfg.running.get("gold_file") if "running" in self.cfg else None
         if gold_file:
             msg = " " + self._gold_report(data, gold_file)
         self.timer.stop("report")
