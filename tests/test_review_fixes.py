@@ -192,3 +192,66 @@ def test_partial_checkpoint_dirs_are_not_checkpoints(tmp_path):
     save_checkpoint(d, 3, state, keep_last=1)
     present = sorted(x for x in os.listdir(d) if x.isdigit())
     assert present == ["00000003"], present  # junk cleaned, keep_last honored
+
+
+def test_skip_gold_and_optional_test_loader():
+    """Advisor round-3 fixes: SKIP_GOLD suppresses the eval-split gold_file
+    fallback on TEST passes; a configured-but-missing test split degrades to
+    testloader=None instead of raising; unsupported gold_file args warn."""
+    from vipant_tpu.train.trainer import SKIP_GOLD, Trainer
+
+    t = Trainer.__new__(Trainer)
+
+    class Echo:
+        msgs = []
+
+        def info(self, m):
+            self.msgs.append(m)
+
+    t.echo = Echo()
+
+    def boom():
+        raise FileNotFoundError("no such split")
+
+    assert t._optional_test_loader(boom, "missing_split") is None
+    assert any("missing_split" in m for m in t.echo.msgs)
+
+    ok = object()
+    assert t._optional_test_loader(lambda: ok, "x") is ok
+
+    # gold warning fires once for a real path, never for None/SKIP_GOLD
+    t.echo.msgs.clear()
+    t._warn_gold_unused(None)
+    t._warn_gold_unused(SKIP_GOLD)
+    assert not t.echo.msgs
+    t._warn_gold_unused("/tmp/gold.jsonl")
+    t._warn_gold_unused("/tmp/gold.jsonl")
+    assert len(t.echo.msgs) == 1
+
+
+def test_base_infer_skip_gold_suppresses_fallback(tmp_path):
+    """With running.gold_file set and gold_file=SKIP_GOLD passed, the base
+    infer must not produce a gold report (the TEST-pass contract)."""
+    import numpy as np
+
+    from vipant_tpu.config import Config
+    from vipant_tpu.train.trainer import SKIP_GOLD, Trainer
+    from vipant_tpu.utils import PhaseTimer
+
+    gold = tmp_path / "gold.jsonl"
+    gold.write_text('{"id": "a", "labels": ["x"]}\n')
+
+    t = Trainer.__new__(Trainer)
+    t.cfg = Config({"running": {"gold_file": str(gold)}})
+    t.timer = PhaseTimer()
+    feats = {
+        "x1": np.eye(4, 8, dtype=np.float32),
+        "x2": np.eye(4, 8, dtype=np.float32),
+        "names": np.asarray(["a", "b", "c", "d"]),
+    }
+    t.collect_features = lambda loader, samples=None: feats
+
+    with_gold = t.infer(None)
+    without = t.infer(None, gold_file=SKIP_GOLD)
+    assert with_gold != without
+    assert len(without) < len(with_gold)

@@ -57,7 +57,13 @@ class LATrainer(Trainer):
             else None
         )
         self.evalloader = build(cfg, str(run.eval_name), False) if run.get("eval_name") else None
-        self.testloader = build(cfg, str(run.test_name), False) if run.get("test_name") else None
+        self.testloader = (
+            self._optional_test_loader(
+                lambda: build(cfg, str(run.test_name), False), str(run.test_name)
+            )
+            if run.get("test_name")
+            else None
+        )
         self.output_dim = None
 
     def loss_adapter(self, model, variables, batch, rngs):
@@ -82,6 +88,7 @@ class LATrainer(Trainer):
         """1-vs-5 retrieval report
         (parity: `/root/reference/cvap/module/decoder/loss_head.py:135-169`);
         captioning configs report decoded samples instead."""
+        self._warn_gold_unused(gold_file)
         if getattr(self.model, "text", None) is None:
             return self.caption_report(loader, samples=samples)
         data = self.collect_features(loader, samples=samples)
@@ -125,11 +132,12 @@ class LATrainer(Trainer):
             str(self.cfg.model_root), str(self.cfg.model_name), str(self.cfg.model_file)
         )
         reports = []
+        cap = self._samples_cap("eval_samples")
         for ckpt in extract_model_files(log_path):
             from ..ckpt import load_checkpoint
 
             self.state = load_checkpoint(ckpt, self.state)
-            reports.append(f"{ckpt}: {self.infer(self.evalloader)}")
+            reports.append(f"{ckpt}: {self.infer(self.evalloader, samples=cap)}")
             self.echo.info(reports[-1])
         return reports
 
@@ -278,13 +286,17 @@ class VALTrainer(Trainer):
         # separate test split evaluated at every save
         # (parity: `/root/reference/cvap/monitor/cvalp.py:97-104,254-264`)
         self.testloader = (
-            build_audioset_dataloader(cfg, str(run.test_name), False, **kw)
+            self._optional_test_loader(
+                lambda: build_audioset_dataloader(cfg, str(run.test_name), False, **kw),
+                str(run.test_name),
+            )
             if not self.eval_mode and run.get("test_name")
             else None
         )
         self.output_dim = None
 
     def infer(self, loader, samples=None, gold_file=None) -> str:
+        self._warn_gold_unused(gold_file)
         data = self.collect_features(loader, samples=samples)
         parts = []
         if "x1" in data and "x2" in data:
@@ -294,10 +306,12 @@ class VALTrainer(Trainer):
             sym = symmetric_retrieval(data["x2"], data["x3"])
             parts.append(f"AL: A->L t1 {sym['12']['t1']:2.2f} L->A t1 {sym['21']['t1']:2.2f}")
         if self.label_map is not None and bool(self.cfg.running.get("zero_shot", False)):
-            parts.append(self.zero_shot(loader))
+            # same sample budget as the retrieval pass — an unbudgeted
+            # zero-shot would scan the full split at every save
+            parts.append(self.zero_shot(loader, samples=samples))
         return " | ".join(parts) + f" @ {data['x1'].shape[0]}"
 
-    def zero_shot(self, loader) -> str:
+    def zero_shot(self, loader, samples=None) -> str:
         """Audio -> label-prompt P@1 over the label-map space
         (parity: `/root/reference/cvap/monitor/cvalp.py:273-300` through the
         VALCE report's ``label_map`` kwarg,
@@ -316,9 +330,13 @@ class VALTrainer(Trainer):
         )
         text = np.asarray(enc_t(variables, jax.numpy.asarray(ids)))
         embs, labels = [], []
+        n_got = 0
         aidx = self.batch_keys.index("audio")
         for batch in loader:
+            if samples is not None and n_got >= samples:
+                break
             n = int(batch.get("_count", batch["audio"].shape[0]))
+            n_got += n
             audio = self.eval_frontend_args(batch)[aidx]
             a = enc_a(variables, jax.numpy.asarray(audio))
             embs.append(np.asarray(a)[:n])
@@ -375,6 +393,7 @@ class VASTrainer(Trainer):
     def infer(self, loader, samples=None, gold_file=None) -> str:
         """Pivot-image ↔ audio retrieval on eval batches
         (parity: `/root/reference/cvap/monitor/siamese_va.py:154-180`)."""
+        self._warn_gold_unused(gold_file)
         data = self._collect_pivot_features(loader, samples=samples)
         sym = symmetric_retrieval(data["v"], data["a"])
         return (
@@ -443,7 +462,10 @@ class ASTrainer(Trainer):
         # separate test split evaluated at every save
         # (parity: `/root/reference/cvap/monitor/audioset_clf.py:137-144,314-321`)
         self.testloader = (
-            build_audioset_dataloader(cfg, str(run.test_name), False, **kw)
+            self._optional_test_loader(
+                lambda: build_audioset_dataloader(cfg, str(run.test_name), False, **kw),
+                str(run.test_name),
+            )
             if not self.eval_mode and run.get("test_name")
             else None
         )
@@ -451,6 +473,7 @@ class ASTrainer(Trainer):
     def infer(self, loader, samples=None, gold_file=None) -> str:
         """Multi-label report over sigmoid scores
         (parity: `/root/reference/cvap/module/decoder/loss_more.py:92-131`)."""
+        self._warn_gold_unused(gold_file)
         variables = self.eval_variables()
 
         score = self.memo(
@@ -512,15 +535,19 @@ class ASTrainer(Trainer):
             lambda: jax.jit(lambda v, a: self.model.apply(v, a, method="encode_audio")),
         )
 
-    def zero_shot(self, loader) -> str:
+    def zero_shot(self, loader, samples=None) -> str:
         """audio↔label-text similarity → multi-label metrics
         (parity: `/root/reference/cvap/monitor/audioset_clf.py:377-404`)."""
         text = _l2(self.encode_label_texts())
         variables = self.eval_variables()
         enc = self._audio_step()
         scores, labels = [], []
+        n_got = 0
         for batch in loader:
+            if samples is not None and n_got >= samples:
+                break
             n = int(batch.get("_count", batch["label"].shape[0]))
+            n_got += n
             audio = self.eval_frontend_args(batch)[1]
             a = enc(variables, jax.numpy.asarray(audio))
             scores.append(_l2(np.asarray(a)[:n]) @ text.T)
@@ -537,9 +564,10 @@ class ASTrainer(Trainer):
             str(self.cfg.model_root), str(self.cfg.model_name), str(self.cfg.model_file)
         )
         reports = []
+        cap = self._samples_cap("eval_samples")
         for ckpt in extract_model_files(log_path):
             self.state = load_checkpoint(ckpt, self.state)
-            reports.append(f"{ckpt}: {self.zero_shot(self.evalloader)}")
+            reports.append(f"{ckpt}: {self.zero_shot(self.evalloader, samples=cap)}")
             self.echo.info(reports[-1])
         return reports
 
@@ -625,6 +653,7 @@ class ESCTrainer(Trainer):
         feature-pair retrieval infer does not apply to a single-tower
         classifier (ESClassifier has no ``features`` method). Folds are
         small; the sample budget is ignored."""
+        self._warn_gold_unused(gold_file)
         preds, labels = self._fold_predictions(loader)
         p1 = 100.0 * float(np.mean(preds == labels)) if len(labels) else 0.0
         return f"P@1 = {p1:2.2f} @ {len(labels)}"

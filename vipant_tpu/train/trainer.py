@@ -41,6 +41,14 @@ from .step import make_train_step
 
 MONITORS: Dict[str, type] = {}
 
+# Explicit "no gold report" marker for ``infer(gold_file=...)``: ``None``
+# means "fall back to ``running.gold_file``" (the eval-split default), while
+# SKIP_GOLD suppresses the fallback — used for the TEST pass so an unset
+# ``gold_file_test`` never silently reports the *eval* split's gold file on
+# test data (the reference derives the test gold file from ``test_name``,
+# `/root/reference/cvap/monitor/cvap.py:246-272`).
+SKIP_GOLD = "__skip_gold__"
+
 
 def register_monitor(*names):
     def deco(cls):
@@ -589,7 +597,14 @@ class Trainer:
             self.epoch(ie)
             if bool(run.get("save_epoch", False)):
                 self.save()
-                self.mid_train_evals(float("-inf"))  # epoch boundary: ungated
+                # gate the epoch-boundary eval on the last step's loss just
+                # like the in-loop save path: the reference's save_epoch eval
+                # runs inside the step loop and (for CLAP) stays CE-gated
+                # (`/root/reference/cvap/monitor/clap.py:245,256`)
+                last = getattr(self, "_last_metrics", None)
+                self.mid_train_evals(
+                    float(last["loss"]) if last is not None else float("-inf")
+                )
         if bool(self.cfg.get("async_ckpt", False)):
             from ..ckpt.orbax_io import wait_for_saves
 
@@ -635,6 +650,7 @@ class Trainer:
                 if prof_on and self.global_step + 1 == int(prof.get("start_step", 10)):
                     jax.profiler.start_trace(str(prof.get("dir", "/tmp/vipant_profile")))
                 self.state, metrics = self.train_step(self.state, *args)
+                self._last_metrics = metrics  # lazy ref, no device sync
                 self.global_step += 1
                 if prof_on and self.global_step == int(prof.get("start_step", 10)) + int(
                     prof.get("num_steps", 5)
@@ -721,6 +737,28 @@ class Trainer:
         v = float(v)
         return v if np.isfinite(v) and v > 0 else None
 
+    def _optional_test_loader(self, factory, name):
+        """Build the test-split loader, tolerating a missing split — the
+        reference checks on-disk existence and silently sets
+        ``testloader=None`` (`/root/reference/cvap/monitor/cvalp.py:97-104`,
+        `/root/reference/cvap/monitor/clap.py:105-111`); we echo a warning
+        instead of a fully silent skip."""
+        try:
+            return factory()
+        except (FileNotFoundError, OSError, KeyError, ValueError) as e:
+            self.echo.info(f"test split '{name}' unavailable, skipping: {e}")
+            return None
+
+    def _warn_gold_unused(self, gold_file) -> None:
+        """Monitors without a gold P/R report accept ``gold_file`` for the
+        uniform ``infer`` signature; a configured-but-unsupported gold file
+        should be surfaced, not silently dropped."""
+        if gold_file and gold_file != SKIP_GOLD and not getattr(self, "_gold_warned", False):
+            self._gold_warned = True
+            self.echo.info(
+                f"gold_file '{gold_file}' is not supported by {type(self).__name__}; ignored"
+            )
+
     def mid_train_evals(self, loss: float) -> None:
         """Save-time eval of the evalloader AND (when configured) the
         testloader, each under its sample budget (parity:
@@ -742,7 +780,7 @@ class Trainer:
                 + self.infer(
                     self.testloader,
                     samples=self._samples_cap("test_samples"),
-                    gold_file=gold,
+                    gold_file=gold if gold else SKIP_GOLD,
                 )
             )
 
@@ -818,6 +856,8 @@ class Trainer:
         msg = ""
         if gold_file is None:
             gold_file = self.cfg.running.get("gold_file") if "running" in self.cfg else None
+        elif gold_file == SKIP_GOLD:
+            gold_file = None
         if gold_file:
             msg = " " + self._gold_report(data, gold_file)
         self.timer.stop("report")
