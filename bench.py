@@ -145,6 +145,75 @@ def bench_synthetic(B, STEPS):
     return cfg, dt, fwd_ms, bwd_ms
 
 
+def bench_convergence(B=96, steps=300, n_batches=4, peep=10):
+    """Real-hardware learning smoke (VERDICT r3 #1b): run a few hundred
+    FLAGSHIP-model steps on synthetic-but-learnable data and record the
+    loss curve. Data: fixed distinct random (image, audio) pairs — the
+    frozen image tower maps each image to a fixed anchor, so the tunable
+    audio tower must memorize the pairing; symmetric InfoNCE starts at
+    ~2*log(B) and must descend decisively if and only if the loss sign, LR
+    scale, freeze masks and label alignment are all correct (the training
+    contract of `/root/reference/cvap/monitor/cvap.py:160-244`). LARS at
+    production knobs moves ~6e-6*||w||/step — invisible at this length —
+    so the smoke uses the Adam path (optimizer semantics are pinned by
+    tests/test_learning.py on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vipant_tpu.config import compose
+    from vipant_tpu.models import build_main_model, init_model, tunable_mask
+    from vipant_tpu.optim import build_optimizer
+    from vipant_tpu.optim.partition import partition_params
+    from vipant_tpu.train import TrainState, make_train_step
+
+    cfg = compose([
+        "+running=bimodal",
+        "+model/image=vit_val",
+        "+model/audio=vit_val",
+        "+model/text=dummy",
+        "+model/loss=ce",
+        "+optimizer=standard",
+        "+running/audio=default",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "model.image.token_pack=4",
+        "optimizer.use_lars=False",
+        "optimizer.warmup=False",
+        "optimizer.lr=1.0e-3",
+        "worker=CVAP",
+        f"running.batch_size={B}",
+    ])
+    model = build_main_model(cfg)
+    variables = init_model(cfg, model)
+    mask = tunable_mask(cfg, variables["params"])
+    trainable, frozen = partition_params(variables["params"], mask)
+    tx, _ = build_optimizer(cfg.optimizer, steps_per_epoch=1000)
+    step = make_train_step(model, tx, donate=True)
+    state = TrainState.create(trainable, tx, frozen_params=frozen)
+
+    rng = np.random.default_rng(7)
+    batches = [
+        (
+            jnp.asarray(rng.standard_normal((B, 3, 224, 224)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, 1, 1000, 128)), jnp.float32),
+        )
+        for _ in range(n_batches)
+    ]
+    curve = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        images, audios = batches[i % n_batches]
+        state, metrics = step(state, images, audios)
+        if i % peep == 0 or i == steps - 1:
+            curve.append(round(float(metrics["loss"]), 4))
+    dt = time.perf_counter() - t0
+    log(
+        f"convergence: {steps} steps @ B={B} in {dt:.1f}s; "
+        f"loss {curve[0]:.3f} -> {curve[-1]:.3f} (chance {2*np.log(B):.3f})"
+    )
+    log(f"  curve: {curve}")
+    return curve
+
+
 def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False):
     """Disk -> loader threads -> H2D -> production VATrainer step. Two
     pipeline modes: "src" decodes raw wav + jpg per item (on-device fbank
@@ -340,6 +409,16 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             log(f"gc bench failed: {type(e).__name__}: {e}")
 
+    # learning smoke on the real chip: loss_curve lands in the bench JSON
+    loss_curve = None
+    if os.environ.get("BENCH_CONVERGE", "1") == "1":
+        try:
+            loss_curve = bench_convergence(
+                B=96, steps=int(os.environ.get("BENCH_CONVERGE_STEPS", "300"))
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"convergence smoke failed: {type(e).__name__}: {e}")
+
     # e2e measures the HOST pipeline: fixed B=64 (host-bound throughput does
     # not improve with the device-side best batch, and fewer/larger batches
     # only reduce transfer/decode overlap)
@@ -453,6 +532,9 @@ def main() -> None:
         out["e2e_femb_clips_per_sec"] = round(e2e_femb, 1)
     if gc_clips:
         out["gc_b2048_clips_per_sec"] = round(gc_clips, 1)
+    if loss_curve:
+        out["loss_curve"] = loss_curve
+        out["loss_descent"] = round(loss_curve[-1] / max(loss_curve[0], 1e-9), 4)
     if serve_bf16:
         out["serve_bf16_clips_per_sec"] = round(serve_bf16, 1)
     if serve_int8:
