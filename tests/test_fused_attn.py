@@ -15,6 +15,10 @@ B, T, C, H = 3, 40, 64, 4
 def reference(x, wqkv, bqkv, wout, bout, bias=None, heads=H):
     d = x.shape[-1]
     hd = d // heads
+    # params use the TP-shardable [C, 3, C] / [3, C] layout; the packed 2D
+    # view is a plain reshape (nn.layers._QKVParams)
+    wqkv = jnp.reshape(wqkv, (wqkv.shape[0], -1))
+    bqkv = jnp.reshape(bqkv, (-1,))
     qkv = x.astype(jnp.float32) @ wqkv + bqkv
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hs = lambda z: z.reshape(z.shape[0], z.shape[1], heads, hd).transpose(0, 2, 1, 3)
@@ -31,8 +35,10 @@ def reference(x, wqkv, bqkv, wout, bout, bias=None, heads=H):
 def make(seed=0, b=B):
     r = np.random.default_rng(seed)
     x = jnp.asarray(r.standard_normal((b, T, C)) * 0.5, jnp.float32)
-    wqkv = jnp.asarray(r.standard_normal((C, 3 * C)) * C ** -0.5, jnp.float32)
-    bqkv = jnp.asarray(r.standard_normal(3 * C) * 0.02, jnp.float32)
+    wqkv = jnp.asarray(
+        r.standard_normal((C, 3 * C)) * C ** -0.5, jnp.float32
+    ).reshape(C, 3, C)
+    bqkv = jnp.asarray(r.standard_normal(3 * C) * 0.02, jnp.float32).reshape(3, C)
     wout = jnp.asarray(r.standard_normal((C, C)) * C ** -0.5, jnp.float32)
     bout = jnp.asarray(r.standard_normal(C) * 0.02, jnp.float32)
     return x, wqkv, bqkv, wout, bout
@@ -199,8 +205,10 @@ def test_mha_module_tree_unchanged():
     m = MultiHeadAttention(num_heads=4)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 64)))
     p = v["params"]
-    assert p["qkv"]["kernel"].shape == (64, 192)
-    assert p["qkv"]["bias"].shape == (192,)
+    # qkv stores the TP-shardable [C, 3, C]/[3, C] layout (head blocks
+    # contiguous on the last dim); flattening recovers the packed 2D layout
+    assert p["qkv"]["kernel"].shape == (64, 3, 64)
+    assert p["qkv"]["bias"].shape == (3, 64)
     assert p["out"]["kernel"].shape == (64, 64)
     assert p["out"]["bias"].shape == (64,)
 
@@ -216,8 +224,8 @@ def test_saved_qkv_grads_match_recompute():
     r = np.random.default_rng(7)
     Tl, Cl, Hl = 160, 64, 8
     x = jnp.asarray(r.standard_normal((2, Tl, Cl)) * 0.5, jnp.float32)
-    wqkv = jnp.asarray(r.standard_normal((Cl, 3 * Cl)) * Cl ** -0.5)
-    bqkv = jnp.asarray(r.standard_normal(3 * Cl) * 0.02)
+    wqkv = jnp.asarray(r.standard_normal((Cl, 3 * Cl)) * Cl ** -0.5).reshape(Cl, 3, Cl)
+    bqkv = jnp.asarray(r.standard_normal(3 * Cl) * 0.02).reshape(3, Cl)
     wout = jnp.asarray(r.standard_normal((Cl, Cl)) * Cl ** -0.5)
     bout = jnp.asarray(r.standard_normal(Cl) * 0.02)
     lns, lnb = jnp.ones((Cl,)), jnp.zeros((Cl,))
@@ -258,8 +266,8 @@ def test_fused_block_shape_sweep(Ts, Cs, Hs):
 
     r = np.random.default_rng(Ts + Cs + Hs)
     x = jnp.asarray(r.standard_normal((2, Ts, Cs)) * 0.5, jnp.float32)
-    wqkv = jnp.asarray(r.standard_normal((Cs, 3 * Cs)) * Cs ** -0.5)
-    bqkv = jnp.asarray(r.standard_normal(3 * Cs) * 0.02)
+    wqkv = jnp.asarray(r.standard_normal((Cs, 3 * Cs)) * Cs ** -0.5).reshape(Cs, 3, Cs)
+    bqkv = jnp.asarray(r.standard_normal(3 * Cs) * 0.02).reshape(3, Cs)
     wout = jnp.asarray(r.standard_normal((Cs, Cs)) * Cs ** -0.5)
     bout = jnp.asarray(r.standard_normal(Cs) * 0.02)
     lns = jnp.asarray(1.0 + 0.1 * r.standard_normal(Cs))
@@ -428,3 +436,85 @@ def test_fused_block_tensor_parallel_with_pack_bias():
             atol=5e-3 * float(jnp.max(jnp.abs(g1))) + 1e-6,
             err_msg=f"TP+bias grad mismatch for {name}",
         )
+
+
+def test_fused_block_int8_tensor_parallel_matches_unsharded():
+    """Int8 TP path (new in r4 — previously a silent bf16 fallback): each
+    shard quantizes and runs its own head-block slices; the psum'd result
+    must match the unsharded int8 call to quantization tolerance. (Weight
+    scales are per-output-column and thus shard-local == global, but the
+    out-projection's per-token ACTIVATION scale is computed over the local
+    heads only, so the rounding grids differ slightly — compare by per-token
+    cosine like the other int8 parity tests.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vipant_tpu.ops.fused_attn import fused_ln_attention_block_int8
+
+    r = np.random.default_rng(13)
+    x = jnp.asarray(r.standard_normal((4, T, C)) * 0.5, jnp.float32)
+    _, wqkv, bqkv, wout, bout = make(5)
+    lns = jnp.asarray(1.0 + 0.1 * r.standard_normal(C), jnp.float32)
+    lnb = jnp.asarray(0.05 * r.standard_normal(C), jnp.float32)
+
+    want = fused_ln_attention_block_int8(x, lns, lnb, wqkv, bqkv, wout, bout, heads=H)
+    mesh = _tp_mesh()
+    with jax.sharding.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        got = jax.jit(
+            lambda *a: fused_ln_attention_block_int8(a[0], lns, lnb, *a[1:], heads=H)
+        )(xs, wqkv, bqkv, wout, bout)
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    cos = (got * want).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_param_shardings_attention_head_blocks():
+    """param_shardings(attn_heads=...) must shard qkv [C,3,C] on the last
+    dim, qkv bias [3,C] on the last dim, and attn out [C,C] on rows — and
+    must keep them replicated when head divisibility fails or no head info
+    is given."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from vipant_tpu.parallel import param_shardings
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2, 1, 1)
+    mesh = Mesh(devs, ("data", "model", "pipe", "seq"))
+    params = {
+        "audio": {
+            "blocks": {
+                "block_0": {
+                    "attn": {
+                        "qkv": {
+                            "kernel": jnp.zeros((256, 3, 256)),
+                            "bias": jnp.zeros((3, 256)),
+                        },
+                        "out": {
+                            "kernel": jnp.zeros((256, 256)),
+                            "bias": jnp.zeros((256,)),
+                        },
+                    },
+                    "mlp": {
+                        "fc": {"kernel": jnp.zeros((256, 1024)), "bias": jnp.zeros((1024,))},
+                        "proj": {"kernel": jnp.zeros((1024, 256)), "bias": jnp.zeros((256,))},
+                    },
+                }
+            }
+        }
+    }
+    s = param_shardings(params, mesh, min_size=1 << 10, attn_heads={"audio": 4})
+    blk = s["audio"]["blocks"]["block_0"]
+    assert tuple(blk["attn"]["qkv"]["kernel"].spec) == (None, None, "model")
+    assert tuple(blk["attn"]["qkv"]["bias"].spec) == (None, "model")
+    assert tuple(blk["attn"]["out"]["kernel"].spec) == ("model", None)
+    assert tuple(blk["attn"]["out"]["bias"].spec) == ()
+    assert tuple(blk["mlp"]["fc"]["kernel"].spec) == (None, "model")
+
+    # heads not divisible by the model axis -> replicate
+    s2 = param_shardings(params, mesh, min_size=1 << 10, attn_heads={"audio": 3})
+    assert tuple(s2["audio"]["blocks"]["block_0"]["attn"]["qkv"]["kernel"].spec) == ()
+    # no head info -> replicate (kernel still head-parallelizes compute)
+    s3 = param_shardings(params, mesh, min_size=1 << 10)
+    assert tuple(s3["audio"]["blocks"]["block_0"]["attn"]["qkv"]["kernel"].spec) == ()

@@ -148,8 +148,8 @@ def test_int8_fused_attention_matches_fp32():
     out = np.asarray(
         fused_ln_attention_block_int8(
             jnp.asarray(x, jnp.bfloat16), jnp.asarray(lns), jnp.asarray(lnb),
-            jnp.asarray(wqkv), jnp.asarray(bqkv), jnp.asarray(wout),
-            jnp.asarray(bout), heads=H,
+            jnp.asarray(wqkv).reshape(C, 3, C), jnp.asarray(bqkv).reshape(3, C),
+            jnp.asarray(wout), jnp.asarray(bout), heads=H,
         ),
         np.float32,
     )
@@ -182,8 +182,8 @@ def test_int8_fused_attention_causal_bias():
     out = np.asarray(
         fused_ln_attention_block_int8(
             jnp.asarray(x, jnp.bfloat16), jnp.asarray(lns), jnp.asarray(lnb),
-            jnp.asarray(wqkv), jnp.asarray(bqkv), jnp.asarray(wout),
-            jnp.asarray(bout), bias=jnp.asarray(m), heads=H,
+            jnp.asarray(wqkv).reshape(C, 3, C), jnp.asarray(bqkv).reshape(3, C),
+            jnp.asarray(wout), jnp.asarray(bout), bias=jnp.asarray(m), heads=H,
         ),
         np.float32,
     )
@@ -212,8 +212,8 @@ def test_int8_kernels_under_data_mesh():
     x = jnp.asarray(r.standard_normal((B, T, C)), jnp.float32)
     lns = jnp.ones(C)
     lnb = jnp.zeros(C)
-    wq = jnp.asarray(r.standard_normal((C, 3 * C)) * 0.05, jnp.float32)
-    bq = jnp.zeros(3 * C)
+    wq = jnp.asarray(r.standard_normal((C, 3 * C)) * 0.05, jnp.float32).reshape(C, 3, C)
+    bq = jnp.zeros((3, C))
     wo = jnp.asarray(r.standard_normal((C, C)) * 0.05, jnp.float32)
     bo = jnp.zeros(C)
     wfc = jnp.asarray(r.standard_normal((C, 4 * C)) * 0.05, jnp.float32)

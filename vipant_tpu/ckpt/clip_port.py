@@ -64,11 +64,14 @@ _BLOCK_RE = re.compile(r"^transformer\.resblocks\.(\d+)\.(.+)$")
 
 def _port_block(sub: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """One torch ResidualAttentionBlock → one flax block param dict."""
+    C = sub["attn.in_proj_weight"].shape[1]
     out = {
         "attn": {
             "qkv": {
-                "kernel": sub["attn.in_proj_weight"].T,
-                "bias": sub["attn.in_proj_bias"],
+                # torch packed [3C, C] -> transpose -> [C, 3C] (q|k|v) ->
+                # the TP-shardable [C, 3, C] layout (nn.layers._QKVParams)
+                "kernel": np.ascontiguousarray(sub["attn.in_proj_weight"].T).reshape(C, 3, C),
+                "bias": np.asarray(sub["attn.in_proj_bias"]).reshape(3, C),
             },
             "out": {
                 "kernel": sub["attn.out_proj.weight"].T,

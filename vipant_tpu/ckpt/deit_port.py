@@ -48,9 +48,14 @@ def port_deit(sd: Dict[str, Any], tower: DeiTTower) -> Dict[str, Any]:
             blocks.setdefault(int(m.group(1)), {})[m.group(2)] = v
 
     def port_block(sub):
+        C = sub["attn.qkv.weight"].shape[1]
         return {
             "attn": {
-                "qkv": {"kernel": sub["attn.qkv.weight"].T, "bias": sub["attn.qkv.bias"]},
+                # [3C, C] -> [C, 3C] (q|k|v) -> TP-shardable [C, 3, C]
+                "qkv": {
+                    "kernel": np.ascontiguousarray(sub["attn.qkv.weight"].T).reshape(C, 3, C),
+                    "bias": np.asarray(sub["attn.qkv.bias"]).reshape(3, C),
+                },
                 "out": {"kernel": sub["attn.proj.weight"].T, "bias": sub["attn.proj.bias"]},
             },
             "ln_1": {"scale": sub["norm1.weight"], "bias": sub["norm1.bias"]},

@@ -29,8 +29,10 @@ def _t(x) -> np.ndarray:
 
 def _export_block(block: Dict[str, Any], out: Dict[str, np.ndarray], prefix: str) -> None:
     attn, mlp = block["attn"], block["mlp"]
-    out[f"{prefix}.attn.in_proj_weight"] = _t(attn["qkv"]["kernel"]).T
-    out[f"{prefix}.attn.in_proj_bias"] = _t(attn["qkv"]["bias"])
+    # [C, 3, C] param layout -> classic packed [C, 3C] -> torch [3C, C]
+    qk = _t(attn["qkv"]["kernel"])
+    out[f"{prefix}.attn.in_proj_weight"] = qk.reshape(qk.shape[0], -1).T
+    out[f"{prefix}.attn.in_proj_bias"] = _t(attn["qkv"]["bias"]).reshape(-1)
     out[f"{prefix}.attn.out_proj.weight"] = _t(attn["out"]["kernel"]).T
     out[f"{prefix}.attn.out_proj.bias"] = _t(attn["out"]["bias"])
     out[f"{prefix}.ln_1.weight"] = _t(block["ln_1"]["scale"])

@@ -89,6 +89,35 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _QKVParams(nn.Module):
+    """Packed qkv projection params in TP-shardable layout:
+    kernel [d, 3, d] (q|k|v sections along dim 1; flattening the last two
+    dims recovers the classic [d, 3d] (q|k|v) packed layout), bias [3, d].
+
+    Why 3D: head blocks are CONTIGUOUS on the last dim within each q/k/v
+    section, so ``PartitionSpec(None, None, "model")`` shards whole head
+    groups and a local reshape inside shard_map yields each shard's packed
+    slice — the classic [d, 3d] layout interleaves the three sections,
+    which no PartitionSpec can shard by head (parallel/mesh.py). Init draws
+    the same values as the flat layout (same key, reshaped)."""
+
+    dim: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        base = self.kernel_init
+
+        def init3(key, shape, dtype):
+            d = shape[0]
+            return base(key, (d, shape[1] * shape[2]), dtype).reshape(shape)
+
+        kernel = self.param("kernel", init3, (self.dim, 3, self.dim), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (3, self.dim), self.param_dtype)
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Packed-QKV multi-head attention (torch ``nn.MultiheadAttention``
     semantics: one [D, 3D] input projection, one [D, D] output projection),
@@ -154,14 +183,18 @@ class MultiHeadAttention(nn.Module):
                     bias = bias[None]
 
         if kv is None:
-            wqkv, bqkv = _DenseParams(
-                d, 3 * d, kernel_init=attn_init, param_dtype=self.param_dtype, name="qkv"
+            wqkv3, bqkv2 = _QKVParams(
+                d, kernel_init=attn_init, param_dtype=self.param_dtype, name="qkv"
             )()
             wout, bout = _DenseParams(
                 d, d, kernel_init=proj_init, param_dtype=self.param_dtype, name="out"
             )()
+            # classic packed 2D views for the non-fused paths (free reshape;
+            # only traced in branches that use them)
+            flat = lambda: (wqkv3.reshape(d, 3 * d), bqkv2.reshape(3 * d))
 
             if decode_state is not None:  # single-position cached self-attn
+                wqkv, bqkv = flat()
                 residual = x if ln_residual is not None else None
                 h = functional_layer_norm(x, *ln_residual) if ln_residual else x
                 q, k, v = jnp.split(dense(h, wqkv, bqkv), 3, axis=-1)
@@ -224,26 +257,27 @@ class MultiHeadAttention(nn.Module):
 
                     if ln_residual is not None:
                         return fused_ln_attention_block_int8(
-                            x, *ln_residual, wqkv, bqkv, wout, bout,
+                            x, *ln_residual, wqkv3, bqkv2, wout, bout,
                             bias=bias2d, heads=self.num_heads,
                         )
                     return fused_attention_block_int8(
-                        x, wqkv, bqkv, wout, bout, bias=bias2d,
+                        x, wqkv3, bqkv2, wout, bout, bias=bias2d,
                         heads=self.num_heads,
                     )
                 if ln_residual is not None:
                     return fused_ln_attention_block(
-                        x, *ln_residual, wqkv, bqkv, wout, bout,
+                        x, *ln_residual, wqkv3, bqkv2, wout, bout,
                         bias=bias2d, heads=self.num_heads,
                     )
                 return fused_attention_block(
-                    x, wqkv, bqkv, wout, bout, bias=bias2d, heads=self.num_heads
+                    x, wqkv3, bqkv2, wout, bout, bias=bias2d, heads=self.num_heads
                 )
 
             residual = None
             if ln_residual is not None:
                 residual = x
                 x = functional_layer_norm(x, *ln_residual)
+            wqkv, bqkv = flat()
             qkv = dense(x, wqkv, bqkv)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:

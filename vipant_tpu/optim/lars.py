@@ -107,7 +107,12 @@ def lars(
                 and not any(_BLOCK_IDX_RE.match(k) for k in keys)
             )
             ndim = p.ndim - (1 if is_stacked else 0)
-            if ndim > 1:
+            # bias/gain leaves go in the no-adaptation group regardless of
+            # storage rank (the reference's `exclude_bias_or_norm` is
+            # `p.ndim == 1`, `/root/reference/cvap/module/lars.py:6-7`; the
+            # TP-shardable qkv bias is stored [3, C] — nn.layers._QKVParams)
+            is_gain = keys and keys[-1] in ("bias", "scale")
+            if ndim > 1 and not is_gain:
                 d = g + weight_decay * p
                 if is_stacked:
                     axes = tuple(range(1, p.ndim))

@@ -98,17 +98,26 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
+def param_shardings(
+    params: Any,
+    mesh: Mesh,
+    min_size: int = 1 << 16,
+    attn_heads: Any = None,
+) -> Any:
     """Tensor-parallel placement over the ``model`` axis, Megatron-style:
 
     - MLP ``fc`` kernels are column-split (last axis) and ``proj`` kernels
       row-split (first axis) — GSPMD then derives the sharded [B, T, 4C/M]
       intermediate, local GELU, and the closing psum on its own.
-    - Attention weights stay REPLICATED: the fused attention kernel
-      head-parallelizes compute over the model axis by slicing its local
-      head block inside shard_map (ops/fused_attn.py); sharding the packed
-      [C, 3C] layout would only force an all-gather at the kernel boundary
-      (head blocks are strided, not contiguous, in that layout).
+    - Attention weights shard BY HEAD BLOCK: the qkv kernel's [C, 3, C]
+      layout (nn.layers._QKVParams) is contiguous per head group on the
+      last dim, so ``P(None, None, "model")`` (+ ``P(None, "model")`` bias,
+      ``P("model", None)`` out-projection rows) puts 1/tp of the attention
+      weight bytes on each device; the fused kernel consumes the local
+      slices directly (ops/fused_attn.py). Gated on ``attn_heads`` (an int,
+      or a dict {top-level param key -> head count}) because the split must
+      align to whole heads — with no head info the weights replicate and
+      the kernel still head-parallelizes compute by slicing.
     - Stacked pipeline trunks (``.../blocks/...`` leaves with a leading
       layer axis, nn.layers.StackedTransformer) shard that axis over the
       ``pipe`` mesh axis — whole layers live on their stage's devices.
@@ -121,6 +130,13 @@ def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
         return "/".join(
             str(getattr(p, "key", getattr(p, "name", ""))) for p in path
         )
+
+    def heads_for(keys: str):
+        if attn_heads is None:
+            return None
+        if isinstance(attn_heads, dict):
+            return attn_heads.get(keys.split("/", 1)[0])
+        return int(attn_heads)
 
     # first pass: which fc KERNELS actually shard — their biases follow
     # (a bias must never shard against a replicated kernel: GSPMD would
@@ -156,6 +172,20 @@ def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
             return NamedSharding(mesh, P("pipe"))
         if msize <= 1:
             return NamedSharding(mesh, P())
+        if "/attn/" in f"/{keys}":
+            h = heads_for(keys)
+            if h and h % msize == 0:
+                if keys.endswith("qkv/kernel") and x.ndim == 3 and x.size >= min_size:
+                    return NamedSharding(mesh, P(None, None, "model"))
+                if keys.endswith("qkv/bias") and x.ndim == 2:
+                    return NamedSharding(mesh, P(None, "model"))
+                if (
+                    keys.endswith("out/kernel")
+                    and x.ndim == 2
+                    and x.size >= min_size
+                    and x.shape[0] % msize == 0
+                ):
+                    return NamedSharding(mesh, P("model", None))
         if x.ndim == 2 and x.size >= min_size:
             if keys.endswith("mlp/fc/kernel") and x.shape[-1] % msize == 0:
                 return NamedSharding(mesh, P(None, "model"))
@@ -174,6 +204,8 @@ def param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_params(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
-    shardings = param_shardings(params, mesh, min_size)
+def shard_params(
+    params: Any, mesh: Mesh, min_size: int = 1 << 16, attn_heads: Any = None
+) -> Any:
+    shardings = param_shardings(params, mesh, min_size, attn_heads=attn_heads)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

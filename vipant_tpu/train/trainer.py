@@ -292,6 +292,24 @@ class Trainer:
         return apply_reference_ckpt(self.model, variables, path, echo=self.echo)
 
     # ------------------------------------------------------------- optimizer
+    def _attn_heads_map(self) -> Dict[str, int]:
+        """Per-tower attention head counts for head-block weight sharding
+        (parallel.param_shardings ``attn_heads``): param tree top-level keys
+        are the tower names."""
+        out: Dict[str, int] = {}
+        m = self.cfg.get("model")
+        for k in ("image", "audio", "text"):
+            tower = m.get(k) if m is not None else None
+            if tower is None:
+                continue
+            try:
+                h = tower.get("heads")
+                if h is not None:
+                    out[k] = int(h)
+            except (TypeError, ValueError):
+                pass
+        return out
+
     def build_optimizer(self):
         cfg = self.cfg
         steps_per_epoch = len(self.loader) if self.loader is not None else 1
@@ -302,14 +320,20 @@ class Trainer:
                 int(self.mesh.shape.get("model", 1)) > 1
                 or int(self.mesh.shape.get("pipe", 1)) > 1
             ):
-                # Megatron-style MLP weight sharding over the model axis
-                # (attention weights replicate; the fused kernel
-                # head-parallelizes compute) and/or layer sharding of
-                # stacked trunks over the pipe axis — parallel.param_shardings
+                # Megatron-style weight sharding over the model axis: MLP
+                # fc column / proj row splits AND attention qkv/out head-block
+                # splits (the fused kernel consumes the local slices), and/or
+                # layer sharding of stacked trunks over the pipe axis —
+                # parallel.param_shardings
                 from ..parallel import shard_params
 
-                trainable = shard_params(self.trainable, self.mesh)
-                frozen = shard_params(self.frozen, self.mesh) if self.frozen else None
+                heads = self._attn_heads_map()
+                trainable = shard_params(self.trainable, self.mesh, attn_heads=heads)
+                frozen = (
+                    shard_params(self.frozen, self.mesh, attn_heads=heads)
+                    if self.frozen
+                    else None
+                )
             else:
                 trainable = replicate(self.trainable, self.mesh)
                 frozen = replicate(self.frozen, self.mesh) if self.frozen else None
