@@ -124,9 +124,50 @@ def test_stacked_trunk_seq_parallel_matches_sequential():
         )
 
 
-def test_masked_trunk_falls_back_sequential():
-    """A causal-masked trunk must NOT take the ring path (no mask support):
-    it silently runs the sequential unroll and still matches no-mesh."""
+def test_ring_attention_causal_bias_matches_full():
+    """Masked ring attention (r4): the additive mask's query rows shard over
+    the ring and each step slices the resident rows' key-block columns — the
+    result equals dense masked attention, values AND gradients. Pins the
+    (i - step) mod S source-shard arithmetic (a wrong offset here would
+    still produce plausible outputs)."""
+    from vipant_tpu.nn.layers import causal_mask
+
+    mesh = make_mesh(data=2, model=1, pipe=1, seq=4)
+    B, T, H, D = 4, 32, 2, 8
+    rng = np.random.default_rng(4)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    bias = causal_mask(T)  # [T, T] additive
+
+    ring = smap(
+        lambda a, b, c, m: ring_attention(a, b, c, "seq", bias=m),
+        mesh,
+        in_specs=(P("data", "seq"),) * 3 + (P("seq", None),),
+        out_specs=P("data", "seq"),
+    )
+    y_ref = jax.nn.dot_product_attention(q, k, v, bias=bias[None, None])
+    y_ring = jax.jit(ring)(q, k, v, bias)
+    np.testing.assert_allclose(
+        np.asarray(y_ref), np.asarray(y_ring), atol=2e-6
+    )
+
+    w = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    loss_ref = lambda a, b, c: jnp.sum(
+        jax.nn.dot_product_attention(a, b, c, bias=bias[None, None]) * w
+    )
+    loss_ring = lambda a, b, c: jnp.sum(ring(a, b, c, bias) * w)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g_ref, g_ring):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_masked_trunk_rings_and_matches():
+    """A causal-masked trunk now TAKES the ring path (r4 masked ring
+    attention — previously it silently replicated compute S-fold) and still
+    matches the no-mesh trunk, outputs and parameter gradients."""
     from vipant_tpu.nn.layers import StackedTransformer, causal_mask
 
     model = StackedTransformer(layers=2, num_heads=4)
@@ -134,6 +175,58 @@ def test_masked_trunk_falls_back_sequential():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
     mask = causal_mask(T)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    y_ref = model.apply({"params": params}, x, mask=mask)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(model.apply({"params": p}, x, mask=mask) ** 2)
+    )(params)
+    mesh = make_mesh(data=2, model=1, pipe=1, seq=4)
+    calls = []
+    import vipant_tpu.parallel.sequence as seqmod
+
+    orig = seqmod.ring_attention
+    seqmod.ring_attention = lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+    try:
+        with jax.sharding.set_mesh(mesh):
+            y_sp = jax.jit(lambda p, h: model.apply({"params": p}, h, mask=mask))(
+                params, x
+            )
+            g_sp = jax.jit(
+                jax.grad(
+                    lambda p: jnp.sum(model.apply({"params": p}, x, mask=mask) ** 2)
+                )
+            )(params)
+    finally:
+        seqmod.ring_attention = orig
+    assert calls, "masked seq-parallel trunk never routed through ring attention"
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_sp), atol=2e-5)
+    flat_r = {
+        "/".join(map(str, p)): v
+        for p, v in jax.tree_util.tree_leaves_with_path(g_ref)
+    }
+    flat_s = {
+        "/".join(map(str, p)): v
+        for p, v in jax.tree_util.tree_leaves_with_path(g_sp)
+    }
+    assert set(flat_r) == set(flat_s)
+    for name in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_r[name]), np.asarray(flat_s[name]),
+            atol=3e-4, err_msg=name,
+        )
+
+
+def test_boolean_masked_trunk_falls_back_sequential():
+    """Boolean masks have no ring row-sharding (they'd need the same
+    additive conversion the dense path does) — the trunk must fall back to
+    the sequential unroll and still match no-mesh."""
+    from vipant_tpu.nn.layers import StackedTransformer
+
+    model = StackedTransformer(layers=2, num_heads=4)
+    B, T, C = 2, 16, 32
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     y_ref = model.apply({"params": params}, x, mask=mask)
     mesh = make_mesh(data=2, model=1, pipe=1, seq=4)

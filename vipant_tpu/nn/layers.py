@@ -523,11 +523,18 @@ class StackedTransformer(nn.Module):
 
         mesh, S = pipe_mesh_info()
         smesh, Sq = seq_mesh_info()
-        if Sq > 1 and mask is None and x.shape[1] % Sq == 0:
+        seq_mask_ok = mask is None or (
+            mask.ndim == 2 and mask.dtype != jnp.bool_
+            and mask.shape[0] % Sq == 0
+        )
+        if Sq > 1 and seq_mask_ok and x.shape[1] % Sq == 0:
             # sequence parallelism: tokens shard over `seq`; every stage op
             # is token-wise except attention, which the seq_context reroutes
-            # to ring attention (parallel/sequence.py). Masked trunks
-            # (causal text, token packing) fall through to the dense paths.
+            # to ring attention (parallel/sequence.py). Additive 2D masks
+            # (causal text, token packing) shard their QUERY rows over the
+            # ring — each device keeps its [T/S, T] rows and slices the key
+            # block per ring step (ring_attention bias support); boolean or
+            # batched masks fall through to the dense paths.
             assert S <= 1, "seq and pipe cannot shard the same trunk"
             msize = (
                 int(smesh.shape.get("model", 1))
@@ -539,16 +546,19 @@ class StackedTransformer(nn.Module):
             assert msize <= 1, "seq and model cannot shard the same trunk"
             from jax.sharding import PartitionSpec as P
 
-            def run(p_all, h):
+            def run(p_all, h, *m_local):
+                m_l = m_local[0] if m_local else None
                 with seq_context("seq"):
                     for i in range(self.layers):
                         p_i = jax.tree_util.tree_map(lambda v, i=i: v[i], p_all)
-                        h = stage(p_i, h, None)
+                        h = stage(p_i, h, m_l)
                 return h
 
             dsz = int(smesh.shape.get("data", 1)) if "data" in smesh.axis_names else 1
             xspec = P("data" if dsz > 1 else None, "seq")
-            return smap(run, smesh, (P(), xspec), xspec)(stack, x)
+            in_specs = (P(), xspec) + ((P("seq", None),) if mask is not None else ())
+            margs = (mask,) if mask is not None else ()
+            return smap(run, smesh, in_specs, xspec)(stack, x, *margs)
         if S > 1 and self.layers % S == 0:
             consts = () if mask is None else (mask,)
             fn = stage if mask is not None else (lambda p, h: stage(p, h, None))

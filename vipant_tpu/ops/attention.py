@@ -430,12 +430,14 @@ def attention(
     if ax is not None:
         # token axis is sharded over the `seq` mesh axis (sequence
         # parallelism): per-device kernels would attend to local tokens
-        # only — ring attention streams the key/value blocks around the ring
-        assert bias is None and mask is None, (
-            "ring attention (seq-parallel trunk) has no mask support"
+        # only — ring attention streams the key/value blocks around the
+        # ring. Additive biases arrive as the local [.., T_local, T_global]
+        # row shard of the global mask (StackedTransformer shards the rows).
+        assert mask is None, (
+            "ring attention takes additive biases, not boolean masks"
         )
         assert q.shape[1] == k.shape[1], "ring attention is self-attention"
-        return ring_attention(q, k, v, ax)
+        return ring_attention(q, k, v, ax, bias=bias)
     if use_flash is None:
         # Mosaic kernels lower on TPU only (GPU etc. use XLA attention)
         use_flash = (

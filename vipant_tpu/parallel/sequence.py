@@ -66,15 +66,29 @@ def seq_mesh_info(axis: str = "seq"):
     return pipe_mesh_info(axis=axis)
 
 
-def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, axis: str) -> jnp.ndarray:
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis: str,
+    bias: jnp.ndarray = None,
+) -> jnp.ndarray:
     """Exact attention over a token-sharded sequence.
 
     ``q, k, v``: this device's local shard ``[B, T_local, H, D]``
     (``jax.nn.dot_product_attention`` layout); ``axis``: the mesh axis the
     token dimension is sharded over. Must be called inside a shard_map that
-    maps ``axis``. No mask support — padding/causal masks would need the
-    global key positions; the audio trunk (the long-sequence tower this
-    exists for) attends unmasked.
+    maps ``axis``.
+
+    ``bias``: optional additive mask, ROW-SHARDED on queries — this
+    device's ``[..., T_local, T_global]`` rows of the global mask
+    (broadcastable leading dims, e.g. ``[1, 1, Tl, T]``). The bias never
+    rotates: at ring step ``s`` this device holds the key/value block that
+    originated on shard ``(i - s) mod S``, so the step's column block is a
+    local ``dynamic_slice`` of the resident rows — no extra collective, and
+    per-device mask bytes stay ``1/S`` of the global ``[T, T]``. This is
+    what lets causal text trunks and token-packed trunks shard over ``seq``
+    instead of replicating compute S-fold.
 
     Ring steps are statically unrolled (the ring size is a small static
     mesh dimension, and unrolled collectives schedule best — the same
@@ -84,6 +98,15 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, axis: str) ->
     B, Tl, H, D = q.shape
     scale = 1.0 / float(D) ** 0.5
     qf = jnp.swapaxes(q, 1, 2)  # [B, H, Tl, D]
+    me = jax.lax.axis_index(axis) if bias is not None else None
+    if bias is not None:
+        assert bias.shape[-2] == Tl and bias.shape[-1] == Tl * S, (
+            "ring bias must be the local [.., T_local, T_global] row shard",
+            bias.shape, (Tl, Tl * S),
+        )
+        bias = bias.astype(jnp.float32)
+        while bias.ndim < 4:  # broadcast to [B?, H?, Tl, T]
+            bias = bias[None]
 
     # running online-softmax statistics, fp32
     m = jnp.full((B, H, Tl, 1), -jnp.inf, jnp.float32)
@@ -99,6 +122,11 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, axis: str) ->
             qf, kf, (((3,), (3,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.float32,
         ) * scale  # [B, H, Tl, Tk] fp32
+        if bias is not None:
+            # this step's k/v block originated on shard (me - step) mod S:
+            # its global key positions are that shard's contiguous columns
+            src = jnp.mod(me - step, S)
+            s = s + jax.lax.dynamic_slice_in_dim(bias, src * Tl, Tl, axis=-1)
         m_blk = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         p = jnp.exp(s - m_new)

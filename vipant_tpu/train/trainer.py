@@ -128,24 +128,10 @@ class Trainer:
             stacked_any = stacked_any or bool(head.get("stacked"))
             if mb and head.get("pipe_microbatches", None) is None:
                 head["pipe_microbatches"] = int(mb)
-            if axis_name == "seq":
-                # the ring engages only for unmasked trunks — warn when a
-                # tower's config guarantees the mask path (causal text,
-                # token packing), which silently replicates compute S-fold
-                masked = bool(enc.get("use_attn_mask", False)) or (
-                    int(head.get("token_pack", 1) or 1) > 1
-                )
-                if masked:
-                    why = (
-                        "token_pack>1"
-                        if int(head.get("token_pack", 1) or 1) > 1
-                        else "causal mask"
-                    )
-                    self.echo.info(
-                        f"mesh.seq={axis}: the {key} tower's trunk is masked "
-                        f"({why}) — ring attention will not engage; the seq "
-                        f"axis only replicates its compute"
-                    )
+            # masked trunks (causal text, token packing) ring too: the 2D
+            # additive mask's query rows shard over `seq` and each ring step
+            # slices its key block locally (parallel/sequence.py
+            # ring_attention bias support) — no replication warning needed.
         if not stacked_any:
             self.echo.info(
                 f"mesh.{axis_name}={axis} but no transformer-trunk tower to "
