@@ -45,6 +45,7 @@ SLOW_TESTS = {
         "test_gpipe_exact_fwd_and_grad",
     ),
     "test_sequence_parallel.py": ("test_stacked_trunk_seq_parallel_matches_sequential",),
+    "test_three_axis.py": "*",
     "test_towers.py": (
         "test_siamese_tying",
         "test_resnet_tower",
