@@ -473,18 +473,28 @@ def _porter_stem(word: str) -> str:
     return w
 
 
-def _meteor_align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Unigram alignment in two stages — exact, then Porter stem — each
-    greedy left-to-right over unmatched words (the standard simplification
-    of METEOR's min-chunk alignment search, as in nltk)."""
+def _meteor_align(
+    hyp: List[str], ref: List[str], synonyms=None
+) -> List[Tuple[int, int]]:
+    """Unigram alignment in stages — exact, Porter stem, then (optional)
+    synonym — each greedy left-to-right over unmatched words (the standard
+    simplification of METEOR's min-chunk alignment search, as in nltk).
+
+    ``synonyms``: optional ``{word: set-id}`` mapping (words sharing an id
+    are synonyms) — the hook for METEOR-1.5's WordNet synonymy stage when
+    the caller has a synonym export; see docs/caption_metrics.md."""
     matches: List[Tuple[int, int]] = []
     used_h, used_r = set(), set()
-    for stage_h, stage_r in (
+    stages = [
         (hyp, ref),
         ([_porter_stem(t) for t in hyp], [_porter_stem(t) for t in ref]),
-    ):
+    ]
+    if synonyms:
+        look = lambda w: synonyms.get(w.lower())
+        stages.append(([look(t) for t in hyp], [look(t) for t in ref]))
+    for stage_h, stage_r in stages:
         for i, hw in enumerate(stage_h):
-            if i in used_h:
+            if i in used_h or hw is None:
                 continue
             for j, rw in enumerate(stage_r):
                 if j in used_r:
@@ -503,6 +513,7 @@ def meteor(
     alpha: float = 0.9,
     beta: float = 3.0,
     gamma: float = 0.5,
+    synonyms=None,
 ) -> float:
     """METEOR with exact + Porter-stem matching stages, max over each
     candidate's references, corpus = mean of sentence scores (x100).
@@ -510,9 +521,13 @@ def meteor(
     Completes the caption report the reference deferred to the optional
     ``coco_caption`` suite (`/root/reference/cvap/module/decoder/
     loss_more.py:20-24,328-371`). Documented delta from the official
-    METEOR-1.5 jar: no WordNet synonym/paraphrase stages (zero-egress,
-    dependency-free) and no corpus-level statistic pooling — scores are
-    typically within a few points of the jar on caption corpora.
+    METEOR-1.5 jar: no WordNet synonym/paraphrase stages by default
+    (zero-egress, dependency-free) and no corpus-level statistic pooling.
+    The synonym stage is an opt-in hook: pass ``synonyms={word: set_id}``
+    (words sharing an id match in a third alignment stage) built from any
+    WordNet export to close most of that gap; the residual delta is
+    quantified on a fixed worked set in docs/caption_metrics.md and pinned
+    in ``tests/test_caption_metrics_doc.py``.
     Parameters are METEOR's defaults: Fmean = PR/(aP+(1-a)R), fragmentation
     penalty g*(chunks/matches)^b."""
     assert len(candidates) == len(references)
@@ -522,7 +537,7 @@ def meteor(
         best = 0.0
         for r in refs:
             ref = r.split()
-            m = _meteor_align(hyp, ref)
+            m = _meteor_align(hyp, ref, synonyms=synonyms)
             if not m or not hyp or not ref:
                 continue
             mm = len(m)
