@@ -127,7 +127,7 @@ class AudioTextCollator:
         self.train = train
 
     def __call__(self, items: List[Dict]) -> Dict[str, np.ndarray]:
-        audio = np.stack([it["audio"] for it in items]).astype(np.float32)[:, None]
+        audio = np.stack([it["audio"] for it in items]).astype(np.float32, copy=False)[:, None]
         if self.train:
             text = np.stack([it["text"] for it in items])
         else:

@@ -346,7 +346,7 @@ class AudiosetCollator:
         image = np.stack([it["image"] for it in items])
         if image.dtype != np.uint8:  # uint8 images normalize on device
             image = image.astype(np.float32)
-        audio = np.stack([it["audio"] for it in items]).astype(np.float32)
+        audio = np.stack([it["audio"] for it in items]).astype(np.float32, copy=False)
         if audio.ndim == 3:  # fbank [B, T, M] → [B, 1, T, M]; waveforms stay 2-D
             audio = audio[:, None]
         out = {
@@ -355,7 +355,7 @@ class AudiosetCollator:
             "name": [it["name"] for it in items],
         }
         if self.clf:
-            out["label"] = np.stack([it["label"] for it in items]).astype(np.float32)
+            out["label"] = np.stack([it["label"] for it in items]).astype(np.float32, copy=False)
         else:
             text = np.stack([it["text"] for it in items])
             # integer rows are BPE tokens; float rows are precomputed

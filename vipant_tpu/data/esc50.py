@@ -60,7 +60,7 @@ class AudioLabelDataset:
 class AudioLabelCollator:
     def __call__(self, items: List[Dict]) -> Dict[str, np.ndarray]:
         return {
-            "audio": np.stack([it["audio"] for it in items]).astype(np.float32)[:, None],
+            "audio": np.stack([it["audio"] for it in items]).astype(np.float32, copy=False)[:, None],
             "label": np.asarray([it["label"] for it in items], np.int32),
             "name": [it["name"] for it in items],
         }

@@ -201,7 +201,10 @@ class ImageAudioDatasetNpz(ImageAudioDatasetSrc):
         stem = fname.rsplit(".", 1)[0]
         data = np.load(stem + ".npz")
         key = "feat" if "feat" in data.files else data.files[0]
-        feats = data[key].astype(np.float32)
+        # the npz decompress buffer is freshly owned — convert/normalize
+        # without extra copies (host memcpy is the e2e bottleneck on the
+        # 1-CPU bench box, docs/performance.md e2e decomposition)
+        feats = data[key].astype(np.float32, copy=False)
         max_len = int(self.cfg.max_audio_len)
         if self.train and feats.shape[0] > max_len:
             start = np.random.randint(0, feats.shape[0] - max_len + 1)
@@ -210,15 +213,17 @@ class ImageAudioDatasetNpz(ImageAudioDatasetSrc):
         if feats.shape[0] < max_len:
             feats = np.pad(feats, ((0, max_len - feats.shape[0]), (0, 0)))
         if self.norms is not None:
-            feats = (feats - self.norms[0]) / self.norms[1]
+            np.subtract(feats, np.float32(self.norms[0]), out=feats)
+            np.divide(feats, np.float32(self.norms[1]), out=feats)
         if self.train and self.transform_fbank:
             for t in self.transform_fbank:
                 feats = t(feats)
         if bool(self.acfg.get("ship_int16", False)):
-            return np.clip(
-                np.round(feats * FBANK_INT16_SCALE), -32768, 32767
-            ).astype(np.int16)
-        return feats.astype(np.float32)
+            np.multiply(feats, np.float32(FBANK_INT16_SCALE), out=feats)
+            np.rint(feats, out=feats)
+            np.clip(feats, -32768, 32767, out=feats)
+            return feats.astype(np.int16)
+        return feats.astype(np.float32, copy=False)
 
 
 class ImageAudioDatasetSiameseSrc(ImageAudioDatasetSrc):
@@ -311,9 +316,10 @@ class ImageAudioCollator:
         for key in keys:
             arr = np.stack([it[key] for it in items])
             # uint8 images and int16 waveforms convert on device (4x / 2x
-            # smaller host->device transfers)
+            # smaller host->device transfers); copy=False — a second
+            # full-batch copy costs ~200 ms on the 1-CPU bench host
             if arr.dtype not in (np.dtype(np.uint8), np.dtype(np.int16)):
-                arr = arr.astype(np.float32)
+                arr = arr.astype(np.float32, copy=False)
             if key.startswith("audio") and arr.ndim == 3:
                 arr = arr[:, None]  # [B, 1, T, M]
             out[key] = arr

@@ -68,7 +68,7 @@ class ImageTextCollator:
             else np.concatenate([it["text"] for it in items], axis=0)
         )
         return {
-            "image": np.stack([it["image"] for it in items]).astype(np.float32),
+            "image": np.stack([it["image"] for it in items]).astype(np.float32, copy=False),
             "text": text.astype(np.int32),
             "name": [it["name"] for it in items],
         }

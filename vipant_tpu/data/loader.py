@@ -88,6 +88,9 @@ class DataLoader:
         pad_last: bool = False,
         backend: str = "thread",
     ):
+        from ..utils.hostmem import tune_host_allocator
+
+        tune_host_allocator()  # batch buffers recycle warm (see hostmem.py)
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
