@@ -214,7 +214,7 @@ def bench_convergence(B=96, steps=300, n_batches=4, peep=10):
     return curve
 
 
-def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False):
+def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False, ship_bf16=False):
     """Disk -> loader threads -> H2D -> production VATrainer step. Two
     pipeline modes: "src" decodes raw wav + jpg per item (on-device fbank
     frontend, uint8 images, int16 waveforms — the TPU-native low-transfer
@@ -277,7 +277,9 @@ def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False):
         ]
         if mode == "src"
         else (
-            ["running.audio.ship_int16=True"]  # quantized fbank: half the bytes
+            ["running.audio.ship_bf16=True"]  # bf16 fbank: half the bytes,
+            if ship_bf16                       # lossless vs the bf16 trunk
+            else ["running.audio.ship_int16=True"]  # quantized: half bytes
             if ship_int16
             else []
         )
@@ -430,13 +432,16 @@ def main() -> None:
             e2e = bench_e2e(B_e2e, n_clips=n_e2e, mode="src", epochs=3)
         except Exception as e:  # pragma: no cover
             log(f"e2e bench failed: {type(e).__name__}: {e}")
-        # npz: A/B f32 vs int16-quantized fbank shipping; H2D halves with
-        # int16 but quantization costs host CPU — which wins depends on the
-        # host:tunnel balance, so measure both and keep the best
-        for ship in (False, True):
+        # npz: A/B/C f32 vs bf16 vs int16-quantized fbank shipping; H2D
+        # halves with bf16/int16 but the conversion costs host CPU — which
+        # wins depends on the host:tunnel balance, so measure and keep best
+        for ship in ("f32", "bf16", "int16"):
             try:
-                r = bench_e2e(B_e2e, n_clips=n_e2e, mode="npz", epochs=3, ship_int16=ship)
-                log(f"e2e npz ship_int16={ship}: {r:.1f} clips/s")
+                r = bench_e2e(
+                    B_e2e, n_clips=n_e2e, mode="npz", epochs=3,
+                    ship_int16=ship == "int16", ship_bf16=ship == "bf16",
+                )
+                log(f"e2e npz ship={ship}: {r:.1f} clips/s")
                 if e2e_npz is None or r > e2e_npz:
                     e2e_npz = r
             except Exception as e:  # pragma: no cover
@@ -445,7 +450,7 @@ def main() -> None:
         # decode, no image tower (serve --task embed_frames output)
         try:
             e2e_femb = bench_e2e(
-                B_e2e, n_clips=n_e2e, mode="femb", epochs=3, ship_int16=True
+                B_e2e, n_clips=n_e2e, mode="femb", epochs=3, ship_bf16=True
             )
             log(f"e2e femb (precomputed fbank+frame-emb): {e2e_femb:.1f} clips/s")
         except Exception as e:  # pragma: no cover

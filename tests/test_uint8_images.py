@@ -117,3 +117,67 @@ def test_int16_fbank_shipping(tmp_path):
     np.testing.assert_allclose(np.asarray(args[1]), deq, atol=1e-6)
     mon.epoch(0)
     assert mon.global_step == 1
+
+
+def test_bf16_fbank_shipping(tmp_path):
+    """ship_bf16: the npz dataset ships normalized fbanks as bfloat16 (half
+    the H2D bytes; exact round-to-nearest-even of the f32 path) and the
+    device frontend upcasts to f32."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from data_synth import make_synth_va_npz_index
+    from vipant_tpu.config import compose
+    from vipant_tpu.data import build_image_audio_dataloader
+
+    make_synth_va_npz_index(str(tmp_path), "npz_train", n=4, frames=120)
+    base = [
+        "+running=bimodal", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=transformer_val", "+running/audio=default",
+        f"running.data_root={tmp_path}", "running.batch_size=4",
+        "running.audio.max_len=100",
+        "running.audio.norms=[-4.9384, 5.7575]",
+        "running.audio.transform_fbank=False",
+        "num_proc=2",
+    ]
+    cfg32 = compose(base)
+    cfgb = compose(base + ["running.audio.ship_bf16=True"])
+    b32 = next(iter(build_image_audio_dataloader(cfg32, "npz_train", False)))
+    bb = next(iter(build_image_audio_dataloader(cfgb, "npz_train", False)))
+    assert bb["audio"].dtype == np.dtype(ml_dtypes.bfloat16)
+    assert bb["audio"].shape == b32["audio"].shape == (4, 1, 100, 128)
+    # bf16 RNE of the f32 values, exactly (numpy cast == device semantics)
+    np.testing.assert_array_equal(
+        np.asarray(bb["audio"]),
+        np.asarray(b32["audio"]).astype(ml_dtypes.bfloat16),
+    )
+
+    # trainer frontend upcasts the bf16 batch to f32 and the step runs
+    from vipant_tpu.train import build_monitor
+
+    cfg = compose(base + [
+        "+model/loss=ce", "+optimizer=standard",
+        "model.image.width=64", "model.image.embed_dim=32",
+        "model.image.encoder.layers=2", "model.image.heads=4",
+        "model.text.name=DummyHead",
+        "running.audio.ship_bf16=True",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "optimizer.use_lars=False", "optimizer.warmup=False",
+        "verbose=False", "mesh.data=1", "worker=CVAP", "monitor=VAMonitor",
+        "running.data_name=npz_train", "running.eval_name=",
+        "running.epochs=1", "running.peep_rate=1",
+        "running.save_rate=1000000", "running.save_epoch=False",
+        f"alias_root={tmp_path}/run", f"model_root={tmp_path}/run",
+        "model_file=", "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.audio_bf16_fbank and mon.needs_device_frontend
+    args = mon.device_frontend((None, jnp.asarray(np.asarray(bb["audio"]))), None, train=False)
+    assert args[1].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(args[1]),
+        np.asarray(bb["audio"]).astype(np.float32),
+        atol=0,
+    )
+    mon.epoch(0)
+    assert mon.global_step == 1

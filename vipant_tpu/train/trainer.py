@@ -386,7 +386,9 @@ class Trainer:
                 fbank/SpecAugment for audio, uint8 normalize for images),
                 running through the same device_frontend as the plain step."""
                 if key == "audio" and not (
-                    self.on_device_audio or self.audio_int16_fbank
+                    self.on_device_audio
+                    or self.audio_int16_fbank
+                    or self.audio_bf16_fbank
                 ):
                     return None
                 if key == "image" and not self.image_uint8:
@@ -473,8 +475,26 @@ class Trainer:
         )
 
     @property
+    def audio_bf16_fbank(self) -> bool:
+        """Precomputed fbanks shipped as bf16 (npz path, half the H2D
+        bytes, lossless vs the bf16-compute trunk); the device frontend
+        upcasts to f32 (fused into the first conv by XLA)."""
+        run = self.cfg.get("running")
+        return (
+            run is not None
+            and "audio" in run
+            and bool(run.audio.get("ship_bf16", False))
+            and any(k.startswith("audio") for k in self.batch_keys)
+        )
+
+    @property
     def needs_device_frontend(self) -> bool:
-        return self.on_device_audio or self.image_uint8 or self.audio_int16_fbank
+        return (
+            self.on_device_audio
+            or self.image_uint8
+            or self.audio_int16_fbank
+            or self.audio_bf16_fbank
+        )
 
     def _frontend_settings(self):
         from ..data.image_audio import fbank_params_from_cfg
@@ -530,6 +550,11 @@ class Trainer:
             from ..data.image_audio import FBANK_INT16_SCALE
 
             return wav.astype(jnp.float32) * (1.0 / FBANK_INT16_SCALE)
+        if wav.ndim == 4 and wav.dtype == jnp.bfloat16:
+            # bf16-shipped precomputed fbank — upcast fuses into the first
+            # patchify matmul (lossless vs fp32 shipping: the tower computes
+            # in bf16 anyway)
+            return wav.astype(jnp.float32)
         if wav.ndim != 2:  # already featurized
             return wav
         params, max_len, norms, freq_p, time_p = self._frontend_settings()
