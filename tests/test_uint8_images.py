@@ -181,3 +181,29 @@ def test_bf16_fbank_shipping(tmp_path):
     )
     mon.epoch(0)
     assert mon.global_step == 1
+
+
+def test_image_transforms_return_contiguous():
+    """Items must be C-contiguous: np.stack over CHW transpose *views* pays
+    an ~80x strided-copy penalty in the single collate thread (137 ms vs
+    1.7 ms per 64-image uint8 batch on the 1-CPU bench host), while making
+    each item contiguous costs ~0.1 ms in the parallel item workers."""
+    from PIL import Image
+
+    from vipant_tpu.data.transforms_image import (
+        SharedImageTransform,
+        TrainImageTransform,
+        clip_preprocess,
+        clip_preprocess_uint8,
+    )
+
+    img = Image.fromarray(
+        (np.random.rand(240, 320, 3) * 255).astype(np.uint8)
+    )
+    for arr in (
+        clip_preprocess(img),
+        clip_preprocess_uint8(img),
+        TrainImageTransform()(img),
+        *SharedImageTransform()(img, both=True, train=True),
+    ):
+        assert arr.flags["C_CONTIGUOUS"], arr.shape

@@ -22,7 +22,10 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 def _to_chw(img: Image.Image) -> np.ndarray:
     arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
     arr = (arr - CLIP_MEAN) / CLIP_STD
-    return arr.transpose(2, 0, 1)
+    # materialize contiguous in the (parallel) item worker: np.stack over
+    # transposed HWC *views* pays an ~80x strided-copy penalty in the
+    # (serial) collate thread — 137 ms vs 1.7 ms per 64-image batch
+    return np.ascontiguousarray(arr.transpose(2, 0, 1))
 
 
 def clip_preprocess(img: Image.Image, size: int = 224) -> np.ndarray:
@@ -46,7 +49,10 @@ def clip_preprocess_uint8(img: Image.Image, size: int = 224) -> np.ndarray:
     w, h = img.size
     left, top = (w - size) // 2, (h - size) // 2
     img = img.crop((left, top, left + size, top + size))
-    return np.asarray(img.convert("RGB"), np.uint8).transpose(2, 0, 1)
+    # contiguous here, not in collate — see _to_chw
+    return np.ascontiguousarray(
+        np.asarray(img.convert("RGB"), np.uint8).transpose(2, 0, 1)
+    )
 
 
 def device_normalize_image(x):
