@@ -231,18 +231,35 @@ def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False, ship_bf16=Fals
     from vipant_tpu.train import build_monitor
 
     root = "/tmp/vipant_bench_data"
-    data_name = "npz_train" if mode in ("npz", "femb") else "train"
-    marker = os.path.join(root, f"ok_{'npz' if mode == 'femb' else mode}_{n_clips}")
+    data_name = "npz_train" if mode in ("npz", "femb", "pak") else "train"
+    marker = os.path.join(root, f"ok_{'npz' if mode in ('femb', 'pak') else mode}_{n_clips}")
     if not os.path.exists(marker):
         os.makedirs(root, exist_ok=True)
         t0 = time.perf_counter()
-        if mode in ("npz", "femb"):
+        if mode in ("npz", "femb", "pak"):
             make_synth_va_npz_index(root, data_name, n=n_clips, frames=1030)
             log(f"e2e: fabricated {n_clips} fbank npz+jpg in {time.perf_counter()-t0:.1f}s")
         else:
             make_synth_va_index(root, data_name, n=n_clips, seconds=10.3)
             log(f"e2e: fabricated {n_clips} x 10.3s wav+jpg in {time.perf_counter()-t0:.1f}s")
         open(marker, "w").close()
+    if mode == "pak":
+        # packed shards: one mmapped tensor per modality (data/packed.py)
+        pak_marker = os.path.join(root, f"ok_pak_shards_{n_clips}")
+        if not os.path.exists(pak_marker):
+            from vipant_tpu.config import compose as _compose
+            from vipant_tpu.data.packed import pack_image_audio
+
+            pcfg = _compose([
+                "+running=bimodal", "+model/image=vit_val",
+                "+model/audio=vit_val", "+running/audio=default",
+                f"running.data_root={root}",
+            ])
+            t0 = time.perf_counter()
+            pack_image_audio(pcfg.running, data_name, pack_len=1030)
+            log(f"e2e: packed {n_clips} clips in {time.perf_counter()-t0:.1f}s")
+            open(pak_marker, "w").close()
+        data_name = f"pak_{data_name}"
     if mode == "femb":
         # fully-precomputed production path: fbank npz + per-frame image
         # embeddings (serve --task embed_frames) — no jpg decode, no image
@@ -276,6 +293,8 @@ def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False, ship_bf16=Fals
             "running.audio.wav_int16=True",   # ship raw PCM: half the bytes
         ]
         if mode == "src"
+        else ["running.audio.ship_bf16=True"]  # pak stores bf16
+        if mode == "pak"
         else (
             ["running.audio.ship_bf16=True"]  # bf16 fbank: half the bytes,
             if ship_bf16                       # lossless vs the bf16 trunk
@@ -331,11 +350,22 @@ def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False, ship_bf16=Fals
     except Exception:
         pass
 
+    import jax.numpy as jnp
+
+    def sync():
+        # honest end-of-epoch barrier: the step loop dispatches async, so a
+        # fast host (pak shards) can finish the Python loop with device work
+        # still queued; a D2H scalar read that depends on the final state
+        # drains the queue (block_until_ready acks early through the remote
+        # relay — only a read is trustworthy, see time_device_loop)
+        float(jnp.sum(jax.tree_util.tree_leaves(mon.state.params)[0]))
+
     rates = []
     n = len(mon.loader) * B
     for ep in range(epochs):
         t0 = time.perf_counter()
         mon.epoch(ep)
+        sync()
         dt = time.perf_counter() - t0
         rates.append(n / dt)
         log(f"e2e[{mode}] epoch {ep}: {n} clips in {dt:.2f}s -> {rates[-1]:.1f} clips/s")
@@ -424,7 +454,7 @@ def main() -> None:
     # e2e measures the HOST pipeline: fixed B=64 (host-bound throughput does
     # not improve with the device-side best batch, and fewer/larger batches
     # only reduce transfer/decode overlap)
-    e2e = e2e_npz = e2e_femb = None
+    e2e = e2e_npz = e2e_femb = e2e_pak = None
     if os.environ.get("BENCH_E2E", "1") == "1":
         B_e2e = int(os.environ.get("BENCH_E2E_BATCH", "64"))
         n_e2e = int(os.environ.get("BENCH_E2E_CLIPS", "512"))
@@ -446,6 +476,13 @@ def main() -> None:
                     e2e_npz = r
             except Exception as e:  # pragma: no cover
                 log(f"e2e npz bench failed: {type(e).__name__}: {e}")
+        # packed shards: mmapped whole-split tensors + one-gather batches
+        # (data/packed.py) — the TPU-era high-throughput production path
+        try:
+            e2e_pak = bench_e2e(B_e2e, n_clips=n_e2e, mode="pak", epochs=3)
+            log(f"e2e pak (packed shards): {e2e_pak:.1f} clips/s")
+        except Exception as e:  # pragma: no cover
+            log(f"e2e pak bench failed: {type(e).__name__}: {e}")
         # fully-precomputed path: fbank npz + frame embeddings — no jpg
         # decode, no image tower (serve --task embed_frames output)
         try:
@@ -535,6 +572,8 @@ def main() -> None:
         out["e2e_npz_clips_per_sec"] = round(e2e_npz, 1)
     if e2e_femb:
         out["e2e_femb_clips_per_sec"] = round(e2e_femb, 1)
+    if e2e_pak:
+        out["e2e_pak_clips_per_sec"] = round(e2e_pak, 1)
     if gc_clips:
         out["gc_b2048_clips_per_sec"] = round(gc_clips, 1)
     if loss_curve:

@@ -1,0 +1,174 @@
+"""Packed VA shards (data/packed.py): pack round-trip vs the npz path,
+vectorized get_batch, the loader's one-task-per-batch fast path, and the
+trainer running end-to-end on a pak split."""
+
+import numpy as np
+import pytest
+
+from data_synth import make_synth_va_index, make_synth_va_npz_index
+from vipant_tpu.config import compose
+from vipant_tpu.data import build_image_audio_dataloader
+from vipant_tpu.data.packed import ImageAudioDatasetPak, pack_image_audio
+
+NORMS = [-4.9384, 5.7575]
+
+
+def _cfg(root, name, extra=()):
+    return compose([
+        "+running=bimodal", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=transformer_val", "+running/audio=default",
+        f"running.data_root={root}", "running.batch_size=4",
+        "running.audio.max_len=100",
+        f"running.audio.norms=[{NORMS[0]}, {NORMS[1]}]",
+        "running.audio.ship_bf16=True",
+        "running.image_uint8=True",
+        "num_proc=2",
+        *extra,
+    ])
+
+
+@pytest.fixture(scope="module")
+def pak_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pak"))
+    make_synth_va_npz_index(root, "npz_train", n=6, frames=120)
+    cfg = _cfg(root, "npz_train")
+    out = pack_image_audio(cfg.running, "npz_train", pack_len=120)
+    assert out.endswith("pak_npz_train.pak")
+    return root
+
+
+def test_pack_roundtrip_vs_npz(pak_root):
+    """Eval-mode pak items equal the npz dataset's items cast to bf16
+    (same normalization, same deterministic crop, same image crop)."""
+    import ml_dtypes
+
+    cfg = _cfg(pak_root, "npz_train", ["running.audio.transform_fbank=False"])
+    cfg_npz = _cfg(
+        pak_root, "npz_train",
+        ["running.audio.transform_fbank=False", "running.audio.ship_bf16=True"],
+    )
+    from vipant_tpu.data.image_audio import ImageAudioDatasetNpz
+
+    pak = ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=False)
+    npz = ImageAudioDatasetNpz(cfg_npz.running, "npz_train", train=False)
+    assert len(pak) == len(npz) == 6
+    for i in range(6):
+        a, b = pak[i], npz[i]
+        assert a["name"] == b["name"]
+        assert a["audio"].dtype == np.dtype(ml_dtypes.bfloat16)
+        # pak normalizes f32 then casts once at pack time; npz ship_bf16
+        # casts the same f32 values at item time — bit-identical
+        np.testing.assert_array_equal(
+            np.asarray(a["audio"]), np.asarray(b["audio"])
+        )
+        assert a["image"].dtype == np.uint8
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_get_batch_matches_items_and_loader_fast_path(pak_root):
+    cfg = _cfg(pak_root, "npz_train", ["running.audio.transform_fbank=False"])
+    ds = ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=False)
+    b = ds.get_batch([1, 3, 4])
+    assert b["audio"].shape == (3, 1, 100, 128)
+    assert b["image"].shape == (3, 3, 224, 224)
+    for k, i in enumerate([1, 3, 4]):
+        it = ds[i]
+        np.testing.assert_array_equal(np.asarray(b["audio"][k, 0]), np.asarray(it["audio"]))
+        np.testing.assert_array_equal(b["image"][k], it["image"])
+        assert b["name"][k] == it["name"]
+
+    loader = build_image_audio_dataloader(cfg, "pak_npz_train", False)
+    batches = list(loader)
+    # eval pads the last partial batch (pad_last) and carries "_count"
+    assert sum(x.get("_count", len(x["name"])) for x in batches) == 6
+    assert batches[0]["audio"].shape == (4, 1, 100, 128)
+
+
+def test_train_crop_and_masks(pak_root):
+    """pack_len (120) > max_len (100): train crops a random window using
+    the recorded true lengths; SpecAugment masks zero in-place."""
+    cfg = _cfg(pak_root, "npz_train", [
+        "running.audio.transform_fbank=True",
+        "running.audio.fbank_transforms=[[TimeMasking, [50]], [FrequencyMasking, [64]]]",
+    ])
+    ds = ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=True)
+    assert int(ds.lengths[0]) == 120
+    np.random.seed(0)
+    starts = {ds._start(0) for _ in range(50)}
+    assert len(starts) > 1 and max(starts) <= 20
+    b = ds.get_batch([0, 1, 2, 3])
+    # synth fbanks are dense standard normals — zero runs only via masks
+    assert (np.asarray(b["audio"]).astype(np.float32) == 0).mean() > 0.01
+    # eval applies neither crop nor masks
+    dse = ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=False)
+    assert dse._start(0) == 0 and dse.transform_fbank is None
+
+
+def test_pak_guards(pak_root):
+    with pytest.raises(ValueError, match="ship_bf16"):
+        cfg = _cfg(pak_root, "npz_train", ["running.audio.ship_bf16=False"])
+        ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=False)
+    with pytest.raises(ValueError, match="norms"):
+        cfg = _cfg(pak_root, "npz_train", ["running.audio.norms=[0.0, 1.0]"])
+        ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=False)
+
+
+def test_pak_process_backend(pak_root):
+    cfg = _cfg(pak_root, "npz_train", [
+        "loader_backend=process",
+        "running.audio.transform_fbank=False",
+    ])
+    loader = build_image_audio_dataloader(cfg, "pak_npz_train", False)
+    assert loader.backend == "process"
+    try:
+        batches = list(loader)
+        assert sum(x.get("_count", len(x["name"])) for x in batches) == 6
+    finally:
+        loader.shutdown()
+
+
+def test_pak_trainer_epoch(pak_root, tmp_path):
+    """The production monitor trains one epoch off a pak split (device
+    frontend upcasts bf16 audio + normalizes uint8 images)."""
+    from vipant_tpu.train import build_monitor
+
+    cfg = _cfg(pak_root, "npz_train", [
+        "+model/loss=ce", "+optimizer=standard",
+        "model.image.width=64", "model.image.embed_dim=32",
+        "model.image.encoder.layers=2", "model.image.heads=4",
+        "model.text.name=DummyHead",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "optimizer.use_lars=False", "optimizer.warmup=False",
+        "verbose=False", "mesh.data=1", "worker=CVAP", "monitor=VAMonitor",
+        "running.data_name=pak_npz_train", "running.eval_name=",
+        "running.epochs=1", "running.peep_rate=1",
+        "running.save_rate=1000000", "running.save_epoch=False",
+        f"alias_root={tmp_path}/run", f"model_root={tmp_path}/run",
+        "model_file=", "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.audio_bf16_fbank and mon.needs_device_frontend
+    mon.epoch(0)
+    assert mon.global_step == 1
+
+
+def test_pack_from_wav_src(tmp_path):
+    """Packing a raw-wav index featurizes with eval semantics and records
+    true frame lengths."""
+    root = str(tmp_path)
+    make_synth_va_index(root, "train", n=3, seconds=1.0)
+    cfg = _cfg(root, "train")
+    pack_image_audio(cfg.running, "train", pack_len=150, out_name="pak_train")
+    ds = ImageAudioDatasetPak(cfg.running, "pak_train", train=False)
+    assert len(ds) == 3
+    # 1 s @16 kHz, 25 ms window / 10 ms shift -> 98 frames
+    assert 90 <= int(ds.lengths[0]) <= 100
+    it = ds[0]
+    assert it["audio"].shape == (100, 128)
+    # featurized rows beyond the true length carry the normalized-zero
+    # value (the src path pads BEFORE normalization)
+    a = np.asarray(ds.audio[0]).astype(np.float32)
+    pad_val = (0.0 - NORMS[0]) / NORMS[1]
+    np.testing.assert_allclose(
+        a[int(ds.lengths[0]) + 1 :], pad_val, atol=0.01
+    )

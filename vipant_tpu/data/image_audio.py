@@ -366,6 +366,10 @@ def build_image_audio_dataloader(
             else {}
         )
         ds = ImageAudioDatasetSiameseSrc(run, data_name, train, loss_flags=flags)
+    elif data_name.startswith("pak"):
+        from .packed import ImageAudioDatasetPak
+
+        ds = ImageAudioDatasetPak(run, data_name, train)
     elif data_name.startswith("npz"):
         ds = ImageAudioDatasetNpz(run, data_name, train)
     else:

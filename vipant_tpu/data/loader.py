@@ -72,6 +72,12 @@ def _worker_getitem(idx, seed=None):
     return _WORKER_DATASET[int(idx)]
 
 
+def _worker_getbatch(idxs, seed=None):
+    if seed is not None:
+        np.random.seed(seed)
+    return _WORKER_DATASET.get_batch(idxs)
+
+
 class DataLoader:
     def __init__(
         self,
@@ -205,6 +211,10 @@ class DataLoader:
             from collections import deque
 
             pool = None
+            # batch fast path: packed datasets assemble a whole collated
+            # batch in one vectorized gather (data/packed.py) — one pool
+            # task per batch instead of B item futures + a collate pass
+            use_batch = hasattr(self.dataset, "get_batch")
             try:
                 pool, ephemeral = self._get_pool()
                 with ThreadPoolExecutor(max_workers=1) as xfer:
@@ -223,7 +233,17 @@ class DataLoader:
                             idxs = np.concatenate(
                                 [idxs, np.repeat(idxs[-1:], self.batch_size - true_count)]
                             )
-                        if ephemeral:  # thread pool: shared in-process RNG
+                        if use_batch and ephemeral:
+                            futs = [pool.submit(self.dataset.get_batch, idxs)]
+                        elif use_batch:
+                            seed = int(
+                                np.random.SeedSequence(
+                                    (self.seed % (2**31), self.epoch, pos)
+                                ).generate_state(1)[0]
+                            )
+                            futs = [pool.submit(_worker_getbatch, idxs, seed)]
+                            pos += len(idxs)
+                        elif ephemeral:  # thread pool: shared in-process RNG
                             futs = [
                                 pool.submit(self.dataset.__getitem__, int(i))
                                 for i in idxs
@@ -265,7 +285,7 @@ class DataLoader:
                         nxt = next(it, None)
                         if nxt is not None:
                             submit_batch(nxt)
-                        batch = self.collate_fn(items)
+                        batch = items[0] if use_batch else self.collate_fn(items)
                         if self.pad_last and isinstance(batch, dict):
                             batch["_count"] = true_count
                         if self.device_put_fn is not None:

@@ -1,0 +1,302 @@
+"""Packed VA shards: contiguous memory-mapped batch storage.
+
+The TPU-era analogue of the reference's per-item npz precedent
+(`/root/reference/cvap/data/image_audio.py:27-88`): instead of one
+compressed npz + one jpg *per clip* (open/decompress/decode ~2 ms/item on
+the bench host), a pack stores the whole split as flat memory-mapped
+tensors —
+
+- ``audio.npy``   [N, pack_len, M] normalized log-mel, bf16 (stored as a
+  uint16 view; npy has no bf16 descr), zero-padded rows
+- ``lengths.npy`` [N] int32 true frame counts (random temporal crop at
+  train time needs them, like the npz path's crop)
+- ``image.npy``   [N, 3, res, res] uint8 deterministic CLIP crops (the
+  reference's ``clip_tf``/AuthenticCLIPImageTransform precedent — packed
+  images trade random-resized-crop augmentation for decode-free items)
+- ``image_emb.npy`` [N, D] float32 (optional, the frame-embedding path)
+- ``names.json`` / ``meta.json``
+
+Items become zero-copy mmap slices and whole batches assemble in one
+vectorized gather (``get_batch``), which the loader submits as a single
+pool task instead of B item futures. SpecAugment masks apply in-place on
+the gathered batch. Measured on the 1-CPU bench host: ~0.1 ms/item vs
+~2.2 ms/item for npz+jpg.
+
+Normalization is applied at PACK time (``meta.json`` records the norms;
+the dataset refuses a config whose norms disagree), so the train-time
+audio path is: slice + mask + ship. Audio ships bf16 — lossless w.r.t.
+the bf16-computing trunk, half the H2D bytes (``running.audio.ship_bf16``
+must be on; the dataset checks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+PACK_VERSION = 1
+
+
+def _bf16():
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
+def pack_image_audio(
+    run_cfg,
+    data_name: str,
+    pack_len: Optional[int] = None,
+    out_name: Optional[str] = None,
+    image_emb: bool = False,
+    log_every: int = 0,
+) -> str:
+    """Stream ``{data_root}/{data_name}.jsonl`` into ``{out_name}.pak/``.
+
+    ``pack_len`` defaults to ``max_audio_len``; choose it LARGER to keep
+    the npz path's random-temporal-crop augmentation (e.g. the reference
+    packs 10.24 s clips and trains on 10.00 s windows). Audio records may
+    be precomputed-fbank npz (a ``.npz`` next to the aclip path, the npz
+    dataset's convention) or raw wav (featurized here, eval semantics).
+    Images pack as deterministic CLIP crops. Memory use is O(1): arrays
+    stream through ``np.lib.format.open_memmap``.
+    """
+    from .image_audio import ImageAudioDatasetSrc
+    from .transforms_audio import extract_fbank_features
+    from .transforms_image import clip_preprocess_uint8
+    from PIL import Image as PILImage
+
+    ds = ImageAudioDatasetSrc(run_cfg, data_name, train=False)
+    n = len(ds.records)
+    pack_len = int(pack_len or run_cfg.max_audio_len)
+    mel = int(run_cfg.audio.get("num_mel_bins", 128))
+    res = int(run_cfg.get("resolution", 224))
+    norms = ds.norms
+    out_name = out_name or f"pak_{data_name}"
+    out_dir = os.path.join(run_cfg.data_root, f"{out_name}.pak")
+    os.makedirs(out_dir, exist_ok=True)
+
+    audio_mm = np.lib.format.open_memmap(
+        os.path.join(out_dir, "audio.npy"), mode="w+",
+        dtype=np.uint16, shape=(n, pack_len, mel),
+    )
+    image_mm = np.lib.format.open_memmap(
+        os.path.join(out_dir, "image.npy"), mode="w+",
+        dtype=np.uint8, shape=(n, 3, res, res),
+    )
+    lengths = np.zeros((n,), np.int32)
+    emb_mm = None
+    names: List[str] = []
+    bf16 = _bf16()
+
+    for i in range(n):
+        name, aclip_file, frame_file, frame_emb_file = ds._paths(i)
+        names.append(name)
+        # ---- audio: raw npz fbank if present, else featurize the wav ----
+        stem = aclip_file.rsplit(".", 1)[0]
+        if os.path.exists(stem + ".npz"):
+            data = np.load(stem + ".npz")
+            key = "feat" if "feat" in data.files else data.files[0]
+            feats = data[key].astype(np.float32, copy=False)[:pack_len]
+            if norms is not None:
+                feats = (feats - np.float32(norms[0])) / np.float32(norms[1])
+            lengths[i] = feats.shape[0]
+            audio_mm[i, : feats.shape[0]] = feats.astype(bf16).view(np.uint16)
+        else:
+            feats = extract_fbank_features(
+                aclip_file, ds.params, max_audio_len=pack_len, train=False,
+                zero_mean_wf=bool(ds.acfg.get("zero_mean_wf", True)),
+                tile_audio=bool(ds.acfg.get("tile_audio", False)),
+                norms=norms,
+            )
+            # true (un-padded) frame count from the wav duration
+            from .wav import read_wav
+
+            wav, sr = read_wav(aclip_file)
+            shift = int(sr * float(ds.acfg.get("frame_shift", 10)) / 1000)
+            win = int(sr * float(ds.acfg.get("frame_length", 25)) / 1000)
+            nf = max((wav.shape[-1] - win) // shift + 1, 0)
+            lengths[i] = min(nf, pack_len)
+            audio_mm[i] = feats.astype(bf16).view(np.uint16)
+        # ---- image: deterministic CLIP crop, uint8 ---------------------
+        if frame_file is not None:
+            try:
+                img = PILImage.open(frame_file)
+                image_mm[i] = clip_preprocess_uint8(img, res)
+            except Exception:
+                pass  # corrupt → zeros (the dataset's random-image analogue)
+        if image_emb and frame_emb_file is not None:
+            v = np.load(frame_emb_file)["v"].astype(np.float32)
+            if emb_mm is None:
+                emb_mm = np.lib.format.open_memmap(
+                    os.path.join(out_dir, "image_emb.npy"), mode="w+",
+                    dtype=np.float32, shape=(n, v.shape[-1]),
+                )
+            emb_mm[i] = v
+        if log_every and (i + 1) % log_every == 0:
+            print(f"packed {i + 1}/{n}", flush=True)
+
+    np.save(os.path.join(out_dir, "lengths.npy"), lengths)
+    with open(os.path.join(out_dir, "names.json"), "w") as f:
+        json.dump(names, f)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "version": PACK_VERSION,
+                "n": n,
+                "pack_len": pack_len,
+                "mel": mel,
+                "resolution": res,
+                "norms": list(norms) if norms is not None else None,
+                "audio_dtype": "bfloat16",
+                "has_image_emb": emb_mm is not None,
+                "source": data_name,
+            },
+            f,
+            indent=1,
+        )
+    audio_mm.flush()
+    image_mm.flush()
+    if emb_mm is not None:
+        emb_mm.flush()
+    return out_dir
+
+
+class ImageAudioDatasetPak:
+    """Zero-copy packed VA dataset with a vectorized ``get_batch`` the
+    loader uses as a one-task-per-batch fast path."""
+
+    def __init__(self, cfg, data_name: str, train: bool):
+        self.cfg = cfg
+        self.train = train
+        d = os.path.join(cfg.data_root, f"{data_name}.pak")
+        with open(os.path.join(d, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("version") != PACK_VERSION:
+            raise ValueError(f"pack version {self.meta.get('version')} != {PACK_VERSION}")
+        self._audio_u16 = np.load(os.path.join(d, "audio.npy"), mmap_mode="r")
+        self.audio = self._audio_u16.view(_bf16())
+        self.image = np.load(os.path.join(d, "image.npy"), mmap_mode="r")
+        self.lengths = np.load(os.path.join(d, "lengths.npy"))
+        with open(os.path.join(d, "names.json")) as f:
+            self.names = json.load(f)
+        emb_path = os.path.join(d, "image_emb.npy")
+        self.image_emb = (
+            np.load(emb_path, mmap_mode="r")
+            if cfg.get("frame_emb") is not None and os.path.exists(emb_path)
+            else None
+        )
+
+        acfg = cfg.audio
+        self.max_len = int(cfg.max_audio_len)
+        self.pack_len = int(self.meta["pack_len"])
+        # norms were baked in at pack time — a config that disagrees would
+        # silently train on differently-scaled features
+        cfg_norms = tuple(acfg.get("norms", []) or []) or None
+        pak_norms = self.meta.get("norms")
+        if cfg_norms is not None and pak_norms is not None:
+            if not np.allclose(cfg_norms, pak_norms, atol=1e-6):
+                raise ValueError(
+                    f"pack norms {pak_norms} != running.audio.norms {list(cfg_norms)}"
+                )
+        # packed audio ships bf16; the trainer's device frontend upcasts
+        # only when the flag is on — fail loud instead of feeding bf16 to
+        # a path that expects f32
+        if not bool(acfg.get("ship_bf16", False)):
+            raise ValueError("packed datasets require running.audio.ship_bf16=True")
+        if self.image_emb is None and not bool(cfg.get("image_uint8", False)):
+            raise ValueError("packed datasets require running.image_uint8=True")
+        from .transforms_audio import make_transform
+
+        self.transform_fbank = make_transform(acfg)[1] if train else None
+        limit = None if train else int(cfg.get("eval_samples", 0)) or None
+        self.records = list(range(self.meta["n"]))[:limit]
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    # ------------------------------------------------------------- items
+    def _mask_inplace(self, feats: np.ndarray) -> None:
+        """SpecAugment on the [T, M] slice of the batch buffer (the npz
+        path's post-normalization mask semantics, zero fill) without the
+        generic transforms' defensive copies."""
+        from .transforms_audio import FrequencyMasking, TimeMasking
+
+        for t in self.transform_fbank or []:
+            if isinstance(t, FrequencyMasking):
+                width = np.random.uniform(0.0, t.mask_param)
+                start = np.random.uniform(0.0, max(feats.shape[1] - width, 0))
+                feats[:, int(start) : int(start + width)] = 0
+            elif isinstance(t, TimeMasking):
+                width = np.random.uniform(0.0, t.mask_param)
+                start = np.random.uniform(0.0, max(feats.shape[0] - width, 0))
+                feats[int(start) : int(start + width), :] = 0
+            else:  # unknown transform: generic callable (f32 round trip)
+                feats[...] = t(feats.astype(np.float32)).astype(feats.dtype)
+
+    def _start(self, row: int) -> int:
+        span = int(self.lengths[row]) - self.max_len
+        if self.train and span > 0:
+            return int(np.random.randint(0, span + 1))
+        return 0
+
+    def get_batch(self, idxs: Sequence[int]) -> Dict[str, Any]:
+        """Assemble a collated batch straight from the mmaps: one bf16
+        audio gather (+ in-place masks) and one uint8 image gather."""
+        rows = [self.records[int(i)] for i in idxs]
+        B = len(rows)
+        audio = np.zeros((B, 1, self.max_len, self.audio.shape[-1]), self.audio.dtype)
+        for k, row in enumerate(rows):
+            s = self._start(row)
+            src = self.audio[row, s : s + self.max_len]
+            audio[k, 0, : src.shape[0]] = src
+            if self.transform_fbank:
+                self._mask_inplace(audio[k, 0])
+        out: Dict[str, Any] = {
+            "audio": audio,
+            "name": [self.names[r] for r in rows],
+        }
+        if self.image_emb is not None:
+            out["image"] = np.asarray(self.image_emb[rows], np.float32)
+        else:
+            out["image"] = np.asarray(self.image[rows])  # uint8 gather
+        return out
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        """Single-item path (collator-compatible shapes) so the pak
+        dataset also works wherever items are consumed one by one."""
+        b = self.get_batch([index])
+        return {
+            "image": b["image"][0],
+            "audio": b["audio"][0, 0],
+            "name": b["name"][0],
+        }
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """``python -m vipant_tpu.data.packed <compose overrides> [pack.len=N]
+    [pack.out=NAME] [pack.image_emb=true]`` — pack ``running.data_name``."""
+    import sys
+
+    from ..config import compose
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    cfg = compose(args)
+    pack = cfg.get("pack", None)
+    get = (lambda k, d=None: pack.get(k, d)) if pack is not None else (lambda k, d=None: d)
+    out = pack_image_audio(
+        cfg.running,
+        str(cfg.running.data_name),
+        pack_len=get("len"),
+        out_name=get("out"),
+        image_emb=bool(get("image_emb", False)),
+        log_every=int(get("log_every", 1000)),
+    )
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
