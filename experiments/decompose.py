@@ -74,40 +74,40 @@ def main():
     # patchify + embed only (pre_encoder path of the audio tower)
     from vipant_tpu.ops.patches import extract_patches
 
+    print(f"B={B}", flush=True)  # print as measured: an OOM on a later,
+    # wider piece must not discard the earlier timings
     ms_audio_f = timeit(audio_fwd, audios, params["audio"])
+    print(f"audio tower fwd:        {ms_audio_f:7.2f} ms", flush=True)
     ms_audio_g = timeit(ag, audios, params["audio"])
+    print(f"audio tower grad:       {ms_audio_g:7.2f} ms", flush=True)
     ms_image_f = timeit(image_fwd, images, params["image"])
+    print(f"image tower fwd:        {ms_image_f:7.2f} ms", flush=True)
 
     def patch_only(a):
         x = jnp.transpose(a, (0, 2, 3, 1))  # [B, T, M, 1]
         return extract_patches(x, (16, 16), (16, 24))
 
     ms_patch = timeit(patch_only, audios)
+    print(f"audio patch extract:    {ms_patch:7.2f} ms", flush=True)
 
     def full_loss(i, a, p):
         out = model.apply({"params": p}, i, a, train=True, rngs=keys)
         return out[0] if isinstance(out, tuple) else out
 
     ms_full_f = timeit(full_loss, images, audios, params)
+    print(f"full loss fwd:          {ms_full_f:7.2f} ms", flush=True)
     g2 = jax.grad(
         lambda i, a, tp, fp: full_loss(i, a, merge_params(tp, fp)), argnums=2
     )
     ms_full_g = timeit(g2, images, audios, state.params, state.frozen_params)
+    print(f"full grad:              {ms_full_g:7.2f} ms", flush=True)
 
     def opt_update(g, s):
         return tx.update(g, s.opt_state, s.params)
 
     grads = g2(images, audios, state.params, state.frozen_params)
     ms_opt = timeit(opt_update, grads, state)
-
-    print(f"B={B}")
-    print(f"audio tower fwd:        {ms_audio_f:7.2f} ms")
-    print(f"audio tower grad:       {ms_audio_g:7.2f} ms")
-    print(f"image tower fwd:        {ms_image_f:7.2f} ms")
-    print(f"audio patch extract:    {ms_patch:7.2f} ms")
-    print(f"full loss fwd:          {ms_full_f:7.2f} ms")
-    print(f"full grad:              {ms_full_g:7.2f} ms")
-    print(f"optimizer update:       {ms_opt:7.2f} ms")
+    print(f"optimizer update:       {ms_opt:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
