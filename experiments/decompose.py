@@ -23,8 +23,17 @@ def timeit(fn, *args, steps=20):
     @jax.jit
     def loop(*a):
         def body(c, _):
-            a0 = a[0] + (c * 1e-30).astype(a[0].dtype) if hasattr(a[0], "dtype") else a[0]
-            out = fn(a0, *a[1:])
+            # perturb EVERY floating array arg with the carry: an arg left
+            # loop-invariant lets XLA hoist everything that depends only on
+            # it out of the scan (measured: the full-loss fwd probe read
+            # 10.4 ms with audios invariant vs the honest 48 ms)
+            pert = [
+                x + (c * 1e-30).astype(x.dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x
+                for x in a
+            ]
+            out = fn(*pert)
             s = sum(
                 jnp.sum(x).astype(jnp.float32)
                 for x in jax.tree_util.tree_leaves(out)
@@ -105,9 +114,12 @@ def main():
     def opt_update(g, s):
         return tx.update(g, s.opt_state, s.params)
 
-    grads = g2(images, audios, state.params, state.frozen_params)
-    ms_opt = timeit(opt_update, grads, state)
-    print(f"optimizer update:       {ms_opt:7.2f} ms", flush=True)
+    try:
+        grads = g2(images, audios, state.params, state.frozen_params)
+        ms_opt = timeit(opt_update, grads, state)
+        print(f"optimizer update:       {ms_opt:7.2f} ms", flush=True)
+    except Exception as e:  # the extra live grads pytree can OOM at B>=96
+        print(f"optimizer update: skipped ({type(e).__name__})", flush=True)
 
 
 if __name__ == "__main__":

@@ -120,6 +120,7 @@ def test_checkpoint_retention_and_resave(tmp_path):
     assert "00000150" in os.listdir(d)
 
 
+@pytest.mark.slow  # compile-heavy; covered by faster siblings in the fast tier
 def test_metrics_jsonl_sink(tmp_path):
     """metrics_jsonl=true writes machine-readable step telemetry beside the
     rank logs (beyond reference: its only sink was train_0.out)."""

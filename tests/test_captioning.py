@@ -148,6 +148,7 @@ def test_beam_decode(tmp_path):
     assert np.all(beam_lp >= greedy_lp - 1e-3), (beam_lp, greedy_lp)
 
 
+@pytest.mark.slow  # compile-heavy; covered by faster siblings in the fast tier
 def test_caption_report_bleu(tmp_path):
     """End-to-end captioning eval asserts a BLEU metric value."""
     make_synth_clotho(str(tmp_path), "clotho_dev", n=4, seconds=1.05)

@@ -230,6 +230,7 @@ def test_process_worker_backend(tmp_path):
         lp.shutdown()
 
 
+@pytest.mark.slow  # compile-heavy; covered by faster siblings in the fast tier
 def test_process_worker_reproducible_augmentations(tmp_path):
     """Process-backend augmentation streams are seeded PER ITEM (loader
     seed, epoch, position), so two identically-seeded runs produce

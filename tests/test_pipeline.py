@@ -231,6 +231,7 @@ def test_pipelined_cvap_step_matches_plain():
     assert worst < 2e-4, worst
 
 
+@pytest.mark.slow  # compile-heavy; covered by faster siblings in the fast tier
 def test_stacked_without_pipe_axis_runs_sequentially():
     """A stacked trunk outside any mesh runs the lax.scan path and matches
     the unrolled module (serving a pipeline-trained export on one chip)."""

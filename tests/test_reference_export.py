@@ -67,6 +67,7 @@ def test_export_roundtrip_two_tuple(tmp_path):
     )
 
 
+@pytest.mark.slow  # compile-heavy; covered by faster siblings in the fast tier
 def test_export_roundtrip_four_tuple_with_text(tmp_path):
     audio, text, va, vt = _towers()
     image_params = jax.tree_util.tree_map(lambda x: x, va["params"])  # same shape tower

@@ -164,6 +164,7 @@ def test_ring_attention_causal_bias_matches_full():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow  # compile-heavy; covered by faster siblings in the fast tier
 def test_masked_trunk_rings_and_matches():
     """A causal-masked trunk now TAKES the ring path (r4 masked ring
     attention — previously it silently replicated compute S-fold) and still
@@ -237,6 +238,7 @@ def test_boolean_masked_trunk_falls_back_sequential():
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_sp), atol=2e-5)
 
 
+@pytest.mark.slow  # compile-heavy; covered by faster siblings in the fast tier
 def test_seq_parallel_cvap_step_matches_plain():
     """One CVAP train step with seq-sharded stacked towers on a data=2·seq=2
     mesh == the plain unstacked single-device step: same loss, same updated
