@@ -172,3 +172,30 @@ def test_pack_from_wav_src(tmp_path):
     np.testing.assert_allclose(
         a[int(ds.lengths[0]) + 1 :], pad_val, atol=0.01
     )
+
+
+def test_pack_with_image_emb(tmp_path):
+    """pack.image_emb: per-frame embeddings pack alongside audio; a
+    frame_emb-configured dataset ships [D] floats instead of images (the
+    femb production path, serve --task embed_frames)."""
+    root = str(tmp_path)
+    make_synth_va_npz_index(root, "npz_train", n=4, frames=120)
+    import os
+
+    os.makedirs(f"{root}/femb", exist_ok=True)
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        np.savez(f"{root}/femb/clip{i}.0.npz", v=rng.standard_normal(32).astype(np.float32))
+    cfg = _cfg(root, "npz_train", ["running.frame_emb=femb"])
+    pack_image_audio(cfg.running, "npz_train", pack_len=120, image_emb=True)
+    ds = ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=False)
+    assert ds.image_emb is not None
+    b = ds.get_batch([0, 2])
+    assert b["image"].shape == (2, 32) and b["image"].dtype == np.float32
+    want = np.load(f"{root}/femb/clip2.0.npz")["v"]
+    np.testing.assert_array_equal(b["image"][1], want)
+    # without frame_emb in the config the same pack serves uint8 images
+    cfg2 = _cfg(root, "npz_train")
+    ds2 = ImageAudioDatasetPak(cfg2.running, "pak_npz_train", train=False)
+    assert ds2.image_emb is None
+    assert ds2.get_batch([0])["image"].dtype == np.uint8
