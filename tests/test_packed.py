@@ -199,3 +199,42 @@ def test_pack_with_image_emb(tmp_path):
     ds2 = ImageAudioDatasetPak(cfg2.running, "pak_npz_train", train=False)
     assert ds2.image_emb is None
     assert ds2.get_batch([0])["image"].dtype == np.uint8
+
+
+def test_short_clip_padding_matches_npz(tmp_path):
+    """Clips shorter than max_len: pak pad rows must equal the npz path's
+    pad-then-normalize value ((0-mean)/std), not literal zero."""
+    import ml_dtypes
+
+    root = str(tmp_path)
+    make_synth_va_npz_index(root, "npz_train", n=3, frames=60)  # < max_len
+    cfg = _cfg(root, "npz_train", ["running.audio.transform_fbank=False"])
+    pack_image_audio(cfg.running, "npz_train", pack_len=60)
+    from vipant_tpu.data.image_audio import ImageAudioDatasetNpz
+
+    pak = ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=False)
+    npz = ImageAudioDatasetNpz(cfg.running, "npz_train", train=False)
+    assert pak.max_len == 100 and pak.pack_len == 60
+    for i in range(3):
+        a, b = pak[i], npz[i]
+        assert a["audio"].shape == b["audio"].shape == (100, 128)
+        np.testing.assert_array_equal(np.asarray(a["audio"]), np.asarray(b["audio"]))
+        pad = np.asarray(a["audio"][60:]).astype(np.float32)
+        want = np.float32((0.0 - NORMS[0]) / NORMS[1])
+        np.testing.assert_allclose(pad, float(np.asarray(want, ml_dtypes.bfloat16)))
+
+
+def test_pak_pickles_without_materializing_mmaps(pak_root):
+    """Process workers receive the dataset by pickle: the pack arrays must
+    reopen from disk in the worker, not serialize (a production pack is
+    tens of GB)."""
+    import pickle
+
+    cfg = _cfg(pak_root, "npz_train", ["running.audio.transform_fbank=False"])
+    ds = ImageAudioDatasetPak(cfg.running, "pak_npz_train", train=False)
+    blob = pickle.dumps(ds)
+    assert len(blob) < ds.audio.nbytes  # 6*120*128*2 = 184 KB of audio alone
+    ds2 = pickle.loads(blob)
+    b1, b2 = ds.get_batch([0, 2]), ds2.get_batch([0, 2])
+    np.testing.assert_array_equal(np.asarray(b1["audio"]), np.asarray(b2["audio"]))
+    np.testing.assert_array_equal(b1["image"], b2["image"])

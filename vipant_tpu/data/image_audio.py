@@ -188,13 +188,11 @@ class ImageAudioDatasetSrc:
 FBANK_INT16_SCALE = 256.0
 
 
-def _ship_dtypes():
-    import ml_dtypes
+# dtypes that ship to the device as-is (converted inside the jitted step);
+# ml_dtypes is a hard dependency of jax itself, so a plain import is fine
+import ml_dtypes
 
-    return (np.dtype(np.uint8), np.dtype(np.int16), np.dtype(ml_dtypes.bfloat16))
-
-
-_SHIP_DTYPES = _ship_dtypes()
+_SHIP_DTYPES = (np.dtype(np.uint8), np.dtype(np.int16), np.dtype(ml_dtypes.bfloat16))
 
 
 class ImageAudioDatasetNpz(ImageAudioDatasetSrc):

@@ -95,6 +95,14 @@ def pack_image_audio(
     for i in range(n):
         name, aclip_file, frame_file, frame_emb_file = ds._paths(i)
         names.append(name)
+        # pad rows carry the NORMALIZED-zero value: every dataset path
+        # (npz and src) pads the raw fbank with zeros BEFORE normalizing
+        # (`image_audio.py` `_audio`), so (0-mean)/std is what a trained
+        # checkpoint has seen in pad regions — literal 0.0 would silently
+        # feed a different pad distribution to short clips
+        pad_val = (
+            np.float32((0.0 - norms[0]) / norms[1]) if norms is not None else np.float32(0.0)
+        )
         # ---- audio: raw npz fbank if present, else featurize the wav ----
         stem = aclip_file.rsplit(".", 1)[0]
         if os.path.exists(stem + ".npz"):
@@ -105,21 +113,30 @@ def pack_image_audio(
                 feats = (feats - np.float32(norms[0])) / np.float32(norms[1])
             lengths[i] = feats.shape[0]
             audio_mm[i, : feats.shape[0]] = feats.astype(bf16).view(np.uint16)
+            if feats.shape[0] < pack_len:
+                audio_mm[i, feats.shape[0] :] = pad_val.astype(bf16).view(np.uint16)
         else:
-            feats = extract_fbank_features(
-                aclip_file, ds.params, max_audio_len=pack_len, train=False,
-                zero_mean_wf=bool(ds.acfg.get("zero_mean_wf", True)),
-                tile_audio=bool(ds.acfg.get("tile_audio", False)),
-                norms=norms,
-            )
-            # true (un-padded) frame count from the wav duration
+            # read once; extract_fbank_features accepts the (wav, sr) tuple
             from .wav import read_wav
 
             wav, sr = read_wav(aclip_file)
-            shift = int(sr * float(ds.acfg.get("frame_shift", 10)) / 1000)
-            win = int(sr * float(ds.acfg.get("frame_length", 25)) / 1000)
-            nf = max((wav.shape[-1] - win) // shift + 1, 0)
-            lengths[i] = min(nf, pack_len)
+            tile = bool(ds.acfg.get("tile_audio", False))
+            feats = extract_fbank_features(
+                (wav, sr), ds.params, max_audio_len=pack_len, train=False,
+                zero_mean_wf=bool(ds.acfg.get("zero_mean_wf", True)),
+                tile_audio=tile,
+                norms=norms,
+            )
+            if tile:
+                # tiling fills pack_len with real (repeated) content — all
+                # rows are croppable, none are padding
+                lengths[i] = pack_len
+            else:
+                # true (un-padded) frame count from the wav duration
+                shift = int(sr * float(ds.acfg.get("frame_shift", 10)) / 1000)
+                win = int(sr * float(ds.acfg.get("frame_length", 25)) / 1000)
+                nf = max((wav.shape[-1] - win) // shift + 1, 0)
+                lengths[i] = min(nf, pack_len)
             audio_mm[i] = feats.astype(bf16).view(np.uint16)
         # ---- image: deterministic CLIP crop, uint8 ---------------------
         if frame_file is not None:
@@ -173,22 +190,16 @@ class ImageAudioDatasetPak:
         self.cfg = cfg
         self.train = train
         d = os.path.join(cfg.data_root, f"{data_name}.pak")
+        self._dir = d
         with open(os.path.join(d, "meta.json")) as f:
             self.meta = json.load(f)
         if self.meta.get("version") != PACK_VERSION:
             raise ValueError(f"pack version {self.meta.get('version')} != {PACK_VERSION}")
-        self._audio_u16 = np.load(os.path.join(d, "audio.npy"), mmap_mode="r")
-        self.audio = self._audio_u16.view(_bf16())
-        self.image = np.load(os.path.join(d, "image.npy"), mmap_mode="r")
+        self._want_emb = cfg.get("frame_emb") is not None
+        self._open_arrays()
         self.lengths = np.load(os.path.join(d, "lengths.npy"))
         with open(os.path.join(d, "names.json")) as f:
             self.names = json.load(f)
-        emb_path = os.path.join(d, "image_emb.npy")
-        self.image_emb = (
-            np.load(emb_path, mmap_mode="r")
-            if cfg.get("frame_emb") is not None and os.path.exists(emb_path)
-            else None
-        )
 
         acfg = cfg.audio
         self.max_len = int(cfg.max_audio_len)
@@ -212,8 +223,37 @@ class ImageAudioDatasetPak:
         from .transforms_audio import make_transform
 
         self.transform_fbank = make_transform(acfg)[1] if train else None
+        n = pak_norms if pak_norms is not None else cfg_norms
+        self._pad_val = (
+            np.float32((0.0 - n[0]) / n[1]) if n is not None else np.float32(0.0)
+        )
         limit = None if train else int(cfg.get("eval_samples", 0)) or None
         self.records = list(range(self.meta["n"]))[:limit]
+
+    def _open_arrays(self) -> None:
+        self._audio_u16 = np.load(os.path.join(self._dir, "audio.npy"), mmap_mode="r")
+        self.audio = self._audio_u16.view(_bf16())
+        self.image = np.load(os.path.join(self._dir, "image.npy"), mmap_mode="r")
+        emb_path = os.path.join(self._dir, "image_emb.npy")
+        self.image_emb = (
+            np.load(emb_path, mmap_mode="r")
+            if self._want_emb and os.path.exists(emb_path)
+            else None
+        )
+
+    # process-backend workers receive the dataset by pickle: ship the pack
+    # PATH and reopen the mmaps in the worker — pickling an np.memmap
+    # materializes the whole array into the pickle stream (a production
+    # pack is tens of GB; zero-copy is the point of the format)
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        for k in ("_audio_u16", "audio", "image", "image_emb"):
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._open_arrays()
 
     def __len__(self) -> int:
         return len(self.records)
@@ -248,7 +288,16 @@ class ImageAudioDatasetPak:
         audio gather (+ in-place masks) and one uint8 image gather."""
         rows = [self.records[int(i)] for i in idxs]
         B = len(rows)
-        audio = np.zeros((B, 1, self.max_len, self.audio.shape[-1]), self.audio.dtype)
+        if self.max_len <= self.pack_len:
+            audio = np.empty((B, 1, self.max_len, self.audio.shape[-1]), self.audio.dtype)
+        else:
+            # rows shorter than max_len: fill with the normalized-zero pad
+            # value the disk rows use (see pack_image_audio)
+            audio = np.full(
+                (B, 1, self.max_len, self.audio.shape[-1]),
+                self._pad_val,
+                self.audio.dtype,
+            )
         for k, row in enumerate(rows):
             s = self._start(row)
             src = self.audio[row, s : s + self.max_len]

@@ -142,17 +142,25 @@ def param_shardings(
     # (a bias must never shard against a replicated kernel: GSPMD would
     # all-gather it every step for nothing)
     sharded_fc: set = set()
+    sharded_qkv: set = set()
     if msize > 1:
         for path, x in jax.tree_util.tree_leaves_with_path(params):
             keys = keys_of(path)
+            if not hasattr(x, "ndim"):
+                continue
             if (
-                hasattr(x, "ndim")
-                and x.ndim == 2
+                x.ndim == 2
                 and x.size >= min_size
                 and keys.endswith("mlp/fc/kernel")
                 and x.shape[-1] % msize == 0
             ):
                 sharded_fc.add(keys[: -len("kernel")])
+            if (
+                x.ndim == 3
+                and x.size >= min_size
+                and keys.endswith("qkv/kernel")
+            ):
+                sharded_qkv.add(keys[: -len("kernel")])
 
     def spec(path, x):
         if not hasattr(x, "ndim"):
@@ -177,7 +185,14 @@ def param_shardings(
             if h and h % msize == 0:
                 if keys.endswith("qkv/kernel") and x.ndim == 3 and x.size >= min_size:
                     return NamedSharding(mesh, P(None, None, "model"))
-                if keys.endswith("qkv/bias") and x.ndim == 2:
+                if (
+                    keys.endswith("qkv/bias")
+                    and x.ndim == 2
+                    # only against a sharded kernel — a bias sharded next
+                    # to a replicated (too-small) kernel would be
+                    # all-gathered by GSPMD every step for nothing
+                    and keys[: -len("bias")] in sharded_qkv
+                ):
                     return NamedSharding(mesh, P(None, "model"))
                 if (
                     keys.endswith("out/kernel")

@@ -780,7 +780,10 @@ class Trainer:
         instead of a fully silent skip."""
         try:
             return factory()
-        except (FileNotFoundError, OSError, KeyError, ValueError) as e:
+        except (FileNotFoundError, OSError) as e:
+            # ONLY missing-split signals — a ValueError/KeyError here is a
+            # real configuration error (e.g. the pak dataset's norms/dtype
+            # guards) and must fail loud, not degrade to a skipped TEST pass
             self.echo.info(f"test split '{name}' unavailable, skipping: {e}")
             return None
 
