@@ -73,9 +73,7 @@ def _worker_getitem(idx, seed=None):
 
 
 def _worker_getbatch(idxs, seed=None):
-    if seed is not None:
-        np.random.seed(seed)
-    return _WORKER_DATASET.get_batch(idxs)
+    return _WORKER_DATASET.get_batch(idxs, seed)
 
 
 class DataLoader:
@@ -233,15 +231,19 @@ class DataLoader:
                             idxs = np.concatenate(
                                 [idxs, np.repeat(idxs[-1:], self.batch_size - true_count)]
                             )
-                        if use_batch and ephemeral:
-                            futs = [pool.submit(self.dataset.get_batch, idxs)]
-                        elif use_batch:
+                        if use_batch:
+                            # one seed per batch: pak augmentations replay
+                            # exactly across restarts/resumes on EITHER
+                            # backend (get_batch uses a local Generator)
                             seed = int(
                                 np.random.SeedSequence(
                                     (self.seed % (2**31), self.epoch, pos)
                                 ).generate_state(1)[0]
                             )
-                            futs = [pool.submit(_worker_getbatch, idxs, seed)]
+                            fn = (
+                                self.dataset.get_batch if ephemeral else _worker_getbatch
+                            )
+                            futs = [pool.submit(fn, idxs, seed)]
                             pos += len(idxs)
                         elif ephemeral:  # thread pool: shared in-process RNG
                             futs = [

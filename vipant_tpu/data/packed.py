@@ -259,7 +259,7 @@ class ImageAudioDatasetPak:
         return len(self.records)
 
     # ------------------------------------------------------------- items
-    def _mask_inplace(self, feats: np.ndarray) -> None:
+    def _mask_inplace(self, feats: np.ndarray, rng) -> None:
         """SpecAugment on the [T, M] slice of the batch buffer (the npz
         path's post-normalization mask semantics, zero fill) without the
         generic transforms' defensive copies."""
@@ -267,25 +267,35 @@ class ImageAudioDatasetPak:
 
         for t in self.transform_fbank or []:
             if isinstance(t, FrequencyMasking):
-                width = np.random.uniform(0.0, t.mask_param)
-                start = np.random.uniform(0.0, max(feats.shape[1] - width, 0))
+                width = rng.uniform(0.0, t.mask_param)
+                start = rng.uniform(0.0, max(feats.shape[1] - width, 0))
                 feats[:, int(start) : int(start + width)] = 0
             elif isinstance(t, TimeMasking):
-                width = np.random.uniform(0.0, t.mask_param)
-                start = np.random.uniform(0.0, max(feats.shape[0] - width, 0))
+                width = rng.uniform(0.0, t.mask_param)
+                start = rng.uniform(0.0, max(feats.shape[0] - width, 0))
                 feats[int(start) : int(start + width), :] = 0
             else:  # unknown transform: generic callable (f32 round trip)
                 feats[...] = t(feats.astype(np.float32)).astype(feats.dtype)
 
-    def _start(self, row: int) -> int:
+    def _start(self, row: int, rng=np.random) -> int:
         span = int(self.lengths[row]) - self.max_len
         if self.train and span > 0:
-            return int(np.random.randint(0, span + 1))
+            return int(rng.integers(0, span + 1)) if hasattr(rng, "integers") else int(
+                rng.randint(0, span + 1)
+            )
         return 0
 
-    def get_batch(self, idxs: Sequence[int]) -> Dict[str, Any]:
+    def get_batch(self, idxs: Sequence[int], seed: Optional[int] = None) -> Dict[str, Any]:
         """Assemble a collated batch straight from the mmaps: one bf16
-        audio gather (+ in-place masks) and one uint8 image gather."""
+        audio gather (+ in-place masks) and one uint8 image gather.
+
+        ``seed`` makes the batch's augmentations (crop windows, masks)
+        reproducible regardless of worker backend or scheduling — the
+        loader derives one per batch from (loader seed, epoch, position),
+        so pak runs replay exactly across restarts and mid-epoch resumes
+        even with thread workers (the per-item paths only achieve this
+        with process workers)."""
+        rng = np.random.default_rng(seed) if seed is not None else np.random
         rows = [self.records[int(i)] for i in idxs]
         B = len(rows)
         if self.max_len <= self.pack_len:
@@ -299,11 +309,11 @@ class ImageAudioDatasetPak:
                 self.audio.dtype,
             )
         for k, row in enumerate(rows):
-            s = self._start(row)
+            s = self._start(row, rng)
             src = self.audio[row, s : s + self.max_len]
             audio[k, 0, : src.shape[0]] = src
             if self.transform_fbank:
-                self._mask_inplace(audio[k, 0])
+                self._mask_inplace(audio[k, 0], rng)
         out: Dict[str, Any] = {
             "audio": audio,
             "name": [self.names[r] for r in rows],
