@@ -459,7 +459,7 @@ def main() -> None:
         B_e2e = int(os.environ.get("BENCH_E2E_BATCH", "64"))
         n_e2e = int(os.environ.get("BENCH_E2E_CLIPS", "512"))
         try:
-            e2e = bench_e2e(B_e2e, n_clips=n_e2e, mode="src", epochs=3)
+            e2e = bench_e2e(B_e2e, n_clips=n_e2e, mode="src", epochs=4)
         except Exception as e:  # pragma: no cover
             log(f"e2e bench failed: {type(e).__name__}: {e}")
         # npz: A/B/C f32 vs bf16 vs int16-quantized fbank shipping; H2D
@@ -468,7 +468,7 @@ def main() -> None:
         for ship in ("f32", "bf16", "int16"):
             try:
                 r = bench_e2e(
-                    B_e2e, n_clips=n_e2e, mode="npz", epochs=3,
+                    B_e2e, n_clips=n_e2e, mode="npz", epochs=4,
                     ship_int16=ship == "int16", ship_bf16=ship == "bf16",
                 )
                 log(f"e2e npz ship={ship}: {r:.1f} clips/s")
@@ -479,7 +479,7 @@ def main() -> None:
         # packed shards: mmapped whole-split tensors + one-gather batches
         # (data/packed.py) — the TPU-era high-throughput production path
         try:
-            e2e_pak = bench_e2e(B_e2e, n_clips=n_e2e, mode="pak", epochs=3)
+            e2e_pak = bench_e2e(B_e2e, n_clips=n_e2e, mode="pak", epochs=5)
             log(f"e2e pak (packed shards): {e2e_pak:.1f} clips/s")
         except Exception as e:  # pragma: no cover
             log(f"e2e pak bench failed: {type(e).__name__}: {e}")
@@ -487,7 +487,7 @@ def main() -> None:
         # decode, no image tower (serve --task embed_frames output)
         try:
             e2e_femb = bench_e2e(
-                B_e2e, n_clips=n_e2e, mode="femb", epochs=3, ship_bf16=True
+                B_e2e, n_clips=n_e2e, mode="femb", epochs=5, ship_bf16=True
             )
             log(f"e2e femb (precomputed fbank+frame-emb): {e2e_femb:.1f} clips/s")
         except Exception as e:  # pragma: no cover
