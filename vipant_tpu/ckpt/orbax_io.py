@@ -159,7 +159,12 @@ def load_checkpoint(path: str, abstract_state) -> Any:
     of ``abstract_state`` (a matching pytree of concrete sharded arrays or
     ShapeDtypeStructs, e.g. a freshly-created state). Multi-host: collective
     — every process calls with its identically-sharded template and receives
-    its shards."""
+    its shards.
+
+    Legacy qkv layout: checkpoints saved before the TP-shardable [C, 3, C]
+    qkv layout (nn.layers._QKVParams) stored flat [C, 3C] kernels / [3C]
+    biases. Those restore through a reshape shim — the flat layout is the
+    same values row-major (the 3-D layout is literally its reshape)."""
 
     wait_for_saves()  # never read past an in-flight async save
 
@@ -170,7 +175,63 @@ def load_checkpoint(path: str, abstract_state) -> Any:
 
     template = jax.tree_util.tree_map(as_abstract, abstract_state)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(path), "state"), template)
+    state_path = os.path.join(os.path.abspath(path), "state")
+    try:
+        return ckptr.restore(state_path, template)
+    except Exception:
+        restored = _restore_legacy_qkv(ckptr, state_path, template)
+        if restored is None:
+            raise
+        return restored
+
+
+def _restore_legacy_qkv(ckptr, state_path: str, template) -> Optional[Any]:
+    """Retry a failed template restore against the pre-[C,3,C] qkv layout:
+    restore flat-shaped qkv leaves replicated, reshape, re-place onto the
+    target shardings. Returns None when the stored shapes are NOT the
+    legacy layout (the original error should propagate)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def keystr(kp) -> str:
+        return "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in kp)
+
+    legacy_paths = set()
+
+    def to_legacy(kp, x):
+        if not isinstance(x, jax.ShapeDtypeStruct):
+            return x
+        ks = keystr(kp)
+        shard = x.sharding
+        repl = (
+            NamedSharding(shard.mesh, P())
+            if isinstance(shard, NamedSharding)
+            else shard
+        )
+        if ks.endswith("qkv/kernel") and x.ndim == 3 and x.shape[1] == 3:
+            legacy_paths.add(ks)
+            d = x.shape[0]
+            return jax.ShapeDtypeStruct((d, 3 * d), x.dtype, sharding=repl)
+        if ks.endswith("qkv/bias") and x.ndim == 2 and x.shape[0] == 3:
+            legacy_paths.add(ks)
+            return jax.ShapeDtypeStruct((3 * x.shape[1],), x.dtype, sharding=repl)
+        return x
+
+    legacy_template = jax.tree_util.tree_map_with_path(to_legacy, template)
+    if not legacy_paths:
+        return None
+    try:
+        raw = ckptr.restore(state_path, legacy_template)
+    except Exception:
+        return None  # not the legacy layout either — surface the original
+
+    def back(kp, x, t):
+        if keystr(kp) in legacy_paths:
+            x = np.asarray(jax.device_get(x)).reshape(t.shape)
+        if isinstance(t, jax.ShapeDtypeStruct) and t.sharding is not None:
+            return jax.device_put(x, t.sharding)
+        return x
+
+    return jax.tree_util.tree_map_with_path(back, raw, template)
 
 
 def load_checkpoint_config(path: str) -> Optional[Config]:

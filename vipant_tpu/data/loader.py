@@ -92,9 +92,16 @@ class DataLoader:
         pad_last: bool = False,
         backend: str = "thread",
     ):
-        from ..utils.hostmem import tune_host_allocator
+        # raise glibc's malloc thresholds so the multi-MB batch buffers a
+        # TRAINING loader churns through recycle warm (see hostmem.py). The
+        # tuning is process-global, so eval-only loaders skip it — a tiny
+        # eval loader must not raise retained RSS for the whole process.
+        # VIPANT_TUNE_MALLOC=1/0 overrides in either direction.
+        tune_env = os.environ.get("VIPANT_TUNE_MALLOC")
+        if tune_env == "1" or (shuffle and tune_env != "0"):
+            from ..utils.hostmem import tune_host_allocator
 
-        tune_host_allocator()  # batch buffers recycle warm (see hostmem.py)
+            tune_host_allocator()
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn

@@ -527,6 +527,24 @@ class StackedTransformer(nn.Module):
             mask.ndim == 2 and mask.dtype != jnp.bool_
             and mask.shape[0] % Sq == 0
         )
+        if Sq > 1 and not (seq_mask_ok and x.shape[1] % Sq == 0):
+            # a seq axis > 1 with a disqualifying mask/shape silently
+            # replicates this trunk's compute S-fold on the unsharded path —
+            # surface it at trace time (once per call site via warnings dedup)
+            import warnings
+
+            why = (
+                f"token count {x.shape[1]} % seq={Sq} != 0"
+                if seq_mask_ok
+                else f"mask shape/dtype {getattr(mask, 'shape', None)}/"
+                f"{getattr(mask, 'dtype', None)} (need additive 2-D, rows % {Sq} == 0)"
+            )
+            warnings.warn(
+                f"seq-parallel trunk disqualified ({why}); running the "
+                f"UNSHARDED sequential path — compute replicates {Sq}x over "
+                f"the seq axis",
+                stacklevel=2,
+            )
         if Sq > 1 and seq_mask_ok and x.shape[1] % Sq == 0:
             # sequence parallelism: tokens shard over `seq`; every stage op
             # is token-wise except attention, which the seq_context reroutes

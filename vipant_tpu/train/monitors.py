@@ -132,7 +132,7 @@ class LATrainer(Trainer):
             str(self.cfg.model_root), str(self.cfg.model_name), str(self.cfg.model_file)
         )
         reports = []
-        cap = self._samples_cap("eval_samples")
+        cap = self._eval_all_cap()
         for ckpt in extract_model_files(log_path):
             from ..ckpt import load_checkpoint
 
@@ -564,7 +564,7 @@ class ASTrainer(Trainer):
             str(self.cfg.model_root), str(self.cfg.model_name), str(self.cfg.model_file)
         )
         reports = []
-        cap = self._samples_cap("eval_samples")
+        cap = self._eval_all_cap()
         for ckpt in extract_model_files(log_path):
             self.state = load_checkpoint(ckpt, self.state)
             reports.append(f"{ckpt}: {self.zero_shot(self.evalloader, samples=cap)}")

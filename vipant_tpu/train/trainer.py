@@ -772,6 +772,25 @@ class Trainer:
         v = float(v)
         return v if np.isfinite(v) and v > 0 else None
 
+    def _eval_all_cap(self) -> Optional[float]:
+        """Sample budget for the evaluate-all-checkpoints pass
+        (``repeated_retrieval`` / ``repeated_zero_shot``). The reference
+        scored the full eval split per checkpoint; here the per-save
+        ``eval_samples`` budget applies by default, but it is its own knob —
+        set ``running.eval_all_samples`` (inf/0 = uncapped) to restore
+        full-split terminal reports without touching the per-save budget."""
+        run = self.cfg.get("running")
+        if run is not None and run.get("eval_all_samples") is not None:
+            return self._samples_cap("eval_all_samples")
+        cap = self._samples_cap("eval_samples")
+        if cap is not None:
+            self.echo.info(
+                f"eval-all pass capped at {int(cap)} samples per checkpoint "
+                f"(running.eval_samples; set running.eval_all_samples=inf "
+                f"for full-split reports)"
+            )
+        return cap
+
     def _optional_test_loader(self, factory, name):
         """Build the test-split loader, tolerating a missing split — the
         reference checks on-disk existence and silently sets
@@ -806,6 +825,12 @@ class Trainer:
         reference runs both loaders at every save; CLAP gates both on the
         CE bound, see ``mid_train_eval_ok``)."""
         if not self.mid_train_eval_ok(loss):
+            # a long run whose loss never crosses the gate would otherwise
+            # be silently eval-free — say so at each suppressed save
+            self.echo.info(
+                f"save-time eval skipped: loss {loss:.3f} above the eval "
+                f"gate (running.eval_loss_bound, see mid_train_eval_ok)"
+            )
             return
         if self.evalloader is not None:
             self.echo.info(
