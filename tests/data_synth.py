@@ -57,12 +57,18 @@ def make_synth_va_npz_index(root, name="npz_train", n=8, frames=120, mel=128):
     return records
 
 
-def make_synth_clotho(root, name="clotho_dev", n=6, seconds=1.0):
+def make_synth_clotho(root, name="clotho_dev", n=6, seconds=1.0, identical_caps=False):
+    """``identical_caps``: all 5 caption slots carry the SAME string per
+    clip — the captioning overfit test needs one deterministic gold string
+    per audio (greedy decode must reproduce it exactly)."""
     os.makedirs(os.path.join(root, name, "aclip"), exist_ok=True)
     rows = ["file_name," + ",".join(f"caption_{i}" for i in range(1, 6))]
     for i in range(n):
         _tone_wav(os.path.join(root, name, "aclip", f"a{i}.wav"), seconds, freq=300 + 40 * i, seed=i)
-        caps = ",".join(f"sound number {i} take {j}" for j in range(1, 6))
+        if identical_caps:
+            caps = ",".join([f"sound number {i}"] * 5)
+        else:
+            caps = ",".join(f"sound number {i} take {j}" for j in range(1, 6))
         rows.append(f"a{i}.wav,{caps}")
     with open(os.path.join(root, f"{name}.csv"), "w") as f:
         f.write("\n".join(rows) + "\n")
