@@ -269,3 +269,221 @@ def test_pak_host_sharding(pak_root):
     n0 = [n for b in l0 for n in b["name"][: b.get("_count", len(b["name"]))]]
     n1 = [n for b in l1 for n in b["name"][: b.get("_count", len(b["name"]))]]
     assert len(n0) + len(n1) == 6 and not set(n0) & set(n1)
+
+
+# ---------------------------------------------------------------------------
+# audio_text packs (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+
+def _at_cfg(root, extra=()):
+    return compose([
+        "+running=clotho", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=transformer_val", "+running/audio=default",
+        f"running.data_root={root}", "running.batch_size=4",
+        "running.audio.max_len=100",
+        f"running.audio.norms=[{NORMS[0]}, {NORMS[1]}]",
+        "running.audio.ship_bf16=True",
+        "running.prompt=",
+        "model.text.width=32", "model.text.heads=4",
+        "model.text.encoder.layers=2",
+        "num_proc=2",
+        *extra,
+    ])
+
+
+@pytest.fixture(scope="module")
+def at_pak_root(tmp_path_factory):
+    from data_synth import make_synth_clotho
+    from vipant_tpu.data.packed import pack_audio_text
+
+    root = str(tmp_path_factory.mktemp("atpak"))
+    make_synth_clotho(root, "clotho_dev", n=6, seconds=1.05)
+    cfg = _at_cfg(root)
+    out = pack_audio_text(cfg.running, cfg.model, "clotho_dev", pack_len=120)
+    assert out.endswith("pak_clotho_dev.pak")
+    return root
+
+
+def test_at_pack_eval_matches_src(at_pak_root):
+    """Eval-mode pak batches equal the per-item AT dataset's collated
+    batches cast to bf16 (same fbank, same caption flattening)."""
+    import ml_dtypes
+
+    from vipant_tpu.data import build_audio_text_dataloader
+    from vipant_tpu.data.packed import AudioTextDatasetPak
+
+    cfg = _at_cfg(at_pak_root, ["running.audio.transform_fbank=False"])
+    pak_loader = build_audio_text_dataloader(cfg, "pak_clotho_dev", False)
+    src_loader = build_audio_text_dataloader(cfg, "clotho_dev", False)
+    assert hasattr(pak_loader.dataset, "get_batch")
+    assert isinstance(pak_loader.dataset, AudioTextDatasetPak)
+    for pb, sb in zip(pak_loader, src_loader):
+        assert pb["name"] == sb["name"]
+        assert pb["audio"].dtype == np.dtype(ml_dtypes.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(pb["audio"], np.float32),
+            np.asarray(sb["audio"], np.float32).astype(ml_dtypes.bfloat16).astype(np.float32),
+        )
+        np.testing.assert_array_equal(pb["text"], sb["text"])  # [B*k, ctx]
+
+
+def test_at_pack_train_caption_pick_seeded(at_pak_root):
+    """Train batches pick one of k captions per item, deterministically
+    under a batch seed; every picked row is one of the packed captions."""
+    from vipant_tpu.data.packed import AudioTextDatasetPak
+
+    cfg = _at_cfg(at_pak_root)
+    ds = AudioTextDatasetPak(cfg.running, "pak_clotho_dev", train=True)
+    b1 = ds.get_batch([0, 1, 2, 3], seed=7)
+    b2 = ds.get_batch([0, 1, 2, 3], seed=7)
+    np.testing.assert_array_equal(b1["text"], b2["text"])
+    np.testing.assert_array_equal(
+        np.asarray(b1["audio"], np.float32), np.asarray(b2["audio"], np.float32)
+    )
+    assert b1["text"].shape == (4, 77)
+    for k, i in enumerate([0, 1, 2, 3]):
+        packed = np.asarray(ds.text[i])
+        assert any(np.array_equal(b1["text"][k], row) for row in packed)
+    # a different seed eventually picks differently (k=5 distinct captions)
+    picks = {ds.get_batch([0], seed=s)["text"].tobytes() for s in range(12)}
+    assert len(picks) > 1
+
+
+def test_at_pak_trainer_epoch_with_grad_cache(at_pak_root, tmp_path):
+    """The AT fine-tune (the GC flagship) trains an epoch off the pak
+    split with gradient cache on — the exact workload VERDICT r4 #6 calls
+    out as missing the fast path."""
+    from vipant_tpu.train import build_monitor
+
+    cfg = _at_cfg(at_pak_root, [
+        "+model/loss=ce", "+optimizer=standard",
+        "model.image.width=64", "model.image.embed_dim=32",
+        "model.image.encoder.layers=2", "model.image.heads=4",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "optimizer.use_lars=False", "optimizer.warmup=False",
+        "verbose=False", "mesh.data=1", "worker=CLAP", "monitor=LAMonitor",
+        "running.data_name=pak_clotho_dev", "running.eval_name=",
+        "running.test_name=",
+        "running.grad_cache.alive=True", "running.grad_cache.chunk_size=2",
+        "running.epochs=1", "running.peep_rate=1",
+        "running.save_rate=1000000", "running.save_epoch=False",
+        f"alias_root={tmp_path}/run", f"model_root={tmp_path}/run",
+        "model_file=", "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.audio_bf16_fbank
+    mon.epoch(0)
+    assert mon.global_step == 1
+
+
+def test_at_pack_ctx_mismatch_fails_loud(at_pak_root):
+    from vipant_tpu.data import build_audio_text_dataloader
+
+    cfg = _at_cfg(at_pak_root, ["model.text.ctx_len=16"])
+    with pytest.raises(AssertionError, match="ctx_len"):
+        build_audio_text_dataloader(cfg, "pak_clotho_dev", False)
+
+
+# ---------------------------------------------------------------------------
+# audioset packs (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+
+def _as_cfg(root, extra=()):
+    return compose([
+        "+running=audioset", "+model/image=vit_val", "+model/audio=vit_val",
+        "+model/text=transformer_val", "+running/audio=default",
+        f"running.data_root={root}", "running.batch_size=4",
+        "running.audio.max_len=100",
+        f"running.audio.norms=[{NORMS[0]}, {NORMS[1]}]",
+        "running.audio.ship_bf16=True",
+        "running.image_uint8=True",
+        "running.clf=True",
+        "running.mixup_rate=0.0",
+        "num_proc=2",
+        *extra,
+    ])
+
+
+@pytest.fixture(scope="module")
+def as_pak_root(tmp_path_factory):
+    from data_synth import make_synth_audioset
+    from vipant_tpu.data.audioset import build_audioset_label_map
+    from vipant_tpu.data.packed import pack_audioset
+
+    root = str(tmp_path_factory.mktemp("aspak"))
+    make_synth_audioset(root, "as_train", n=6, seconds=1.05)
+    cfg = _as_cfg(root)
+    label_map = build_audioset_label_map(cfg.running)
+    out = pack_audioset(cfg.running, "as_train", label_map, pack_len=120)
+    assert out.endswith("pak_as_train.pak")
+    return root
+
+
+def test_as_pack_eval_matches_src(as_pak_root):
+    """Eval pak batches equal the per-item AudioSet clf dataset's batches
+    (audio bf16-cast, uint8 image crops, multi-hot labels)."""
+    import ml_dtypes
+
+    from vipant_tpu.data import build_audioset_dataloader
+
+    cfg = _as_cfg(as_pak_root, ["running.audio.transform_fbank=False"])
+    pak_loader = build_audioset_dataloader(cfg, "pak_as_train", False)
+    src_loader = build_audioset_dataloader(cfg, "as_train", False)
+    n = 0
+    for pb, sb in zip(pak_loader, src_loader):
+        assert pb["name"] == sb["name"]
+        np.testing.assert_array_equal(pb["label"], sb["label"])
+        np.testing.assert_array_equal(pb["image"], sb["image"])
+        np.testing.assert_array_equal(
+            np.asarray(pb["audio"], np.float32),
+            np.asarray(sb["audio"], np.float32).astype(ml_dtypes.bfloat16).astype(np.float32),
+        )
+        n += int(pb.get("_count", len(pb["name"])))
+    assert n == 6
+
+
+def test_as_pak_guards(as_pak_root):
+    from vipant_tpu.data import build_audioset_dataloader
+    from vipant_tpu.data.audioset import build_audioset_label_map
+    from vipant_tpu.data.packed import AudiosetDatasetPak
+
+    cfg = _as_cfg(as_pak_root, ["running.mixup_rate=0.5"])
+    lm = build_audioset_label_map(cfg.running)
+    with pytest.raises(ValueError, match="mixup"):
+        AudiosetDatasetPak(cfg.running, "pak_as_train", train=True, label_map=lm)
+    # contrastive recipes must not silently lose their caption picks
+    cfg2 = _as_cfg(as_pak_root, ["running.clf=False"])
+    with pytest.raises(ValueError, match="clf"):
+        build_audioset_dataloader(cfg2, "pak_as_train", True)
+    # permuted label map -> loud failure
+    lm_perm = {k: ((1 - v[0]),) + tuple(v[1:]) for k, v in lm.items()}
+    with pytest.raises(ValueError, match="label map"):
+        AudiosetDatasetPak(cfg.running, "pak_as_train", train=False, label_map=lm_perm)
+
+
+def test_as_pak_weighted_sampling_and_trainer(as_pak_root, tmp_path):
+    from vipant_tpu.train import build_monitor
+
+    cfg = _as_cfg(as_pak_root, [
+        "+model/loss=bce", "+optimizer=standard",
+        "model.image.width=64", "model.image.embed_dim=32",
+        "model.image.encoder.layers=2", "model.image.heads=4",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "model.audio.freeze=False",
+        "optimizer.use_lars=False", "optimizer.warmup=False",
+        "verbose=False", "mesh.data=1",
+        "worker=ASClassifier", "monitor=ASMonitor",
+        "running.data_name=pak_as_train", "running.eval_name=",
+        "running.test_name=",
+        "running.weighted_sampling=True",
+        "running.epochs=1", "running.peep_rate=1",
+        "running.save_rate=1000000", "running.save_epoch=False",
+        f"alias_root={tmp_path}/run", f"model_root={tmp_path}/run",
+        "model_file=", "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.loader.sample_weights is not None
+    mon.epoch(0)
+    assert mon.global_step == 1

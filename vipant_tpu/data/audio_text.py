@@ -146,6 +146,28 @@ def build_audio_text_dataloader(
     """Prefix dispatch clotho/audiocaps
     (parity: `/root/reference/cvap/data/audio_text.py:233-245`)."""
     run = cfg.running
+    ctx = int(cfg.model.text.get("ctx_len", 77)) if "text" in cfg.model else 77
+    if data_name.startswith("pak"):
+        # packed shards (data/packed.py): one-gather batch fast path
+        from .packed import AudioTextDatasetPak
+
+        ds = AudioTextDatasetPak(run, data_name, train)
+        assert ds.text.shape[-1] == ctx, (
+            f"pack ctx_len {ds.text.shape[-1]} != model.text.ctx_len {ctx} — repack"
+        )
+        ds.records = shard_for_host(ds.records, process_id, num_processes)
+        return DataLoader(
+            ds,
+            batch_size=int(run.batch_size) // max(num_processes, 1),
+            collate_fn=AudioTextCollator(train),
+            shuffle=train,
+            drop_last=train,
+            num_workers=int(cfg.get("num_proc", 4)),
+            backend=str(cfg.get("loader_backend", "thread")),
+            seed=int(cfg.get("seed", 0)),
+            device_put_fn=device_put_fn,
+            pad_last=not train,
+        )
     prompt = str(run.get("prompt", "") or "")
     if data_name.startswith("clotho"):
         records = build_clotho_list(run, data_name, prompt)

@@ -382,6 +382,36 @@ def build_audioset_dataloader(
     label_map = label_map or build_audioset_label_map(run)
     filter_set = build_filter_set(run.get("filter_set"), run.get("data_root"))
     clf = bool(run.get("clf", True))
+    if data_name.startswith("pak"):
+        # packed clf shards (data/packed.py): one-gather batch fast path.
+        # Contrastive (clf=False) recipes need per-item label-text/caption
+        # picks — not packed; the trimodal path stays on npz/src.
+        if not clf:
+            raise ValueError("packed AudioSet shards support clf=True only")
+        from .packed import AudiosetDatasetPak
+
+        ds = AudiosetDatasetPak(run, data_name, train, label_map)
+        ds.records = shard_for_host(ds.records, process_id, num_processes)
+        weights = None
+        if train and bool(run.get("weighted_sampling", False)):
+            # same 1000/(count+1) per-label weights as sampling_weights,
+            # computed from the packed multi-hot matrix
+            lab = np.asarray(ds.label[ds.records], np.float64)
+            per_label = 1000.0 / (lab.sum(0) + 1.0)
+            weights = np.maximum(lab @ per_label, 1e-8)
+        return DataLoader(
+            ds,
+            batch_size=int(run.batch_size) // max(num_processes, 1),
+            collate_fn=AudiosetCollator(clf),
+            shuffle=train and weights is None,
+            drop_last=train,
+            num_workers=int(cfg.get("num_proc", 4)),
+            backend=str(cfg.get("loader_backend", "thread")),
+            seed=int(cfg.get("seed", 0)),
+            device_put_fn=device_put_fn,
+            sample_weights=weights,
+            pad_last=not train,
+        )
     external_text = None
     if run.get("text_emb"):  # {data_root}/caption/{text_emb}.csv: id -> captions
         text_file = os.path.join(str(run.data_root), "caption", f"{run.text_emb}.csv")

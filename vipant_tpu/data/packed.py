@@ -1,4 +1,4 @@
-"""Packed VA shards: contiguous memory-mapped batch storage.
+"""Packed shards: contiguous memory-mapped batch storage (VA, AT, AudioSet).
 
 The TPU-era analogue of the reference's per-item npz precedent
 (`/root/reference/cvap/data/image_audio.py:27-88`): instead of one
@@ -14,6 +14,8 @@ tensors —
   reference's ``clip_tf``/AuthenticCLIPImageTransform precedent — packed
   images trade random-resized-crop augmentation for decode-free items)
 - ``image_emb.npy`` [N, D] float32 (optional, the frame-embedding path)
+- ``text.npy``    [N, k, ctx] int32 BPE caption tokens (audio_text packs)
+- ``label.npy``   [N, nlabel] float32 multi-hot (audioset clf packs)
 - ``names.json`` / ``meta.json``
 
 Items become zero-copy mmap slices and whole batches assemble in one
@@ -27,6 +29,16 @@ the dataset refuses a config whose norms disagree), so the train-time
 audio path is: slice + mask + ship. Audio ships bf16 — lossless w.r.t.
 the bf16-computing trunk, half the H2D bytes (``running.audio.ship_bf16``
 must be on; the dataset checks).
+
+Three pack kinds (``meta.json["kind"]``):
+
+- ``image_audio`` (VA pretrain, `pack_image_audio`)
+- ``audio_text`` (AT fine-tune/retrieval — the GC flagship workload,
+  `pack_audio_text`; precedent `/root/reference/cvap/data/audio_text.py`)
+- ``audioset`` (AS multi-label clf, `pack_audioset`; mixup_rate > 0 is
+  REFUSED on this path — reference mixup operates on waveforms
+  (`/root/reference/cvap/data/audioset_cls.py:374-400`) and a log-mel pack
+  cannot reproduce it; keep the npz/src path for mixup recipes)
 """
 
 from __future__ import annotations
@@ -44,6 +56,77 @@ def _bf16():
     import ml_dtypes
 
     return np.dtype(ml_dtypes.bfloat16)
+
+
+def _pad_value(norms) -> np.float32:
+    # pad rows carry the NORMALIZED-zero value: every dataset path (npz and
+    # src) pads the raw fbank with zeros BEFORE normalizing (`image_audio.py`
+    # `_audio`), so (0-mean)/std is what a trained checkpoint has seen in
+    # pad regions — literal 0.0 would silently feed a different pad
+    # distribution to short clips
+    return (
+        np.float32((0.0 - norms[0]) / norms[1]) if norms is not None else np.float32(0.0)
+    )
+
+
+def _write_audio_row(
+    audio_mm, lengths, i, aclip_file, pack_len, norms, acfg, params, pad_val, bf16
+):
+    """One clip's normalized log-mel row into the pack: raw npz fbank if
+    present (the reference's throughput convention), else featurize the wav
+    with eval semantics. Shared by every pack builder."""
+    from .transforms_audio import extract_fbank_features
+
+    stem = aclip_file.rsplit(".", 1)[0]
+    if os.path.exists(stem + ".npz"):
+        data = np.load(stem + ".npz")
+        key = "feat" if "feat" in data.files else data.files[0]
+        feats = data[key].astype(np.float32, copy=False)[:pack_len]
+        if norms is not None:
+            feats = (feats - np.float32(norms[0])) / np.float32(norms[1])
+        lengths[i] = feats.shape[0]
+        audio_mm[i, : feats.shape[0]] = feats.astype(bf16).view(np.uint16)
+        if feats.shape[0] < pack_len:
+            audio_mm[i, feats.shape[0] :] = pad_val.astype(bf16).view(np.uint16)
+        return
+    from .wav import read_wav
+
+    wav, sr = read_wav(aclip_file)
+    tile = bool(acfg.get("tile_audio", False))
+    feats = extract_fbank_features(
+        (wav, sr), params, max_audio_len=pack_len, train=False,
+        zero_mean_wf=bool(acfg.get("zero_mean_wf", True)),
+        tile_audio=tile,
+        norms=norms,
+    )
+    if tile:
+        # tiling fills pack_len with real (repeated) content — all rows are
+        # croppable, none are padding
+        lengths[i] = pack_len
+    else:
+        # true (un-padded) frame count from the wav duration
+        shift = int(sr * float(acfg.get("frame_shift", 10)) / 1000)
+        win = int(sr * float(acfg.get("frame_length", 25)) / 1000)
+        nf = max((wav.shape[-1] - win) // shift + 1, 0)
+        lengths[i] = min(nf, pack_len)
+    audio_mm[i] = feats.astype(bf16).view(np.uint16)
+
+
+def _write_meta(out_dir, kind, n, pack_len, mel, norms, names, extra=None):
+    with open(os.path.join(out_dir, "names.json"), "w") as f:
+        json.dump(names, f)
+    meta = {
+        "version": PACK_VERSION,
+        "kind": kind,
+        "n": n,
+        "pack_len": pack_len,
+        "mel": mel,
+        "norms": list(norms) if norms is not None else None,
+        "audio_dtype": "bfloat16",
+    }
+    meta.update(extra or {})
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
 
 
 def pack_image_audio(
@@ -65,7 +148,6 @@ def pack_image_audio(
     stream through ``np.lib.format.open_memmap``.
     """
     from .image_audio import ImageAudioDatasetSrc
-    from .transforms_audio import extract_fbank_features
     from .transforms_image import clip_preprocess_uint8
     from PIL import Image as PILImage
 
@@ -91,53 +173,15 @@ def pack_image_audio(
     emb_mm = None
     names: List[str] = []
     bf16 = _bf16()
+    pad_val = _pad_value(norms)
 
     for i in range(n):
         name, aclip_file, frame_file, frame_emb_file = ds._paths(i)
         names.append(name)
-        # pad rows carry the NORMALIZED-zero value: every dataset path
-        # (npz and src) pads the raw fbank with zeros BEFORE normalizing
-        # (`image_audio.py` `_audio`), so (0-mean)/std is what a trained
-        # checkpoint has seen in pad regions — literal 0.0 would silently
-        # feed a different pad distribution to short clips
-        pad_val = (
-            np.float32((0.0 - norms[0]) / norms[1]) if norms is not None else np.float32(0.0)
+        _write_audio_row(
+            audio_mm, lengths, i, aclip_file, pack_len, norms, ds.acfg,
+            ds.params, pad_val, bf16,
         )
-        # ---- audio: raw npz fbank if present, else featurize the wav ----
-        stem = aclip_file.rsplit(".", 1)[0]
-        if os.path.exists(stem + ".npz"):
-            data = np.load(stem + ".npz")
-            key = "feat" if "feat" in data.files else data.files[0]
-            feats = data[key].astype(np.float32, copy=False)[:pack_len]
-            if norms is not None:
-                feats = (feats - np.float32(norms[0])) / np.float32(norms[1])
-            lengths[i] = feats.shape[0]
-            audio_mm[i, : feats.shape[0]] = feats.astype(bf16).view(np.uint16)
-            if feats.shape[0] < pack_len:
-                audio_mm[i, feats.shape[0] :] = pad_val.astype(bf16).view(np.uint16)
-        else:
-            # read once; extract_fbank_features accepts the (wav, sr) tuple
-            from .wav import read_wav
-
-            wav, sr = read_wav(aclip_file)
-            tile = bool(ds.acfg.get("tile_audio", False))
-            feats = extract_fbank_features(
-                (wav, sr), ds.params, max_audio_len=pack_len, train=False,
-                zero_mean_wf=bool(ds.acfg.get("zero_mean_wf", True)),
-                tile_audio=tile,
-                norms=norms,
-            )
-            if tile:
-                # tiling fills pack_len with real (repeated) content — all
-                # rows are croppable, none are padding
-                lengths[i] = pack_len
-            else:
-                # true (un-padded) frame count from the wav duration
-                shift = int(sr * float(ds.acfg.get("frame_shift", 10)) / 1000)
-                win = int(sr * float(ds.acfg.get("frame_length", 25)) / 1000)
-                nf = max((wav.shape[-1] - win) // shift + 1, 0)
-                lengths[i] = min(nf, pack_len)
-            audio_mm[i] = feats.astype(bf16).view(np.uint16)
         # ---- image: deterministic CLIP crop, uint8 ---------------------
         if frame_file is not None:
             try:
@@ -157,24 +201,14 @@ def pack_image_audio(
             print(f"packed {i + 1}/{n}", flush=True)
 
     np.save(os.path.join(out_dir, "lengths.npy"), lengths)
-    with open(os.path.join(out_dir, "names.json"), "w") as f:
-        json.dump(names, f)
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(
-            {
-                "version": PACK_VERSION,
-                "n": n,
-                "pack_len": pack_len,
-                "mel": mel,
-                "resolution": res,
-                "norms": list(norms) if norms is not None else None,
-                "audio_dtype": "bfloat16",
-                "has_image_emb": emb_mm is not None,
-                "source": data_name,
-            },
-            f,
-            indent=1,
-        )
+    _write_meta(
+        out_dir, "image_audio", n, pack_len, mel, norms, names,
+        extra={
+            "resolution": res,
+            "has_image_emb": emb_mm is not None,
+            "source": data_name,
+        },
+    )
     audio_mm.flush()
     image_mm.flush()
     if emb_mm is not None:
@@ -182,9 +216,163 @@ def pack_image_audio(
     return out_dir
 
 
-class ImageAudioDatasetPak:
-    """Zero-copy packed VA dataset with a vectorized ``get_batch`` the
-    loader uses as a one-task-per-batch fast path."""
+def pack_audio_text(
+    run_cfg,
+    model_cfg,
+    data_name: str,
+    pack_len: Optional[int] = None,
+    out_name: Optional[str] = None,
+    log_every: int = 0,
+) -> str:
+    """Pack an audio-text split (Clotho CSV / AudioCaps JSONL): bf16 log-mel
+    rows + the k BPE-tokenized captions per clip ([N, k, ctx] int32, short
+    lists padded cyclically like ``AudioTextDatasetSrc.eval_k``). The AT
+    fine-tune — the gradient-cache flagship — gets the same one-gather
+    batch fast path as the VA packs (VERDICT r4 #6)."""
+    from .audio_text import build_audiocaps_list, build_clotho_list
+
+    prompt = str(run_cfg.get("prompt", "") or "")
+    if data_name.startswith("clotho"):
+        records = build_clotho_list(run_cfg, data_name, prompt)
+    else:
+        records = build_audiocaps_list(run_cfg, data_name, prompt)
+    n = len(records)
+    pack_len = int(pack_len or run_cfg.max_audio_len)
+    mel = int(run_cfg.audio.get("num_mel_bins", 128))
+    ctx = int(model_cfg.text.get("ctx_len", 77)) if "text" in model_cfg else 77
+    k = max((len(r["captions_bpe"]) for r in records), default=1)
+    from .image_audio import fbank_params_from_cfg
+
+    acfg = run_cfg.audio
+    params = fbank_params_from_cfg(acfg)
+    norms = tuple(acfg.get("norms", []) or []) or None
+    out_name = out_name or f"pak_{data_name}"
+    out_dir = os.path.join(run_cfg.data_root, f"{out_name}.pak")
+    os.makedirs(out_dir, exist_ok=True)
+
+    audio_mm = np.lib.format.open_memmap(
+        os.path.join(out_dir, "audio.npy"), mode="w+",
+        dtype=np.uint16, shape=(n, pack_len, mel),
+    )
+    text_mm = np.lib.format.open_memmap(
+        os.path.join(out_dir, "text.npy"), mode="w+",
+        dtype=np.int32, shape=(n, k, ctx),
+    )
+    lengths = np.zeros((n,), np.int32)
+    names: List[str] = []
+    bf16 = _bf16()
+    pad_val = _pad_value(norms)
+
+    for i, rec in enumerate(records):
+        names.append(rec["id"])
+        sub = rec.get("dir", "")
+        path = os.path.join(run_cfg.data_root, sub, "aclip", rec["aclip"])
+        if not os.path.exists(path):
+            path = os.path.join(run_cfg.data_root, sub, rec["aclip"])
+        _write_audio_row(
+            audio_mm, lengths, i, path, pack_len, norms, acfg, params,
+            pad_val, bf16,
+        )
+        caps = rec["captions_bpe"]
+        for j in range(k):
+            toks = caps[j % len(caps)][:ctx]
+            text_mm[i, j, : len(toks)] = toks
+        if log_every and (i + 1) % log_every == 0:
+            print(f"packed {i + 1}/{n}", flush=True)
+
+    np.save(os.path.join(out_dir, "lengths.npy"), lengths)
+    _write_meta(
+        out_dir, "audio_text", n, pack_len, mel, norms, names,
+        extra={"k": k, "ctx_len": ctx, "source": data_name},
+    )
+    audio_mm.flush()
+    text_mm.flush()
+    return out_dir
+
+
+def pack_audioset(
+    run_cfg,
+    data_name: str,
+    label_map: Dict,
+    pack_len: Optional[int] = None,
+    out_name: Optional[str] = None,
+    log_every: int = 0,
+) -> str:
+    """Pack an AudioSet clf split: bf16 log-mel + uint8 CLIP image crops +
+    [N, nlabel] float32 multi-hot labels in label-map (ontology) order.
+    The label id list is recorded in meta.json; the dataset refuses a
+    label map whose order disagrees (silently permuted labels would train
+    on shuffled targets)."""
+    from .audioset import AudiosetSrc
+    from .transforms_image import clip_preprocess_uint8
+    from PIL import Image as PILImage
+
+    ds = AudiosetSrc(run_cfg, data_name, train=False, label_map=label_map, clf=True)
+    n = len(ds.records)
+    pack_len = int(pack_len or run_cfg.max_audio_len)
+    mel = int(run_cfg.audio.get("num_mel_bins", 128))
+    res = int(run_cfg.get("resolution", 224))
+    norms = ds.norms
+    out_name = out_name or f"pak_{data_name}"
+    out_dir = os.path.join(run_cfg.data_root, f"{out_name}.pak")
+    os.makedirs(out_dir, exist_ok=True)
+
+    audio_mm = np.lib.format.open_memmap(
+        os.path.join(out_dir, "audio.npy"), mode="w+",
+        dtype=np.uint16, shape=(n, pack_len, mel),
+    )
+    image_mm = np.lib.format.open_memmap(
+        os.path.join(out_dir, "image.npy"), mode="w+",
+        dtype=np.uint8, shape=(n, 3, res, res),
+    )
+    label_mm = np.lib.format.open_memmap(
+        os.path.join(out_dir, "label.npy"), mode="w+",
+        dtype=np.float32, shape=(n, len(label_map)),
+    )
+    lengths = np.zeros((n,), np.int32)
+    names: List[str] = []
+    bf16 = _bf16()
+    pad_val = _pad_value(norms)
+    # label ids in index order, for the load-time order check
+    ordered = [None] * len(label_map)
+    for lid, v in label_map.items():
+        ordered[v[0]] = lid
+
+    for i in range(n):
+        name, aclip_file, frame_file, _ = ds._paths(i)
+        names.append(name)
+        _write_audio_row(
+            audio_mm, lengths, i, aclip_file, pack_len, norms, ds.acfg,
+            ds.params, pad_val, bf16,
+        )
+        if frame_file is not None:
+            try:
+                img = PILImage.open(frame_file)
+                image_mm[i] = clip_preprocess_uint8(img, res)
+            except Exception:
+                pass
+        label_mm[i] = ds._label_vector(ds.records[i])
+        if log_every and (i + 1) % log_every == 0:
+            print(f"packed {i + 1}/{n}", flush=True)
+
+    np.save(os.path.join(out_dir, "lengths.npy"), lengths)
+    _write_meta(
+        out_dir, "audioset", n, pack_len, mel, norms, names,
+        extra={"resolution": res, "label_ids": ordered, "source": data_name},
+    )
+    audio_mm.flush()
+    image_mm.flush()
+    label_mm.flush()
+    return out_dir
+
+
+class _PakAudioBase:
+    """Shared audio side of the packed datasets: mmap open + re-open on
+    unpickle, config guards, and the vectorized bf16 audio gather with
+    per-batch-seeded temporal crop + in-place SpecAugment."""
+
+    KIND = ""
+    _ARRAY_ATTRS = ("_audio_u16", "audio")
 
     def __init__(self, cfg, data_name: str, train: bool):
         self.cfg = cfg
@@ -195,7 +383,9 @@ class ImageAudioDatasetPak:
             self.meta = json.load(f)
         if self.meta.get("version") != PACK_VERSION:
             raise ValueError(f"pack version {self.meta.get('version')} != {PACK_VERSION}")
-        self._want_emb = cfg.get("frame_emb") is not None
+        kind = self.meta.get("kind", "image_audio")
+        if kind != self.KIND:
+            raise ValueError(f"pack kind {kind!r} != expected {self.KIND!r}")
         self._open_arrays()
         self.lengths = np.load(os.path.join(d, "lengths.npy"))
         with open(os.path.join(d, "names.json")) as f:
@@ -218,8 +408,6 @@ class ImageAudioDatasetPak:
         # a path that expects f32
         if not bool(acfg.get("ship_bf16", False)):
             raise ValueError("packed datasets require running.audio.ship_bf16=True")
-        if self.image_emb is None and not bool(cfg.get("image_uint8", False)):
-            raise ValueError("packed datasets require running.image_uint8=True")
         from .transforms_audio import make_transform
 
         self.transform_fbank = make_transform(acfg)[1] if train else None
@@ -233,13 +421,6 @@ class ImageAudioDatasetPak:
     def _open_arrays(self) -> None:
         self._audio_u16 = np.load(os.path.join(self._dir, "audio.npy"), mmap_mode="r")
         self.audio = self._audio_u16.view(_bf16())
-        self.image = np.load(os.path.join(self._dir, "image.npy"), mmap_mode="r")
-        emb_path = os.path.join(self._dir, "image_emb.npy")
-        self.image_emb = (
-            np.load(emb_path, mmap_mode="r")
-            if self._want_emb and os.path.exists(emb_path)
-            else None
-        )
 
     # process-backend workers receive the dataset by pickle: ship the pack
     # PATH and reopen the mmaps in the worker — pickling an np.memmap
@@ -247,7 +428,7 @@ class ImageAudioDatasetPak:
     # pack is tens of GB; zero-copy is the point of the format)
     def __getstate__(self):
         state = dict(self.__dict__)
-        for k in ("_audio_u16", "audio", "image", "image_emb"):
+        for k in self._ARRAY_ATTRS:
             state.pop(k, None)
         return state
 
@@ -285,24 +466,15 @@ class ImageAudioDatasetPak:
             )
         return 0
 
-    def get_batch(self, idxs: Sequence[int], seed: Optional[int] = None) -> Dict[str, Any]:
-        """Assemble a collated batch straight from the mmaps: one bf16
-        audio gather (+ in-place masks) and one uint8 image gather.
-
-        ``seed`` makes the batch's augmentations (crop windows, masks)
-        reproducible regardless of worker backend or scheduling — the
-        loader derives one per batch from (loader seed, epoch, position),
-        so pak runs replay exactly across restarts and mid-epoch resumes
-        even with thread workers (the per-item paths only achieve this
-        with process workers)."""
-        rng = np.random.default_rng(seed) if seed is not None else np.random
-        rows = [self.records[int(i)] for i in idxs]
+    def _gather_audio(self, rows: Sequence[int], rng) -> np.ndarray:
+        """[B, 1, max_len, M] bf16: one vectorized mmap gather with the
+        per-row temporal crop and in-place masks."""
         B = len(rows)
         if self.max_len <= self.pack_len:
             audio = np.empty((B, 1, self.max_len, self.audio.shape[-1]), self.audio.dtype)
         else:
             # rows shorter than max_len: fill with the normalized-zero pad
-            # value the disk rows use (see pack_image_audio)
+            # value the disk rows use (see _write_audio_row)
             audio = np.full(
                 (B, 1, self.max_len, self.audio.shape[-1]),
                 self._pad_val,
@@ -314,8 +486,48 @@ class ImageAudioDatasetPak:
             audio[k, 0, : src.shape[0]] = src
             if self.transform_fbank:
                 self._mask_inplace(audio[k, 0], rng)
+        return audio
+
+    def _batch_rng(self, seed: Optional[int]):
+        """``seed`` makes the batch's augmentations (crop windows, masks,
+        caption picks) reproducible regardless of worker backend or
+        scheduling — the loader derives one per batch from (loader seed,
+        epoch, position), so pak runs replay exactly across restarts and
+        mid-epoch resumes even with thread workers (the per-item paths only
+        achieve this with process workers)."""
+        return np.random.default_rng(seed) if seed is not None else np.random
+
+
+class ImageAudioDatasetPak(_PakAudioBase):
+    """Zero-copy packed VA dataset with a vectorized ``get_batch`` the
+    loader uses as a one-task-per-batch fast path."""
+
+    KIND = "image_audio"
+    _ARRAY_ATTRS = ("_audio_u16", "audio", "image", "image_emb")
+
+    def __init__(self, cfg, data_name: str, train: bool):
+        self._want_emb = cfg.get("frame_emb") is not None
+        super().__init__(cfg, data_name, train)
+        if self.image_emb is None and not bool(cfg.get("image_uint8", False)):
+            raise ValueError("packed datasets require running.image_uint8=True")
+
+    def _open_arrays(self) -> None:
+        super()._open_arrays()
+        self.image = np.load(os.path.join(self._dir, "image.npy"), mmap_mode="r")
+        emb_path = os.path.join(self._dir, "image_emb.npy")
+        self.image_emb = (
+            np.load(emb_path, mmap_mode="r")
+            if self._want_emb and os.path.exists(emb_path)
+            else None
+        )
+
+    def get_batch(self, idxs: Sequence[int], seed: Optional[int] = None) -> Dict[str, Any]:
+        """Assemble a collated batch straight from the mmaps: one bf16
+        audio gather (+ in-place masks) and one uint8 image gather."""
+        rng = self._batch_rng(seed)
+        rows = [self.records[int(i)] for i in idxs]
         out: Dict[str, Any] = {
-            "audio": audio,
+            "audio": self._gather_audio(rows, rng),
             "name": [self.names[r] for r in rows],
         }
         if self.image_emb is not None:
@@ -335,9 +547,108 @@ class ImageAudioDatasetPak:
         }
 
 
+class AudioTextDatasetPak(_PakAudioBase):
+    """Packed AT dataset (`pack_audio_text`): train picks a (seeded) random
+    caption per item, eval flattens all k captions to [B*k, ctx] — the
+    exact semantics of ``AudioTextDatasetSrc``/``AudioTextCollator``."""
+
+    KIND = "audio_text"
+    _ARRAY_ATTRS = ("_audio_u16", "audio", "text")
+
+    def _open_arrays(self) -> None:
+        super()._open_arrays()
+        self.text = np.load(os.path.join(self._dir, "text.npy"), mmap_mode="r")
+
+    def get_batch(self, idxs: Sequence[int], seed: Optional[int] = None) -> Dict[str, Any]:
+        rng = self._batch_rng(seed)
+        rows = [self.records[int(i)] for i in idxs]
+        audio = self._gather_audio(rows, rng)
+        k = self.text.shape[1]
+        if self.train:
+            picks = (
+                rng.integers(0, k, size=len(rows))
+                if hasattr(rng, "integers")
+                else rng.randint(0, k, size=len(rows))
+            )
+            text = np.stack(
+                [self.text[row, int(p)] for row, p in zip(rows, picks)]
+            ).astype(np.int32)
+        else:
+            text = np.asarray(self.text[rows], np.int32).reshape(-1, self.text.shape[-1])
+        return {
+            "audio": audio,
+            "text": text,
+            "name": [self.names[r] for r in rows],
+        }
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        b = self.get_batch([index])
+        return {
+            "audio": b["audio"][0, 0],
+            "text": b["text"][0] if self.train else b["text"].reshape(
+                self.text.shape[1], -1
+            ),
+            "name": b["name"][0],
+        }
+
+
+class AudiosetDatasetPak(_PakAudioBase):
+    """Packed AudioSet clf dataset (`pack_audioset`). Refuses mixup (the
+    reference mixes WAVEFORMS before the fbank; a log-mel pack cannot
+    reproduce that — keep the npz/src path for mixup recipes) and label
+    maps whose order differs from pack time."""
+
+    KIND = "audioset"
+    _ARRAY_ATTRS = ("_audio_u16", "audio", "image", "label")
+
+    def __init__(self, cfg, data_name: str, train: bool, label_map: Dict):
+        super().__init__(cfg, data_name, train)
+        if not bool(cfg.get("image_uint8", False)):
+            raise ValueError("packed datasets require running.image_uint8=True")
+        if train and float(cfg.get("mixup_rate", 0.0)) > 0:
+            raise ValueError(
+                "mixup_rate > 0 is not supported on packed AudioSet shards "
+                "(reference mixup operates on waveforms; use the npz/src path)"
+            )
+        ordered = [None] * len(label_map)
+        for lid, v in label_map.items():
+            ordered[v[0]] = lid
+        if ordered != self.meta.get("label_ids"):
+            raise ValueError(
+                "label map order differs from pack time — repack or fix the "
+                "ontology/label_map config"
+            )
+
+    def _open_arrays(self) -> None:
+        super()._open_arrays()
+        self.image = np.load(os.path.join(self._dir, "image.npy"), mmap_mode="r")
+        self.label = np.load(os.path.join(self._dir, "label.npy"), mmap_mode="r")
+
+    def get_batch(self, idxs: Sequence[int], seed: Optional[int] = None) -> Dict[str, Any]:
+        rng = self._batch_rng(seed)
+        rows = [self.records[int(i)] for i in idxs]
+        return {
+            "audio": self._gather_audio(rows, rng),
+            "image": np.asarray(self.image[rows]),  # uint8 gather
+            "label": np.asarray(self.label[rows], np.float32),
+            "name": [self.names[r] for r in rows],
+        }
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        b = self.get_batch([index])
+        return {
+            "image": b["image"][0],
+            "audio": b["audio"][0, 0],
+            "label": b["label"][0],
+            "name": b["name"][0],
+        }
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     """``python -m vipant_tpu.data.packed <compose overrides> [pack.len=N]
-    [pack.out=NAME] [pack.image_emb=true]`` — pack ``running.data_name``."""
+    [pack.out=NAME] [pack.image_emb=true] [pack.kind=va|at|audioset]`` —
+    pack ``running.data_name``. ``pack.kind`` defaults by monitor: LAMonitor
+    -> at, ASMonitor -> audioset, else va."""
     import sys
 
     from ..config import compose
@@ -346,14 +657,33 @@ def main(argv: Optional[List[str]] = None) -> None:
     cfg = compose(args)
     pack = cfg.get("pack", None)
     get = (lambda k, d=None: pack.get(k, d)) if pack is not None else (lambda k, d=None: d)
-    out = pack_image_audio(
-        cfg.running,
-        str(cfg.running.data_name),
-        pack_len=get("len"),
-        out_name=get("out"),
-        image_emb=bool(get("image_emb", False)),
-        log_every=int(get("log_every", 1000)),
-    )
+    kind = get("kind") or {
+        "LAMonitor": "at", "ASMonitor": "audioset"
+    }.get(str(cfg.get("monitor", "")), "va")
+    if kind == "at":
+        out = pack_audio_text(
+            cfg.running, cfg.model, str(cfg.running.data_name),
+            pack_len=get("len"), out_name=get("out"),
+            log_every=int(get("log_every", 1000)),
+        )
+    elif kind == "audioset":
+        from .audioset import build_audioset_label_map
+
+        out = pack_audioset(
+            cfg.running, str(cfg.running.data_name),
+            build_audioset_label_map(cfg.running),
+            pack_len=get("len"), out_name=get("out"),
+            log_every=int(get("log_every", 1000)),
+        )
+    else:
+        out = pack_image_audio(
+            cfg.running,
+            str(cfg.running.data_name),
+            pack_len=get("len"),
+            out_name=get("out"),
+            image_emb=bool(get("image_emb", False)),
+            log_every=int(get("log_every", 1000)),
+        )
     print(out)
 
 
