@@ -145,7 +145,7 @@ def bench_synthetic(B, STEPS):
     return cfg, dt, fwd_ms, bwd_ms
 
 
-def bench_convergence(B=96, steps=300, n_batches=4, peep=10):
+def bench_convergence(B=96, steps=300, n_batches=4, peep=10, extra_overrides=(), tag=""):
     """Real-hardware learning smoke (VERDICT r3 #1b): run a few hundred
     FLAGSHIP-model steps on synthetic-but-learnable data and record the
     loss curve. Data: fixed distinct random (image, audio) pairs — the
@@ -181,6 +181,7 @@ def bench_convergence(B=96, steps=300, n_batches=4, peep=10):
         "optimizer.lr=1.0e-3",
         "worker=CVAP",
         f"running.batch_size={B}",
+        *extra_overrides,
     ])
     model = build_main_model(cfg)
     variables = init_model(cfg, model)
@@ -207,8 +208,72 @@ def bench_convergence(B=96, steps=300, n_batches=4, peep=10):
             curve.append(round(float(metrics["loss"]), 4))
     dt = time.perf_counter() - t0
     log(
-        f"convergence: {steps} steps @ B={B} in {dt:.1f}s; "
+        f"convergence{tag}: {steps} steps @ B={B} in {dt:.1f}s; "
         f"loss {curve[0]:.3f} -> {curve[-1]:.3f} (chance {2*np.log(B):.3f})"
+    )
+    log(f"  curve: {curve}")
+    return curve
+
+
+def bench_gc_convergence(B=1024, chunk=128, steps=100, peep=5):
+    """Gradient-cache learning smoke at scale (VERDICT r4 #3): the
+    large-batch AT fine-tune — BASELINE config #5, the capability the
+    reference shipped checkpoints for but no code — has to show a loss
+    curve ON HARDWARE, not just an exact-grads equality test. A CLAP model
+    (trainable audio tower, frozen ViT-B text tower) memorizes B fixed
+    audio<->caption pairs through the chunked two-pass GC step; symmetric
+    InfoNCE starts at ~2*log(B) and must descend decisively."""
+    import jax
+    import jax.numpy as jnp
+
+    from vipant_tpu.config import compose
+    from vipant_tpu.models import build_main_model, init_model, tunable_mask
+    from vipant_tpu.optim import build_optimizer
+    from vipant_tpu.optim.partition import partition_params
+    from vipant_tpu.train import TrainState
+    from vipant_tpu.train.step import make_grad_cache_step
+
+    cfg = compose([
+        "+running=clotho",
+        "+model/image=vit_val",
+        "+model/audio=vit_val",
+        "+model/text=transformer_val",
+        "+model/loss=ce",
+        "+optimizer=standard",
+        "+running/audio=default",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "optimizer.use_lars=False",
+        "optimizer.warmup=False",
+        "optimizer.lr=1.0e-3",
+        "worker=CLAP",
+        f"running.batch_size={B}",
+    ])
+    model = build_main_model(cfg)
+    variables = init_model(cfg, model)
+    mask = tunable_mask(cfg, variables["params"])
+    trainable, frozen = partition_params(variables["params"], mask)
+    tx, _ = build_optimizer(cfg.optimizer, steps_per_epoch=1000)
+    step = make_grad_cache_step(
+        model, tx, B // chunk, "encode_audio", "encode_text"
+    )
+    state = TrainState.create(trainable, tx, frozen_params=frozen)
+
+    rng = np.random.default_rng(11)
+    audios = jnp.asarray(rng.standard_normal((B, 1, 1000, 128)), jnp.float32)
+    ids = rng.integers(1, 49000, size=(B, 77)).astype(np.int32)
+    ids[:, 0], ids[:, -1] = 49406, 49407
+    ids = jnp.asarray(ids)
+    curve = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, audios, ids)
+        if i % peep == 0 or i == steps - 1:
+            curve.append(round(float(metrics["loss"]), 4))
+    dt = time.perf_counter() - t0
+    log(
+        f"gc convergence: {steps} GC steps @ B={B} ({B//chunk}x{chunk}) in "
+        f"{dt:.1f}s; loss {curve[0]:.3f} -> {curve[-1]:.3f} "
+        f"(chance {2*np.log(B):.3f})"
     )
     log(f"  curve: {curve}")
     return curve
@@ -376,6 +441,93 @@ def bench_e2e(B, n_clips, epochs=2, mode="src", ship_int16=False, ship_bf16=Fals
     return max(rates[1:] or rates)
 
 
+def bench_e2e_at(B, n_clips, epochs=3, mode="src"):
+    """AT fine-tune end-to-end through the real input pipeline (VERDICT r4
+    #6): synthetic clotho wav+captions on disk -> LATrainer epoch. Modes:
+    "src" decodes wav + host fbank per item (the reference's AT path);
+    "pak" serves the packed audio_text shards (one-gather batches,
+    data/packed.py). Returns sustained clips/s of the best post-warmup
+    epoch (same honest D2H barrier as bench_e2e)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from data_synth import make_synth_clotho
+
+    from vipant_tpu.config import compose
+    from vipant_tpu.train import build_monitor
+
+    root = "/tmp/vipant_bench_at"
+    data_name = "clotho_dev"
+    marker = os.path.join(root, f"ok_at_{n_clips}")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        t0 = time.perf_counter()
+        make_synth_clotho(root, data_name, n=n_clips, seconds=10.3)
+        log(f"e2e_at: fabricated {n_clips} x 10.3s wav+captions in {time.perf_counter()-t0:.1f}s")
+        open(marker, "w").close()
+    overrides = [
+        "+running=clotho",
+        "+model/image=vit_val",
+        "+model/audio=vit_val",
+        "+model/text=transformer_val",
+        "+model/loss=ce",
+        "+optimizer=standard",
+        "+running/audio=default",
+        "model.audio.pre_encoder.stride=[16,24]",
+        "worker=CLAP",
+        "monitor=LAMonitor",
+        f"running.batch_size={B}",
+        f"running.data_root={root}",
+        "running.eval_name=",
+        "running.test_name=",
+        "running.epochs=0",
+        "running.peep_rate=1000000",
+        "running.save_rate=1000000000",
+        f"num_proc={max(2, min(8, os.cpu_count() or 4))}",
+        "halt_on_nan=False",
+        "alias_root=/tmp/vipant_bench_run_at",
+        "model_root=/tmp/vipant_bench_run_at",
+        "model_file=",
+        "eval=False",
+    ]
+    if mode == "pak":
+        pak_marker = os.path.join(root, f"ok_pak_{n_clips}")
+        pcfg = compose(overrides + [f"running.data_name={data_name}"])
+        if not os.path.exists(pak_marker):
+            from vipant_tpu.data.packed import pack_audio_text
+
+            t0 = time.perf_counter()
+            pack_audio_text(pcfg.running, pcfg.model, data_name)
+            log(f"e2e_at: packed {n_clips} clips in {time.perf_counter()-t0:.1f}s")
+            open(pak_marker, "w").close()
+        overrides += [
+            f"running.data_name=pak_{data_name}",
+            "running.audio.ship_bf16=True",
+        ]
+    else:
+        overrides += [f"running.data_name={data_name}"]
+    cfg = compose(overrides)
+    from contextlib import redirect_stdout
+
+    with redirect_stdout(sys.stderr):
+        mon = build_monitor(cfg)
+
+    def sync():
+        float(jnp.sum(jax.tree_util.tree_leaves(mon.state.params)[0]))
+
+    rates = []
+    n = len(mon.loader) * B
+    for ep in range(epochs):
+        t0 = time.perf_counter()
+        mon.epoch(ep)
+        sync()
+        dt = time.perf_counter() - t0
+        rates.append(n / dt)
+        log(f"e2e_at[{mode}] epoch {ep}: {n} clips in {dt:.2f}s -> {rates[-1]:.1f} clips/s")
+    return max(rates[1:] or rates)
+
+
 def main() -> None:
     import jax
 
@@ -451,6 +603,33 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             log(f"convergence smoke failed: {type(e).__name__}: {e}")
 
+    # int8_frozen learning evidence (VERDICT r4 #2): the knob quantizes the
+    # FROZEN image tower's trunk to int8 MXU kernels — a TPU-only path
+    # (the CPU tier pins embedding cosine >0.99 but cannot run the kernels
+    # at speed); the audio tower must still memorize against int8 anchors
+    int8f_curve = None
+    if os.environ.get("BENCH_INT8_FROZEN", "1") == "1":
+        try:
+            int8f_curve = bench_convergence(
+                B=96,
+                steps=int(os.environ.get("BENCH_CONVERGE_STEPS", "300")),
+                extra_overrides=("model.image.int8_frozen=True",),
+                tag="[int8_frozen]",
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"int8_frozen convergence failed: {type(e).__name__}: {e}")
+
+    # large-batch AT + gradient cache learning evidence (VERDICT r4 #3)
+    gc_curve = None
+    if os.environ.get("BENCH_GC_CONVERGE", "1") == "1":
+        try:
+            gc_curve = bench_gc_convergence(
+                B=int(os.environ.get("BENCH_GC_BATCH", "1024")),
+                steps=int(os.environ.get("BENCH_GC_STEPS", "100")),
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"gc convergence failed: {type(e).__name__}: {e}")
+
     # e2e measures the HOST pipeline: fixed B=64 (host-bound throughput does
     # not improve with the device-side best batch, and fewer/larger batches
     # only reduce transfer/decode overlap)
@@ -492,6 +671,22 @@ def main() -> None:
             log(f"e2e femb (precomputed fbank+frame-emb): {e2e_femb:.1f} clips/s")
         except Exception as e:  # pragma: no cover
             log(f"e2e femb bench failed: {type(e).__name__}: {e}")
+
+    # AT fine-tune e2e: wav-decode path vs packed audio_text shards
+    e2e_at_src = e2e_pak_at = None
+    if os.environ.get("BENCH_E2E_AT", "1") == "1":
+        B_at = int(os.environ.get("BENCH_E2E_BATCH", "64"))
+        n_at = int(os.environ.get("BENCH_E2E_CLIPS", "512"))
+        for mode, key in (("src", "src"), ("pak", "pak")):
+            try:
+                r = bench_e2e_at(B_at, n_clips=n_at, mode=mode)
+                log(f"e2e_at {mode}: {r:.1f} clips/s")
+                if mode == "src":
+                    e2e_at_src = r
+                else:
+                    e2e_pak_at = r
+            except Exception as e:  # pragma: no cover
+                log(f"e2e_at {mode} bench failed: {type(e).__name__}: {e}")
 
     # forward-only serving throughput, bf16 fused kernels vs int8 MXU
     # (quantize="int8"). LAST: the int8 switches are process-global
@@ -574,11 +769,23 @@ def main() -> None:
         out["e2e_femb_clips_per_sec"] = round(e2e_femb, 1)
     if e2e_pak:
         out["e2e_pak_clips_per_sec"] = round(e2e_pak, 1)
+    if e2e_at_src:
+        out["e2e_at_clips_per_sec"] = round(e2e_at_src, 1)
+    if e2e_pak_at:
+        out["e2e_pak_at_clips_per_sec"] = round(e2e_pak_at, 1)
     if gc_clips:
         out["gc_b2048_clips_per_sec"] = round(gc_clips, 1)
     if loss_curve:
         out["loss_curve"] = loss_curve
         out["loss_descent"] = round(loss_curve[-1] / max(loss_curve[0], 1e-9), 4)
+    if int8f_curve:
+        out["int8_frozen_loss_curve"] = int8f_curve
+        out["int8_frozen_loss_descent"] = round(
+            int8f_curve[-1] / max(int8f_curve[0], 1e-9), 4
+        )
+    if gc_curve:
+        out["gc_loss_curve"] = gc_curve
+        out["gc_loss_descent"] = round(gc_curve[-1] / max(gc_curve[0], 1e-9), 4)
     if serve_bf16:
         out["serve_bf16_clips_per_sec"] = round(serve_bf16, 1)
     if serve_int8:

@@ -118,10 +118,23 @@ def param_shardings(
       or a dict {top-level param key -> head count}) because the split must
       align to whole heads — with no head info the weights replicate and
       the kernel still head-parallelizes compute by slicing.
+    - Token embeddings (``token_embedding`` [vocab, width]) are VOCAB-ROW
+      sharded ``P("model", None)`` — the biggest CLAP leaf (49408×512 ≈ 25M
+      params) stops being replicated (VERDICT r4 #4). The lookup is a
+      gather over a sharded-dim-0 table: GSPMD lowers it to a local gather
+      of resident rows + a ``psum`` over the model axis (masked-lookup
+      semantics, the Megatron VocabParallelEmbedding recipe) — per-device
+      table bytes drop 1/tp and only [B, T, width] activations cross ICI.
+    - Final joint-space projections (``post/proj`` / ``text_proj``
+      [width, embed_dim]) row-shard ``P("model", None)``: their input's
+      width dim is locally produced by the row-sharded out/proj matmuls, so
+      the closing psum covers both (no extra collective vs replicating).
     - Stacked pipeline trunks (``.../blocks/...`` leaves with a leading
       layer axis, nn.layers.StackedTransformer) shard that axis over the
       ``pipe`` mesh axis — whole layers live on their stage's devices.
-    - Everything else (embeddings, pos-embs, projections, norms) replicates.
+    - Everything else (pos-embs, norms, class tokens — all O(T·C) or
+      smaller) replicates: sharding them saves <0.1% of parameter bytes at
+      ViT-B scale and adds a collective per use.
     """
     msize = mesh.shape["model"]
     psize = int(mesh.shape.get("pipe", 1)) if "pipe" in mesh.axis_names else 1
@@ -205,6 +218,15 @@ def param_shardings(
             if keys.endswith("mlp/fc/kernel") and x.shape[-1] % msize == 0:
                 return NamedSharding(mesh, P(None, "model"))
             if keys.endswith("mlp/proj/kernel") and x.shape[0] % msize == 0:
+                return NamedSharding(mesh, P("model", None))
+            # vocab-row-sharded token embedding + row-sharded final
+            # projections (see docstring); both close with one psum GSPMD
+            # inserts on its own
+            if (
+                keys.endswith("token_embedding")
+                or keys.endswith("post/proj")
+                or keys.endswith("text_proj")
+            ) and x.shape[0] % msize == 0:
                 return NamedSharding(mesh, P("model", None))
         if (
             keys.endswith("mlp/fc/bias")
