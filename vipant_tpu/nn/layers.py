@@ -373,12 +373,14 @@ class MLP(nn.Module):
             from ..ops.quant import int8_fwd_enabled
 
             int8_ctx = int8_fwd_enabled()  # frozen-tower scope (quant.py)
+            want_int8 = os.environ.get("VIPANT_INT8_MLP") == "1" or int8_ctx
             if (
                 (os.environ.get("VIPANT_FUSED_MLP") == "1" or int8_ctx)
                 and jax.default_backend() == "tpu"
-                and fused_mlp_applicable(x.shape[1], d, self.expansion)
+                and fused_mlp_applicable(x.shape[1], d, self.expansion,
+                                         int8=want_int8)
             ):
-                if os.environ.get("VIPANT_INT8_MLP") == "1" or int8_ctx:
+                if want_int8:
                     # fwd-only int8 MXU path (serving quantize="int8", or a
                     # frozen tower's trunk): no VJP — differentiating
                     # through it fails loudly, which is correct

@@ -387,10 +387,12 @@ def _bwd_call(x, lns, lnb, wqkv, bqkv, wout, bias, g, scale, heads, has_res,
 # ---------------------------------------------------------------------------
 
 
-def _mesh_info(heads: int):
+def _mesh_info(heads: int, env_flag: str = "VIPANT_TP_ATTN"):
     """(mesh, tp_size): the ambient mesh when the op must shard_map itself
     (data axis > 1 and/or an applicable tensor-parallel model axis), plus
-    the model-axis size to head-parallelize over (1 = no TP)."""
+    the model-axis size to split over (1 = no TP). ``heads`` is the unit
+    the caller splits on the model axis (attention heads; the MLP passes
+    its hidden width E); ``env_flag`` is the kill-switch env var."""
     import os
 
     try:
@@ -411,7 +413,7 @@ def _mesh_info(heads: int):
         "model" in mesh.axis_names
         and mesh.shape["model"] > 1
         and heads % mesh.shape["model"] == 0
-        and os.environ.get("VIPANT_TP_ATTN", "1") == "1"
+        and os.environ.get(env_flag, "1") == "1"
     ):
         tp = mesh.shape["model"]
     if mesh.shape["data"] <= 1 and tp == 1:

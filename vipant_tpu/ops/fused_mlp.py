@@ -96,7 +96,7 @@ def _bwd_kernel(
 
 def _fwd_int8_kernel(
     x_ref, lns_ref, lnb_ref, wfc_ref, sfc_ref, bfc_ref,
-    wproj_ref, sproj_ref, bproj_ref, o_ref, *, act,
+    wproj_ref, sproj_ref, bproj_ref, o_ref, *, act, res=True,
 ):
     """Serving-only int8 variant: both MLP dots run int8×int8→int32 on the
     MXU (measured 1.26× over the bf16 kernel at B=256 — docs/performance.md).
@@ -115,7 +115,10 @@ def _fwd_int8_kernel(
     gi, gs = quantize_rows(g)
     y = jnp.dot(gi, wproj_ref[...], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * gs * sproj_ref[...] + bproj_ref[...]  # [T, C]
-    o_ref[0] = x + y.astype(x.dtype)
+    # res=False returns the bare MLP output (a per-shard PARTIAL under
+    # tensor parallelism — psummed over `model` by the caller, which adds
+    # the residual once)
+    o_ref[0] = x + y.astype(x.dtype) if res else y.astype(x.dtype)
 
 
 _VMEM_LIMIT = 110 * 1024 * 1024
@@ -179,11 +182,12 @@ def _bwd_call(x, lns, lnb, wfc, bfc, wproj, g, act):
     )(x, lns, lnb, wfc, bfc, wproj, g)
 
 
-def _fwd_int8_call(x, lns, lnb, wfc_i8, sfc, bfc, wproj_i8, sproj, bproj, act):
+def _fwd_int8_call(x, lns, lnb, wfc_i8, sfc, bfc, wproj_i8, sproj, bproj, act,
+                   res=True):
     B, T, C = x.shape
     E = wfc_i8.shape[1]
     return pl.pallas_call(
-        functools.partial(_fwd_int8_kernel, act=act),
+        functools.partial(_fwd_int8_kernel, act=act, res=res),
         grid=(B,),
         in_specs=[
             _item(T, C), _const((1, C)), _const((1, C)),
@@ -302,37 +306,71 @@ def fused_ln_mlp_block_int8(
     per-output-column inside the jitted call (one cheap pass over weights,
     amortized over the batch); activations per-token in VMEM. Block output
     cosine vs the bf16 kernel ≥ 0.9999 at ViT-B shapes
-    (tests/test_quant.py)."""
+    (tests/test_quant.py).
+
+    Composes with tensor parallelism (the Megatron fc-column / proj-row
+    split of `parallel.mesh.param_shardings`): each model-axis shard
+    quantizes ITS weight slices locally in-jit and computes a partial MLP
+    output on its E/tp hidden columns; partials psum over ``model`` and the
+    residual is added once. Kill switch: ``VIPANT_TP_MLP=0``."""
     from .quant import quantize_cols
 
     f32row = lambda v: v.astype(jnp.float32).reshape(1, -1)
-    wfc_i8, sfc = quantize_cols(wfc)
-    wproj_i8, sproj = quantize_cols(wproj)
-    args = (
-        f32row(lns), f32row(lnb), wfc_i8, sfc, f32row(bfc),
-        wproj_i8, sproj, f32row(bproj),
-    )
-    mesh, _ = _mesh_info(heads=1)  # data-axis sharding only
+    E = wfc.shape[1]
+    mesh, tp = _mesh_info(E, env_flag="VIPANT_TP_MLP")
     if mesh is None:
-        return _fwd_int8_call(x, *args, act)
+        wfc_i8, sfc = quantize_cols(wfc)
+        wproj_i8, sproj = quantize_cols(wproj)
+        return _fwd_int8_call(
+            x, f32row(lns), f32row(lnb), wfc_i8, sfc, f32row(bfc),
+            wproj_i8, sproj, f32row(bproj), act,
+        )
     from jax.sharding import PartitionSpec as P
 
     d, r = P("data"), P()
-    fn = _smap(
-        lambda *a: _fwd_int8_call(*a, act),
-        mesh,
-        in_specs=(d,) + (r,) * 8,
-        out_specs=d,
+    wspecs = (
+        (P(None, "model"), P("model"), P("model", None), r)
+        if tp > 1
+        else (r, r, r, r)
     )
-    return fn(x, *args)
+
+    def call(xs, ls, lb, wfc_, bfc_, wproj_, bproj_):
+        # quantize the LOCAL slices: fc column scales are per-output-column
+        # (identical to the unsharded scales); proj column scales reduce
+        # over the local E/tp rows only (a finer, equally-valid grid)
+        wfc_i8, sfc = quantize_cols(wfc_)
+        wproj_i8, sproj = quantize_cols(wproj_)
+        if tp == 1:
+            return _fwd_int8_call(
+                xs, ls, lb, wfc_i8, sfc, f32row(bfc_),
+                wproj_i8, sproj, f32row(bproj_), act,
+            )
+        y = _fwd_int8_call(
+            xs, ls, lb, wfc_i8, sfc, f32row(bfc_),
+            wproj_i8, sproj, f32row(bproj_ / tp), act, res=False,
+        )
+        y = jax.lax.psum(y, axis_name="model")
+        return xs + y.astype(xs.dtype)
+
+    return _smap(
+        call, mesh,
+        in_specs=(d, r, r) + wspecs,
+        out_specs=d,
+    )(x, f32row(lns), f32row(lnb), wfc, bfc, wproj, bproj)
 
 
-def fused_mlp_applicable(T: int, C: int, expansion: int) -> bool:
-    # incompatible with model-axis MLP weight sharding (parallel.
-    # param_shardings): this kernel's shard_map declares weights replicated,
+def fused_mlp_applicable(T: int, C: int, expansion: int, int8: bool = False) -> bool:
+    # The bf16 kernel is incompatible with model-axis MLP weight sharding
+    # (parallel.param_shardings): its shard_map declares weights replicated,
     # which would all-gather the Megatron-sharded fc/proj every step — let
-    # GSPMD's sharded MLP run instead
+    # GSPMD's sharded MLP run instead. The int8 forward kernel DOES compose
+    # with TP (fused_ln_mlp_block_int8 declares the Megatron specs and
+    # psums partials), so it stays applicable when the split divides E.
+    E = C * expansion
+    tp = 1
     try:
+        import os
+
         import jax as _jax
 
         mesh = _jax.sharding.get_abstract_mesh()
@@ -342,14 +380,20 @@ def fused_mlp_applicable(T: int, C: int, expansion: int) -> bool:
             and "model" in mesh.axis_names
             and mesh.shape["model"] > 1
         ):
-            return False
+            if not (
+                int8
+                and E % mesh.shape["model"] == 0
+                and os.environ.get("VIPANT_TP_MLP", "1") == "1"
+            ):
+                return False
+            tp = mesh.shape["model"]
     except Exception:  # noqa: BLE001
         pass
-    E = C * expansion
     Tp = -(-T // 8) * 8
+    El = E // tp  # per-shard hidden width under TP
     est = (
-        3 * Tp * E * 4       # a, g, da
-        + 4 * C * E * 4      # wfc/wproj (bf16) + f32 grad accumulators
+        3 * Tp * El * 4       # a, g, da
+        + 4 * C * El * 4      # wfc/wproj (bf16) + f32 grad accumulators
         + 6 * Tp * C * 4
     )
     return est < 95 * 1024 * 1024
