@@ -113,6 +113,58 @@ def test_esc50_xfold(tmp_path):
     assert set(np.asarray(batch["label"])) <= {0, 1}
 
 
+def test_esc50_mreserve_path(tmp_path, monkeypatch):
+    """The optional MERLOT-Reserve comparison plumbing (parity:
+    `/root/reference/cvap/data/esc50.py:129-216`): without the optional
+    `mreserve` package the item path fails loudly with the recorded
+    decision; with one (faked here — the real package + TF weights are
+    unfetchable in this container) the dataset injects the prompt text as
+    a leading dummy segment and the collated batch carries a ragged video
+    list + the reference's placeholder audio."""
+    import sys
+    import types
+
+    from vipant_tpu.data.esc50 import MReserveDataset
+
+    make_synth_esc50(str(tmp_path), seconds=1.05)
+    cfg = base_cfg(str(tmp_path), [
+        "running.prompt=the sound of ",
+        "running.data_name=esc50",
+        "running.text=This is a sound of.",
+    ])
+
+    with pytest.raises(ImportError, match="mreserve"):
+        MReserveDataset(
+            cfg.running, [{"path": "missing.wav", "label": 0, "id": "x"}], False
+        )[0]
+
+    fake = types.ModuleType("mreserve")
+    pre = types.ModuleType("mreserve.preprocess")
+
+    def video_to_segments(path, **kw):
+        assert path.endswith(".wav")
+        return [{"text": None, "idx": i} for i in range(3)]
+
+    def preprocess_video(segments, output_grid_size=None, verbose=False):
+        return {"n_seg": len(segments), "texts": [s.get("text") for s in segments]}
+
+    pre.video_to_segments = video_to_segments
+    pre.preprocess_video = preprocess_video
+    fake.preprocess = pre
+    monkeypatch.setitem(sys.modules, "mreserve", fake)
+    monkeypatch.setitem(sys.modules, "mreserve.preprocess", pre)
+
+    loaders, classes, _, _ = build_xfold_dataloader_list(cfg, mreserve=True)
+    assert classes == ["dog", "rain"]
+    _, eval_loader = loaders[0]
+    batch = next(iter(eval_loader))
+    videos = batch["video"]
+    assert isinstance(videos, list) and len(videos) == len(batch["label"])
+    assert videos[0]["n_seg"] == 4  # 3 segments + the injected prompt segment
+    assert videos[0]["texts"][0] == "This is a sound of."
+    assert batch["audio"].shape == (len(videos), 1, 1)  # ref placeholder
+
+
 def test_audioset_dataloader_clf_and_labelmap(tmp_path):
     make_synth_audioset(str(tmp_path), "as_train", n=8, seconds=1.05)
     cfg = base_cfg(

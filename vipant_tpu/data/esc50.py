@@ -66,6 +66,80 @@ class AudioLabelCollator:
         }
 
 
+class MReserveDataset:
+    """MERLOT-Reserve comparison items — the reference's optional external
+    A/B path (parity: `/root/reference/cvap/data/esc50.py:129-192`): each
+    clip is segmented and preprocessed by the `mreserve` package into the
+    video-segment format a MERLOT-Reserve model scores, with the zero-shot
+    prompt text injected as segment 0. The package is an optional external
+    dependency, guarded exactly like the reference's try/ImportError
+    (`:23-26`); without it this dataset fails loudly at first use with the
+    recorded decision (zero-egress container: mreserve + its TF weights are
+    unfetchable here, VERDICT r1/r4)."""
+
+    def __init__(self, cfg, records: List[Dict], train: bool):
+        self.cfg = cfg
+        self.records = records
+        self.train = train
+        self.acfg = cfg.audio
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, index: int) -> Dict:
+        try:
+            from mreserve.preprocess import preprocess_video, video_to_segments
+        except ImportError as e:  # pragma: no cover - exercised via fake module
+            raise ImportError(
+                "the mreserve comparison path needs the optional "
+                "`mreserve` package (MERLOT-Reserve) — not vendored; see "
+                "docs/recipes.md decision records"
+            ) from e
+        rec = self.records[index]
+        a = self.acfg
+        segments = video_to_segments(
+            rec["path"],
+            end_trim=a.get("end_trim", 0.0),
+            segment_gap=a.get("segment_gap", 0.0),
+            pad_segment=a.get("pad_segment", True),
+            min_duration=a.get("min_duration", 1.0),
+            time_interval=a.get("time_interval", 1.0),
+            tile_length=a.get("tile_length", 1.0),
+        )[:7]
+        import copy as _copy
+
+        segments.insert(0, _copy.deepcopy(segments[0]))
+        segments[0]["text"] = str(self.cfg.get("text", ""))
+        segments[0]["use_text_as_input"] = True
+        for seg in segments[1:]:
+            seg["use_text_as_input"] = False
+        assert len(segments) >= 2, "require at least 2 video segments"
+        video = preprocess_video(
+            segments,
+            output_grid_size=a.get("grid_size", None),
+            verbose=bool(a.get("verbose", False)),
+        )
+        return {
+            "video": video,
+            "audio": np.array([[[1]]], np.float32),  # placeholder, ref :148
+            "label": int(rec["label"]),
+            "name": rec["id"],
+        }
+
+
+class MReserveCollator:
+    """(parity: `/root/reference/cvap/data/esc50.py:185-192`) — videos stay
+    a list (ragged segment counts); audio is the reference's placeholder."""
+
+    def __call__(self, items: List[Dict]) -> Dict:
+        return {
+            "audio": np.concatenate([it["audio"] for it in items], axis=0),
+            "label": np.asarray([it["label"] for it in items], np.int32),
+            "name": [it["name"] for it in items],
+            "video": [it["video"] for it in items],
+        }
+
+
 def _prompted_label_texts(
     cfg, classes: List[str], topk: int = 4
 ) -> Tuple[List[str], np.ndarray, Optional[Dict[int, int]]]:
@@ -276,12 +350,19 @@ def build_voxceleb2_eval_fold(cfg, data_name: str = "voxceleb2"):
 
 
 def build_xfold_dataloader_list(
-    cfg, data_name: Optional[str] = None, num_workers: Optional[int] = None
+    cfg, data_name: Optional[str] = None, num_workers: Optional[int] = None,
+    mreserve: bool = False,
 ):
     """Dispatch by name → list of (train_loader, eval_loader) per fold,
     plus (classes, tokenized label prompts)
-    (parity: `/root/reference/cvap/data/esc50.py:448-458`)."""
+    (parity: `/root/reference/cvap/data/esc50.py:448-458`).
+
+    ``mreserve=True`` (or ``cfg.running.mreserve=True``) swaps the item
+    path to :class:`MReserveDataset` — the reference's optional external
+    MERLOT-Reserve comparison (`:194-216`); needs the optional `mreserve`
+    package at iteration time."""
     run = cfg.running
+    mreserve = mreserve or bool(run.get("mreserve", False))
     data_name = data_name or run.data_name
     if data_name.startswith("esc"):
         folds, classes, label_ids, extras = build_esc50_folds(run, data_name)
@@ -295,11 +376,12 @@ def build_xfold_dataloader_list(
         folds, classes, label_ids, extras = build_jsonl_eval_fold(run, data_name)
 
     loaders = []
-    collate = AudioLabelCollator()
+    collate = MReserveCollator() if mreserve else AudioLabelCollator()
+    dataset_cls = MReserveDataset if mreserve else AudioLabelDataset
     for train_recs, eval_recs in folds:
         mk = lambda recs, train: (
             DataLoader(
-                AudioLabelDataset(run, recs, train),
+                dataset_cls(run, recs, train),
                 batch_size=int(run.batch_size),
                 collate_fn=collate,
                 shuffle=train,
