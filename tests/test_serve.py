@@ -553,6 +553,49 @@ def test_data_parallel_engine_matches_single_device(engine):
     assert len(leaf.sharding.device_set) == jax.device_count()
 
 
+def test_model_parallel_engine_matches_single_device(engine):
+    """model_parallel=2 Megatron-shards the encoder weights over a 2-way
+    model axis (`parallel.param_shardings`: qkv/out head blocks, MLP
+    columns/rows, vocab-row token embedding) with the leftover devices on
+    the data axis; embeddings must match the single-device engine. The TP
+    serving mode for towers too big for one chip's HBM — on TPU it composes
+    with quantize='int8' (test_quant.py::test_int8_kernels_under_model_mesh)."""
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    dp = jax.device_count() // 2
+    tp = InferenceEngine(
+        TINY, batch_size=4 * dp, data_parallel=True, model_parallel=2
+    )
+    assert int(tp.mesh.shape["model"]) == 2 and int(tp.mesh.shape["data"]) == dp
+    rng = np.random.default_rng(9)
+    fb = rng.standard_normal((9, 100, 128)).astype(np.float32)
+    np.testing.assert_allclose(
+        tp.embed_audio(fb), engine.embed_audio(fb), rtol=2e-2, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        tp.embed_texts(["a dog barking", "heavy rain"]),
+        engine.embed_texts(["a dog barking", "heavy rain"]),
+        rtol=2e-2, atol=2e-3,
+    )
+    # weights must actually be model-sharded at rest, not replicated
+    sharded = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(tp.variables)
+        if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+    ]
+    assert sharded, "model_parallel=2 left every weight leaf replicated"
+
+    # pure TP (no data axis): mesh is 1 x 2, batch replicated over model
+    tp_only = InferenceEngine(TINY, batch_size=4, model_parallel=2)
+    assert int(tp_only.mesh.shape["data"]) == 1
+    np.testing.assert_allclose(
+        tp_only.embed_audio(fb[:4]), engine.embed_audio(fb[:4]),
+        rtol=2e-2, atol=2e-3,
+    )
+
+
 def test_data_parallel_rejects_indivisible_batch():
     import jax
 

@@ -66,6 +66,14 @@ class InferenceEngine:
     reference's dp-mode per-head scatter/gather
     (`/root/reference/cvap/model/cvap.py:28-39`) for inference. No-op on a
     single device.
+
+    ``model_parallel=N`` tensor-parallelizes the encoders over an N-way
+    ``model`` mesh axis (Megatron weight sharding via
+    `parallel.param_shardings`: qkv/out head blocks, MLP fc columns / proj
+    rows, vocab-row token embeddings) — for towers too big for one chip's
+    HBM. Composes with ``data_parallel`` (remaining devices form the
+    ``data`` axis) and with ``quantize='int8'`` (the int8 kernels shard
+    over the model axis too — docs/performance.md).
     """
 
     def __init__(
@@ -77,6 +85,7 @@ class InferenceEngine:
         token_pack: int = 4,
         quantize: str = "",
         data_parallel: bool = False,
+        model_parallel: int = 1,
     ):
         import jax
 
@@ -117,7 +126,14 @@ class InferenceEngine:
         # data_parallel the PACKED batch must divide the mesh; when it
         # doesn't, drop packing rather than crash at trace time (at
         # B/n items per device the packing win is marginal anyway).
-        dp_n = jax.device_count() if data_parallel and jax.device_count() > 1 else 1
+        mp_n = max(1, int(model_parallel))
+        if jax.device_count() % mp_n:
+            raise ValueError(
+                f"model_parallel={mp_n} does not divide the "
+                f"{jax.device_count()} local devices"
+            )
+        avail = jax.device_count() // mp_n
+        dp_n = avail if data_parallel and avail > 1 else 1
         if token_pack > 1 and dp_n > 1 and (batch_size // token_pack) % dp_n:
             self.echo_note = (
                 f"token_pack={token_pack} incompatible with batch_size "
@@ -159,10 +175,13 @@ class InferenceEngine:
         variables = init_model(self.cfg, self.model)
         self.variables = self._load(variables)
         self.mesh = None
-        if data_parallel and jax.device_count() > 1:
-            from .parallel import make_mesh, replicate
+        if dp_n > 1 or mp_n > 1:
+            from .parallel import make_mesh, replicate, shard_params
 
-            self.mesh = make_mesh()  # 1-D: every device on the data axis
+            # data axis takes the devices the model axis leaves over (all
+            # of them when model_parallel=1, exactly 1 when data_parallel
+            # is off)
+            self.mesh = make_mesh(data=dp_n, model=mp_n)
             n = int(self.mesh.shape["data"])
             if self.batch_size % n:
                 raise ValueError(
@@ -172,7 +191,26 @@ class InferenceEngine:
             # the packed batch divides the mesh by construction (see the
             # token_pack fallback above)
             assert (self.batch_size // self._token_pack) % n == 0
-            self.variables = replicate(self.variables, self.mesh)
+            if mp_n > 1:
+                # Megatron weight placement (same rules as training,
+                # parallel.param_shardings); non-param collections
+                # (batch_stats) replicate
+                heads = {}
+                m = self.cfg.get("model")
+                for k in ("image", "audio", "text"):
+                    tower = m.get(k) if m is not None else None
+                    if tower is not None and tower.get("heads") is not None:
+                        heads[k] = int(tower.get("heads"))
+                self.variables = {
+                    key: (
+                        shard_params(val, self.mesh, attn_heads=heads)
+                        if key == "params"
+                        else replicate(val, self.mesh)
+                    )
+                    for key, val in self.variables.items()
+                }
+            else:
+                self.variables = replicate(self.variables, self.mesh)
         self._jitted: Dict[str, Any] = {}
         self._jax = jax
 
@@ -717,12 +755,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         "--data_parallel", action="store_true",
         help="shard each batch over all local devices (weights replicated)",
     )
+    ap.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="tensor-parallelize encoder weights over an N-way model axis "
+        "(Megatron sharding; for towers too big for one chip)",
+    )
     args, overrides = ap.parse_known_args(argv)
     overrides = [o for o in overrides if o != "--"]
 
     eng = InferenceEngine(
         overrides, batch_size=args.batch_size, quantize=args.quantize,
-        data_parallel=args.data_parallel,
+        data_parallel=args.data_parallel, model_parallel=args.model_parallel,
     )
     if args.task in ("embed_audio", "embed_image"):
         paths = sorted(_glob.glob(args.inputs))
