@@ -539,6 +539,24 @@ def main() -> None:
     STEPS = int(os.environ.get("BENCH_STEPS", "20"))
     n_chips = max(jax.device_count(), 1)
 
+    # Wall-clock budget: the optional segments (convergence curves, e2e
+    # pipelines, serving) are skipped once exceeded so the final JSON line
+    # ALWAYS prints — a truncated bench run records nothing at all. The
+    # headline probe is never skipped. Tunnel weather can double segment
+    # times, so the guard matters even at generous budgets.
+    T_START = time.perf_counter()
+    BUDGET = float(os.environ.get("BENCH_BUDGET_S", "3600"))
+
+    def over_budget(label: str) -> bool:
+        el = time.perf_counter() - T_START
+        if el > BUDGET:
+            log(
+                f"bench budget ({BUDGET:.0f}s) exhausted after {el:.0f}s — "
+                f"skipping {label}"
+            )
+            return True
+        return False
+
     # probe the configured batch plus 128 (measured ~+1% at B=128: better
     # amortized per-step overheads) and report the best honest throughput
     probe = [int(b) for b in os.environ.get("BENCH_BATCH", "64,96,128").split(",")]
@@ -564,7 +582,7 @@ def main() -> None:
     # gradient cache at scale (the "+AT w/ GC" capability): B=2048 in 16
     # chunks — 4x past the plain step's activation-memory boundary
     gc_clips = None
-    if os.environ.get("BENCH_GC", "1") == "1":
+    if os.environ.get("BENCH_GC", "1") == "1" and not over_budget("gc bench"):
         try:
             import jax.numpy as jnp
 
@@ -595,7 +613,7 @@ def main() -> None:
 
     # learning smoke on the real chip: loss_curve lands in the bench JSON
     loss_curve = None
-    if os.environ.get("BENCH_CONVERGE", "1") == "1":
+    if os.environ.get("BENCH_CONVERGE", "1") == "1" and not over_budget("convergence smoke"):
         try:
             loss_curve = bench_convergence(
                 B=96, steps=int(os.environ.get("BENCH_CONVERGE_STEPS", "300"))
@@ -608,7 +626,7 @@ def main() -> None:
     # (the CPU tier pins embedding cosine >0.99 but cannot run the kernels
     # at speed); the audio tower must still memorize against int8 anchors
     int8f_curve = None
-    if os.environ.get("BENCH_INT8_FROZEN", "1") == "1":
+    if os.environ.get("BENCH_INT8_FROZEN", "1") == "1" and not over_budget("int8_frozen convergence"):
         try:
             int8f_curve = bench_convergence(
                 B=96,
@@ -621,7 +639,7 @@ def main() -> None:
 
     # large-batch AT + gradient cache learning evidence (VERDICT r4 #3)
     gc_curve = None
-    if os.environ.get("BENCH_GC_CONVERGE", "1") == "1":
+    if os.environ.get("BENCH_GC_CONVERGE", "1") == "1" and not over_budget("gc convergence"):
         try:
             gc_curve = bench_gc_convergence(
                 B=int(os.environ.get("BENCH_GC_BATCH", "1024")),
@@ -634,7 +652,7 @@ def main() -> None:
     # not improve with the device-side best batch, and fewer/larger batches
     # only reduce transfer/decode overlap)
     e2e = e2e_npz = e2e_femb = e2e_pak = None
-    if os.environ.get("BENCH_E2E", "1") == "1":
+    if os.environ.get("BENCH_E2E", "1") == "1" and not over_budget("e2e pipelines"):
         B_e2e = int(os.environ.get("BENCH_E2E_BATCH", "64"))
         n_e2e = int(os.environ.get("BENCH_E2E_CLIPS", "512"))
         try:
@@ -674,7 +692,7 @@ def main() -> None:
 
     # AT fine-tune e2e: wav-decode path vs packed audio_text shards
     e2e_at_src = e2e_pak_at = None
-    if os.environ.get("BENCH_E2E_AT", "1") == "1":
+    if os.environ.get("BENCH_E2E_AT", "1") == "1" and not over_budget("e2e_at pipelines"):
         B_at = int(os.environ.get("BENCH_E2E_BATCH", "64"))
         n_at = int(os.environ.get("BENCH_E2E_CLIPS", "512"))
         for mode, key in (("src", "src"), ("pak", "pak")):
@@ -692,7 +710,7 @@ def main() -> None:
     # (quantize="int8"). LAST: the int8 switches are process-global
     # trace-time env vars — nothing may trace after them.
     serve_bf16 = serve_int8 = None
-    if os.environ.get("BENCH_SERVE", "1") == "1":
+    if os.environ.get("BENCH_SERVE", "1") == "1" and not over_budget("serve bench"):
         try:
             import jax.numpy as jnp
 
@@ -790,6 +808,7 @@ def main() -> None:
         out["serve_bf16_clips_per_sec"] = round(serve_bf16, 1)
     if serve_int8:
         out["serve_int8_clips_per_sec"] = round(serve_int8, 1)
+    out["bench_seconds"] = round(time.perf_counter() - T_START, 1)
     print(json.dumps(out))
 
 
