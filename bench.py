@@ -695,7 +695,7 @@ def main() -> None:
     if os.environ.get("BENCH_E2E_AT", "1") == "1" and not over_budget("e2e_at pipelines"):
         B_at = int(os.environ.get("BENCH_E2E_BATCH", "64"))
         n_at = int(os.environ.get("BENCH_E2E_CLIPS", "512"))
-        for mode, key in (("src", "src"), ("pak", "pak")):
+        for mode in ("src", "pak"):
             try:
                 r = bench_e2e_at(B_at, n_clips=n_at, mode=mode)
                 log(f"e2e_at {mode}: {r:.1f} clips/s")

@@ -498,3 +498,22 @@ def test_audioset_filter_set_through_dataloader(tmp_path):
     )
     loader = build_audioset_dataloader(cfg, "as_train", train=True)
     assert {r["id"] for r in loader.dataset.records} == {"y0", "y2", "y4"}
+
+
+def test_esc50_mreserve_eval_samples_truncation(tmp_path):
+    """The mreserve comparison path stops eval at ``running.eval_samples``
+    (parity: `/root/reference/cvap/data/esc50.py:136-137` — the per-item
+    video segmentation is expensive); the plain ESC x-fold protocol keeps
+    evaluating full folds."""
+    from vipant_tpu.data.esc50 import build_xfold_dataloader_list
+
+    make_synth_esc50(str(tmp_path), seconds=1.05)
+    cfg = base_cfg(str(tmp_path), [
+        "running.prompt=the sound of ",
+        "running.data_name=esc50",
+        "running.eval_samples=2",
+    ])
+    plain, _, _, _ = build_xfold_dataloader_list(cfg, "esc50")
+    mres, _, _, _ = build_xfold_dataloader_list(cfg, "esc50", mreserve=True)
+    assert [len(ev.dataset) for _, ev in plain] == [4, 4]  # full folds
+    assert [len(ev.dataset) for _, ev in mres] == [2, 2]  # truncated

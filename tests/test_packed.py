@@ -487,3 +487,89 @@ def test_as_pak_weighted_sampling_and_trainer(as_pak_root, tmp_path):
     assert mon.loader.sample_weights is not None
     mon.epoch(0)
     assert mon.global_step == 1
+
+
+def test_at_pak_prompt_mismatch_fails_loud(at_pak_root):
+    """The prompt is baked into the packed caption tokens at pack time —
+    loading with a different ``running.prompt`` must refuse (the model
+    would otherwise silently see different text than the config states)."""
+    from vipant_tpu.data.packed import AudioTextDatasetPak
+
+    cfg = _at_cfg(at_pak_root, ["running.prompt=the sound of "])
+    with pytest.raises(ValueError, match="prompt"):
+        AudioTextDatasetPak(cfg.running, "pak_clotho_dev", train=False)
+
+
+def test_at_pak_np_rnd_permutes_captions(at_pak_root):
+    """``running.np_rnd`` (random-caption baseline) permutes caption rows
+    across clips on the pak path too: the served caption set is unchanged
+    as a multiset but no longer aligned to its own audio."""
+    from vipant_tpu.data.packed import AudioTextDatasetPak
+
+    base = AudioTextDatasetPak(_at_cfg(at_pak_root).running, "pak_clotho_dev", train=False)
+    n = len(base)
+    np.random.seed(3)  # src parity: np_rnd draws from global np.random
+    cfg = _at_cfg(at_pak_root, ["running.np_rnd=True"])
+    ds = AudioTextDatasetPak(cfg.running, "pak_clotho_dev", train=False)
+    idxs = list(range(n))
+    got = ds.get_batch(idxs)["text"].reshape(n, -1)
+    ref = base.get_batch(idxs)["text"].reshape(n, -1)
+    if np.array_equal(ds._cap_row, np.arange(n)):  # pragma: no cover
+        pytest.skip("permutation happened to be identity")
+    assert not np.array_equal(got, ref)
+    assert sorted(r.tobytes() for r in got) == sorted(r.tobytes() for r in ref)
+    # audio is NOT permuted — only the caption alignment
+    np.testing.assert_array_equal(
+        np.asarray(ds.get_batch(idxs)["audio"], np.float32),
+        np.asarray(base.get_batch(idxs)["audio"], np.float32),
+    )
+
+
+def test_at_pak_caption_pick_uniform_over_real_caps(at_pak_root):
+    """Train picks are uniform over each clip's REAL captions (n_caps.npy),
+    not over the k cyclically-padded slots — a 2-caption clip in a k=5 pack
+    must only ever serve captions 0 and 1."""
+    import os
+
+    from vipant_tpu.data.packed import AudioTextDatasetPak
+
+    cfg = _at_cfg(at_pak_root)
+    pak_dir = os.path.join(at_pak_root, "pak_clotho_dev.pak")
+    nc_path = os.path.join(pak_dir, "n_caps.npy")
+    orig = np.load(nc_path)
+    assert (orig == 5).all()  # clotho: 5 real captions per clip
+    try:
+        hacked = orig.copy()
+        hacked[0] = 2  # pretend clip 0 has two real captions
+        np.save(nc_path, hacked)
+        ds = AudioTextDatasetPak(cfg.running, "pak_clotho_dev", train=True)
+        packed = np.asarray(ds.text[0])
+        seen = set()
+        for s in range(40):
+            row = ds.get_batch([0], seed=s)["text"][0]
+            slot = next(
+                j for j in range(packed.shape[0]) if np.array_equal(row, packed[j])
+            )
+            seen.add(slot)
+        assert seen <= {0, 1}, f"picked padded slots: {sorted(seen)}"
+        assert seen == {0, 1}, "40 seeded picks never hit both real captions"
+    finally:
+        np.save(nc_path, orig)
+
+
+def test_as_pak_filter_set(as_pak_root):
+    """``running.filter_set`` applies on the packed AudioSet path exactly
+    like the src path's AudiosetSrc id filter."""
+    import os
+
+    from vipant_tpu.data import build_audioset_dataloader
+
+    keep = ["y0", "y2", "y5"]
+    with open(os.path.join(as_pak_root, "filt.csv"), "w") as f:
+        f.write("\n".join(keep) + "\n")
+    cfg = _as_cfg(as_pak_root, ["running.filter_set=filt.csv", "running.batch_size=3"])
+    loader = build_audioset_dataloader(cfg, "pak_as_train", True)
+    ds = loader.dataset
+    assert sorted(ds.names[r] for r in ds.records) == keep
+    (batch,) = list(loader)
+    assert sorted(batch["name"]) == keep

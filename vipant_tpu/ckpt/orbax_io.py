@@ -225,11 +225,20 @@ def _restore_legacy_qkv(ckptr, state_path: str, template) -> Optional[Any]:
         return None  # not the legacy layout either — surface the original
 
     def back(kp, x, t):
-        if keystr(kp) in legacy_paths:
-            x = np.asarray(jax.device_get(x)).reshape(t.shape)
+        # only the legacy leaves need re-placement (everything else was
+        # restored straight onto the template sharding). The flat qkv
+        # restores replicated, so every host holds the full table;
+        # make_array_from_callback hands each device ITS slice of the
+        # reshaped array — device_put of a host array would raise for
+        # shardings that span non-addressable devices (multi-host).
+        if keystr(kp) not in legacy_paths:
+            return x
+        arr = np.asarray(jax.device_get(x)).reshape(t.shape)
         if isinstance(t, jax.ShapeDtypeStruct) and t.sharding is not None:
-            return jax.device_put(x, t.sharding)
-        return x
+            return jax.make_array_from_callback(
+                t.shape, t.sharding, lambda idx, a=arr: a[idx]
+            )
+        return arr
 
     return jax.tree_util.tree_map_with_path(back, raw, template)
 

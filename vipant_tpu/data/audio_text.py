@@ -184,7 +184,6 @@ def build_audio_text_dataloader(
         limit = int(run.get("eval_samples", 0)) or None
         records = records[:limit]
     records = shard_for_host(records, process_id, num_processes)
-    ctx = int(cfg.model.text.get("ctx_len", 77)) if "text" in cfg.model else 77
     ds = AudioTextDatasetSrc(run, records, train, ctx_len=ctx)
     return DataLoader(
         ds,

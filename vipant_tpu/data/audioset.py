@@ -391,6 +391,9 @@ def build_audioset_dataloader(
         from .packed import AudiosetDatasetPak
 
         ds = AudiosetDatasetPak(run, data_name, train, label_map)
+        if filter_set:
+            # same ytid filter the src path applies in AudiosetSrc.__init__
+            ds.records = [r for r in ds.records if ds.names[r] in filter_set]
         ds.records = shard_for_host(ds.records, process_id, num_processes)
         weights = None
         if train and bool(run.get("weighted_sampling", False)):

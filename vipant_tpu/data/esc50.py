@@ -378,10 +378,14 @@ def build_xfold_dataloader_list(
     loaders = []
     collate = MReserveCollator() if mreserve else AudioLabelCollator()
     dataset_cls = MReserveDataset if mreserve else AudioLabelDataset
+    # the reference's mreserve eval stops at cfg.eval_samples (`:136-137`)
+    # — the per-item video segmentation is expensive; the plain ESC x-fold
+    # protocol evaluates full folds
+    mres_limit = (int(run.get("eval_samples", 0)) or None) if mreserve else None
     for train_recs, eval_recs in folds:
         mk = lambda recs, train: (
             DataLoader(
-                dataset_cls(run, recs, train),
+                dataset_cls(run, recs if train else recs[:mres_limit], train),
                 batch_size=int(run.batch_size),
                 collate_fn=collate,
                 shuffle=train,

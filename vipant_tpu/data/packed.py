@@ -58,6 +58,16 @@ def _bf16():
     return np.dtype(ml_dtypes.bfloat16)
 
 
+def _ordered_label_ids(label_map: Dict) -> List:
+    """Label ids in index order — recorded at pack time and re-derived at
+    load time; the two must come from THIS one function so the order check
+    in ``AudiosetDatasetPak`` stays meaningful."""
+    ordered = [None] * len(label_map)
+    for lid, v in label_map.items():
+        ordered[v[0]] = lid
+    return ordered
+
+
 def _pad_value(norms) -> np.float32:
     # pad rows carry the NORMALIZED-zero value: every dataset path (npz and
     # src) pads the raw fbank with zeros BEFORE normalizing (`image_audio.py`
@@ -259,6 +269,7 @@ def pack_audio_text(
         dtype=np.int32, shape=(n, k, ctx),
     )
     lengths = np.zeros((n,), np.int32)
+    n_caps = np.zeros((n,), np.int32)
     names: List[str] = []
     bf16 = _bf16()
     pad_val = _pad_value(norms)
@@ -274,6 +285,11 @@ def pack_audio_text(
             pad_val, bf16,
         )
         caps = rec["captions_bpe"]
+        # true caption count: train-time picks must be uniform over the
+        # REAL captions, not over the k cyclically-padded slots (a 3-cap
+        # clip in a k=5 pack would otherwise see caps 0/1 at p=2/5 and
+        # cap 2 at p=1/5 — a different distribution than the src path)
+        n_caps[i] = min(len(caps), k)
         for j in range(k):
             toks = caps[j % len(caps)][:ctx]
             text_mm[i, j, : len(toks)] = toks
@@ -281,9 +297,10 @@ def pack_audio_text(
             print(f"packed {i + 1}/{n}", flush=True)
 
     np.save(os.path.join(out_dir, "lengths.npy"), lengths)
+    np.save(os.path.join(out_dir, "n_caps.npy"), n_caps)
     _write_meta(
         out_dir, "audio_text", n, pack_len, mel, norms, names,
-        extra={"k": k, "ctx_len": ctx, "source": data_name},
+        extra={"k": k, "ctx_len": ctx, "source": data_name, "prompt": prompt},
     )
     audio_mm.flush()
     text_mm.flush()
@@ -334,9 +351,7 @@ def pack_audioset(
     bf16 = _bf16()
     pad_val = _pad_value(norms)
     # label ids in index order, for the load-time order check
-    ordered = [None] * len(label_map)
-    for lid, v in label_map.items():
-        ordered[v[0]] = lid
+    ordered = _ordered_label_ids(label_map)
 
     for i in range(n):
         name, aclip_file, frame_file, _ = ds._paths(i)
@@ -555,6 +570,34 @@ class AudioTextDatasetPak(_PakAudioBase):
     KIND = "audio_text"
     _ARRAY_ATTRS = ("_audio_u16", "audio", "text")
 
+    def __init__(self, cfg, data_name: str, train: bool):
+        super().__init__(cfg, data_name, train)
+        # the prompt is baked into the packed tokens — a config that
+        # disagrees would silently train/eval on different text than it
+        # states (ctx_len and norms mismatches on this path already raise)
+        cfg_prompt = str(cfg.get("prompt", "") or "")
+        pak_prompt = str(self.meta.get("prompt", "") or "")
+        if cfg_prompt != pak_prompt:
+            raise ValueError(
+                f"pack prompt {pak_prompt!r} != running.prompt {cfg_prompt!r}"
+                " — repack or fix the config"
+            )
+        # true caption counts (uniform train picks over REAL captions, not
+        # the cyclically-padded slots); packs written before n_caps.npy
+        # existed fall back to all-k (the old, slot-uniform behavior)
+        p = os.path.join(self._dir, "n_caps.npy")
+        self.n_caps = (
+            np.load(p)
+            if os.path.exists(p)
+            else np.full((self.meta["n"],), self.text.shape[1], np.int32)
+        )
+        # random-caption baseline: caption ROWS permuted across clips, the
+        # pak analogue of the src path's record-level caption swap
+        # (parity: `/root/reference/cvap/data/audiocaps.py:64,105-110`)
+        self._cap_row = None
+        if bool(cfg.get("np_rnd", False)):
+            self._cap_row = np.random.permutation(self.meta["n"])
+
     def _open_arrays(self) -> None:
         super()._open_arrays()
         self.text = np.load(os.path.join(self._dir, "text.npy"), mmap_mode="r")
@@ -563,18 +606,20 @@ class AudioTextDatasetPak(_PakAudioBase):
         rng = self._batch_rng(seed)
         rows = [self.records[int(i)] for i in idxs]
         audio = self._gather_audio(rows, rng)
-        k = self.text.shape[1]
+        crows = rows if self._cap_row is None else [int(self._cap_row[r]) for r in rows]
         if self.train:
-            picks = (
-                rng.integers(0, k, size=len(rows))
+            nc = self.n_caps[crows]
+            u = (
+                rng.random(size=len(rows))
                 if hasattr(rng, "integers")
-                else rng.randint(0, k, size=len(rows))
+                else rng.random_sample(size=len(rows))
             )
+            picks = (u * nc).astype(np.int64)  # uniform over REAL captions
             text = np.stack(
-                [self.text[row, int(p)] for row, p in zip(rows, picks)]
+                [self.text[row, int(p)] for row, p in zip(crows, picks)]
             ).astype(np.int32)
         else:
-            text = np.asarray(self.text[rows], np.int32).reshape(-1, self.text.shape[-1])
+            text = np.asarray(self.text[crows], np.int32).reshape(-1, self.text.shape[-1])
         return {
             "audio": audio,
             "text": text,
@@ -610,10 +655,7 @@ class AudiosetDatasetPak(_PakAudioBase):
                 "mixup_rate > 0 is not supported on packed AudioSet shards "
                 "(reference mixup operates on waveforms; use the npz/src path)"
             )
-        ordered = [None] * len(label_map)
-        for lid, v in label_map.items():
-            ordered[v[0]] = lid
-        if ordered != self.meta.get("label_ids"):
+        if _ordered_label_ids(label_map) != self.meta.get("label_ids"):
             raise ValueError(
                 "label map order differs from pack time — repack or fix the "
                 "ontology/label_map config"

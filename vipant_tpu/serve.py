@@ -199,8 +199,11 @@ class InferenceEngine:
                 m = self.cfg.get("model")
                 for k in ("image", "audio", "text"):
                     tower = m.get(k) if m is not None else None
-                    if tower is not None and tower.get("heads") is not None:
-                        heads[k] = int(tower.get("heads"))
+                    try:  # values may be interpolations into absent groups
+                        if tower is not None and tower.get("heads") is not None:
+                            heads[k] = int(tower.get("heads"))
+                    except Exception:  # noqa: BLE001
+                        pass
                 self.variables = {
                     key: (
                         shard_params(val, self.mesh, attn_heads=heads)
