@@ -492,7 +492,9 @@ def bench_e2e_at(B, n_clips, epochs=3, mode="src"):
         "eval=False",
     ]
     if mode == "pak":
-        pak_marker = os.path.join(root, f"ok_pak_{n_clips}")
+        # v2: repack once so meta.json carries the prompt (the pak loader
+        # verifies it; pre-v2 cached packs predate the key)
+        pak_marker = os.path.join(root, f"ok_pak_v2_{n_clips}")
         pcfg = compose(overrides + [f"running.data_name={data_name}"])
         if not os.path.exists(pak_marker):
             from vipant_tpu.data.packed import pack_audio_text

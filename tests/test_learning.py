@@ -409,13 +409,17 @@ def test_patchout_overfit(tmp_path):
     (docs/performance.md) — it changes the math (drops 25% of audio tokens
     per step), so it must still memorize (VERDICT r4 #2). Same bar as the
     plain CVAP overfit; eval runs patchout-free (train=False), so retrieval
-    sees full sequences."""
+    sees full sequences.
+
+    lr stays at TINY's 2e-3: patchout's per-step token-drop noise makes
+    4e-3 oscillate late in training (loss bouncing 0.05-2.4, the last-6
+    mean lands either side of the bar run-to-run); at 2e-3 x 480 epochs the
+    descent is monotone with a ~90x margin (measured final 0.012)."""
     n = 16
     make_synth_va_npz_index(str(tmp_path / "data"), "npz_train", n=n)
     mon, losses = _run([
         "+running=bimodal",
-        *[o for o in TINY if not o.startswith("optimizer.lr")],
-        "optimizer.lr=4.0e-3",
+        *TINY,
         "+model/loss=ce",
         "model.audio.patchout=0.25",
         "worker=CVAP",
@@ -424,7 +428,7 @@ def test_patchout_overfit(tmp_path):
         "running.data_name=npz_train",
         "running.eval_name=npz_train",
         "running.batch_size=8",
-        "running.epochs=320",
+        "running.epochs=480",
         f"alias_root={tmp_path}/run",
         f"model_root={tmp_path}/run",
         "model_file=",

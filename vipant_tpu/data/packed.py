@@ -574,13 +574,25 @@ class AudioTextDatasetPak(_PakAudioBase):
         super().__init__(cfg, data_name, train)
         # the prompt is baked into the packed tokens — a config that
         # disagrees would silently train/eval on different text than it
-        # states (ctx_len and norms mismatches on this path already raise)
+        # states (ctx_len and norms mismatches on this path already raise).
+        # Packs written before the prompt was recorded can't be checked —
+        # warn instead of guessing their pack-time prompt was ""
         cfg_prompt = str(cfg.get("prompt", "") or "")
-        pak_prompt = str(self.meta.get("prompt", "") or "")
-        if cfg_prompt != pak_prompt:
-            raise ValueError(
-                f"pack prompt {pak_prompt!r} != running.prompt {cfg_prompt!r}"
-                " — repack or fix the config"
+        if "prompt" in self.meta:
+            pak_prompt = str(self.meta.get("prompt") or "")
+            if cfg_prompt != pak_prompt:
+                raise ValueError(
+                    f"pack prompt {pak_prompt!r} != running.prompt "
+                    f"{cfg_prompt!r} — repack or fix the config"
+                )
+        else:  # pragma: no cover - legacy packs only
+            import warnings
+
+            warnings.warn(
+                f"pack {self._dir} predates prompt recording — cannot "
+                f"verify it matches running.prompt {cfg_prompt!r}; repack "
+                "to enable the check",
+                stacklevel=2,
             )
         # true caption counts (uniform train picks over REAL captions, not
         # the cyclically-padded slots); packs written before n_caps.npy
