@@ -137,3 +137,51 @@ def test_lm_loss_ignores_pad(rng):
     logits2 = logits.at[:, 3:, :].add(100.0)
     loss2 = head.apply(params, logits2, jnp.asarray(tgt))
     assert float(loss) == pytest.approx(float(loss2), rel=1e-6)
+
+
+def test_lm_loss_learnable_temperature(rng):
+    """The LM head scales decoder logits by a learnable exp(logit_scale)
+    (init log 1/0.07) before CE, like the reference's LM head
+    (`/root/reference/cvap/module/decoder/loss_more.py:280,375-376`) whose
+    released checkpoints carry the parameter."""
+    logits = jnp.asarray(rng.standard_normal((2, 5, 10)).astype(np.float32))
+    tgt = jnp.asarray(np.array([[1, 2, 3, 0, 0], [4, 5, 6, 0, 0]], np.int32))
+    head = LMLossHead(scaling=True)
+    params = head.init(jax.random.PRNGKey(0), logits, tgt)
+    assert "logit_scale" in params["params"]
+    s = float(params["params"]["logit_scale"])
+    assert s == pytest.approx(np.log(1 / 0.07), rel=1e-6)
+    loss = float(head.apply(params, logits, tgt))
+    # equals plain masked CE computed on exp(s)-scaled logits
+    scaled = np.exp(s) * np.asarray(logits)
+    logp = scaled - np.log(np.exp(scaled).sum(-1, keepdims=True))
+    t = np.asarray(tgt)
+    nll = -np.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+    mask = (t != 0).astype(np.float32)
+    want = (nll * mask).sum() / mask.sum()
+    assert loss == pytest.approx(float(want), rel=1e-5)
+    # scaling=False: no param, unscaled CE (the reference's log(1/1) buffer)
+    head0 = LMLossHead(scaling=False)
+    p0 = head0.init(jax.random.PRNGKey(0), logits, tgt)
+    assert "logit_scale" not in p0.get("params", {})
+    l0 = float(head0.apply(p0, logits, tgt))
+    logp0 = np.asarray(logits) - np.log(
+        np.exp(np.asarray(logits)).sum(-1, keepdims=True)
+    )
+    nll0 = -np.take_along_axis(logp0, t[..., None], axis=-1)[..., 0]
+    want0 = (nll0 * mask).sum() / mask.sum()
+    assert l0 == pytest.approx(float(want0), rel=1e-5)
+
+
+def test_imagine_ce_only_eval_fails_loud(rng):
+    """ce-only imagine configs evaluate through the retrieval/zero-shot
+    paths; asking this head for multilabel eval scores must raise the
+    documented error, not a bare AssertionError."""
+    audio = _emb(rng, 4, 16)
+    labels = jnp.asarray((rng.random((4, 5)) > 0.5).astype(np.float32))
+    head = ImagineAndClassifyLossHead(
+        num_labels=5, embed_dim=16, use_bce=False, a2v_layers=(16,)
+    )
+    params = head.init(jax.random.PRNGKey(0), audio, labels, _emb(rng, 4, 16))
+    with pytest.raises(ValueError, match="bce.alive"):
+        head.apply(params, audio, labels, train=False)

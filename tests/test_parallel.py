@@ -137,3 +137,53 @@ def test_grad_cache_sharded():
         sa, sb = shard_batch((xa, xb), mesh)
         loss_m, grads_m = gc(pa, sa, sb)
     assert float(loss_ref) == pytest.approx(float(loss_m), rel=1e-5)
+
+
+def test_data_shard_info(monkeypatch):
+    """Host-side dataset sharding coordinates: the data-shard GROUP, not
+    the raw process id. Processes whose devices replicate the data axis
+    (model/pipe spanning hosts) must land in the same group and load
+    identical batches; shard_batch scales the global row count by the
+    group count (vipant_tpu/parallel/mesh.py:data_shard_info)."""
+    from vipant_tpu.parallel import data_shard_info
+
+    # single process: trivially (0, 1) on any mesh
+    assert data_shard_info(make_mesh(data=4, model=2, pipe=1, seq=1)) == (0, 1)
+
+    class FakeDev:
+        def __init__(self, pid):
+            self.process_index = pid
+
+    class FakeMesh:
+        def __init__(self, grid):
+            self.devices = grid
+
+    def grid(data, rest, pid_of):
+        g = np.empty((data, rest, 1, 1), object)
+        for i in range(data):
+            for j in range(rest):
+                g[i, j, 0, 0] = FakeDev(pid_of(i, j))
+        return g
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    # data=8 over 2 hosts x 4 chips: each host owns 4 data coords -> the
+    # usual (pid, nproc) case
+    mesh = FakeMesh(grid(8, 1, lambda i, j: i // 4))
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert data_shard_info(mesh) == (0, 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert data_shard_info(mesh) == (1, 2)
+
+    # data=1, model=8 over 2 hosts: the data axis replicates over both
+    # processes -> ONE shard group; both hosts must load the same batch
+    mesh = FakeMesh(grid(1, 8, lambda i, j: j // 4))
+    for pid in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        assert data_shard_info(mesh) == (0, 1)
+
+    # data=2 x model=4 over 2 hosts, model split across hosts per data row:
+    # both hosts own BOTH data coords -> one group again (replicated rows)
+    mesh = FakeMesh(grid(2, 4, lambda i, j: j // 2))
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert data_shard_info(mesh) == (0, 1)

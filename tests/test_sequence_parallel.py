@@ -400,3 +400,38 @@ def test_seq_and_model_axes_refuse_to_combine():
     with jax.sharding.set_mesh(mesh):
         with pytest.raises(AssertionError, match="seq and model"):
             model.apply({"params": params}, x)
+
+
+def test_ring_attention_fully_masked_rows_stay_finite():
+    """A query row whose keys are ALL -inf-masked (the standard additive
+    convention, e.g. pad queries) must not poison the online-softmax
+    accumulators: without the m_new clamp, step 0 computes
+    exp(-inf + inf) = NaN and every later ring step inherits it. Masked
+    rows return 0 (the flash-attention convention for empty softmax rows);
+    unmasked rows still match dense attention exactly."""
+    mesh = make_mesh(data=2, model=1, pipe=1, seq=4)
+    B, T, H, D = 2, 16, 2, 8
+    rng = np.random.default_rng(11)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    bias = np.zeros((T, T), np.float32)
+    dead = [0, 5, 13]  # rows on three different ring shards
+    bias[dead, :] = -np.inf
+    bias = jnp.asarray(bias)
+
+    ring = smap(
+        lambda a, b, c, m: ring_attention(a, b, c, "seq", bias=m),
+        mesh,
+        in_specs=(P("data", "seq"),) * 3 + (P("seq", None),),
+        out_specs=P("data", "seq"),
+    )
+    y = np.asarray(jax.jit(ring)(q, k, v, bias))
+    assert np.isfinite(y).all(), "ring attention NaN'd on -inf-masked rows"
+    np.testing.assert_array_equal(y[:, dead], np.zeros_like(y[:, dead]))
+    alive = [t for t in range(T) if t not in dead]
+    y_ref = np.asarray(
+        jax.nn.dot_product_attention(q, k, v, bias=bias[None, None])
+    )
+    np.testing.assert_allclose(y[:, alive], y_ref[:, alive], atol=2e-6)

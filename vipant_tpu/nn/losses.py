@@ -382,7 +382,18 @@ class ImagineAndClassifyLossHead(nn.Module):
             else None
         )
         if not train:  # eval: multi-label sigmoid scores
-            assert bce_head is not None
+            if bce_head is None:
+                # the reference's ce-only infer accumulates audio↔image
+                # retrieval through its stateful CE head
+                # (`loss_more.py:247-255`); here that evaluation runs
+                # through the encoder/zero-shot paths (ASMonitor
+                # zero_shot/encode dumps) — the multilabel report needs the
+                # BCE branch
+                raise ValueError(
+                    "ImagineAndClassifyLossHead eval needs bce.alive=True "
+                    "(multi-label scores); for the ce-only imagination "
+                    "branch use the retrieval/zero-shot eval paths"
+                )
             return bce_head(audio, labels, train=False)
         total = jnp.asarray(0.0, jnp.float32)
         aux: Dict[str, jnp.ndarray] = {}
@@ -403,15 +414,20 @@ class ImagineAndClassifyLossHead(nn.Module):
 
 
 @LOSS_HEADS.register()
-class LMLossHead(nn.Module):
-    """Captioning CE over decoder logits, pad (id 0) ignored
-    (parity: `/root/reference/cvap/module/decoder/loss_more.py:276-387`)."""
+class LMLossHead(nn.Module, _ScaleMixin):
+    """Captioning CE over decoder logits, pad (id 0) ignored. The decoder
+    logits are multiplied by a learnable exp(logit_scale) (init log 1/0.07,
+    no clamp) before CE when ``scaling`` — the reference's LM head does the
+    same and its released checkpoints carry the parameter
+    (parity: `/root/reference/cvap/module/decoder/loss_more.py:276-387`,
+    the scale applied at `:375-376`)."""
 
     scaling: bool = True
+    scale_max: Optional[float] = None
 
     @nn.compact
     def __call__(self, logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-        logits = logits.astype(jnp.float32)
+        logits = self._logit_scale() * logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         mask = (targets != 0).astype(jnp.float32)

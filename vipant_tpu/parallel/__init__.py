@@ -12,6 +12,7 @@ from .pipeline import (
 )
 from .mesh import (
     batch_sharding,
+    data_shard_info,
     distributed_init,
     make_mesh,
     param_shardings,
@@ -26,6 +27,7 @@ __all__ = [
     "adapt_trunk_layout",
     "batch_sharding",
     "constrain_to",
+    "data_shard_info",
     "distributed_init",
     "gpipe",
     "grad_cache_value_and_grad",

@@ -69,6 +69,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def data_shard_info(mesh: Mesh) -> tuple:
+    """``(shard_id, num_shards)`` of this process's slice of the ``data``
+    axis — the host-side dataset sharding coordinates.
+
+    Processes whose addressable devices own the SAME data-axis coordinates
+    form one data-parallel group and must load IDENTICAL host batches (the
+    data axis replicates over them — e.g. ``data=1`` with ``model``
+    spanning two hosts). Raw ``process_index/process_count`` coincide with
+    this only when the data axis partitions cleanly over processes; using
+    them when it doesn't would hand replicated devices DIFFERENT rows and
+    mis-assemble the global batch."""
+    if jax.process_count() == 1:
+        return 0, 1
+    arr = mesh.devices  # [data, model, pipe, seq] device grid
+    pid = jax.process_index()
+    owned = [
+        i
+        for i in range(arr.shape[0])
+        if any(d.process_index == pid for d in arr[i].flat)
+    ]
+    assert owned, "this process owns no devices on the mesh"
+    nlocal = len(owned)
+    data = arr.shape[0]
+    assert data % nlocal == 0 and owned == list(
+        range(owned[0], owned[0] + nlocal)
+    ), f"irregular data-axis process layout: {owned}"
+    return owned[0] // nlocal, data // nlocal
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place every array in the batch pytree with its batch axis sharded
     over ``data`` — the analogue of the reference's per-rank batch slicing
@@ -76,15 +105,20 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     batch is one logical array.
 
     Multi-process: each host passes its LOCAL shard (from
-    ``shard_for_host``); the global array is assembled with
-    ``make_array_from_process_local_data`` — a bare device_put would treat
-    the local rows as the whole global batch."""
+    ``shard_for_host`` keyed by ``data_shard_info``); the global array is
+    assembled with ``make_array_from_process_local_data`` — a bare
+    device_put would treat the local rows as the whole global batch. The
+    global row count scales by the number of distinct data-shard GROUPS,
+    not by process_count: when model/pipe/seq axes span processes the data
+    axis replicates over them and every process in a group supplies the
+    same rows."""
     sharding = batch_sharding(mesh)
     nproc = jax.process_count()
+    num_shards = data_shard_info(mesh)[1] if nproc > 1 else 1
 
     def put(x):
         if nproc > 1 and hasattr(x, "shape") and x.ndim >= 1:
-            global_shape = (x.shape[0] * nproc,) + tuple(x.shape[1:])
+            global_shape = (x.shape[0] * num_shards,) + tuple(x.shape[1:])
             return jax.make_array_from_process_local_data(
                 sharding, np.asarray(x), global_shape
             )

@@ -129,8 +129,16 @@ def ring_attention(
             s = s + jax.lax.dynamic_slice_in_dim(bias, src * Tl, Tl, axis=-1)
         m_blk = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
+        # a query row whose keys so far are ALL -inf-masked keeps
+        # m_new = -inf, and exp(s - m_new) = exp(-inf + inf) = NaN would
+        # poison the accumulators for every later ring step even when
+        # later blocks hold unmasked keys. Clamping the subtrahend keeps
+        # such rows at p = exp(-inf - finite) = 0 weight (healthy rows
+        # have finite m_new and are untouched); rows masked across ALL
+        # steps end with l = 0 and fall through to the guard below.
+        m_sub = jnp.maximum(m_new, jnp.float32(-1e30))
+        p = jnp.exp(s - m_sub)
+        corr = jnp.exp(m - m_sub)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(vf.dtype), vf, (((3,), (2,)), ((0, 1), (0, 1))),
@@ -142,5 +150,7 @@ def ring_attention(
             kb = jax.lax.ppermute(kb, axis, perm)
             vb = jax.lax.ppermute(vb, axis, perm)
 
-    out = (o / l).astype(q.dtype)  # [B, H, Tl, D]
+    # fully-masked rows (l = 0) return 0 — the flash-attention convention
+    # for empty softmax rows (a dense softmax would NaN them)
+    out = (o / jnp.maximum(l, jnp.float32(1e-30))).astype(q.dtype)  # [B, H, Tl, D]
     return jnp.swapaxes(out, 1, 2)

@@ -16,6 +16,8 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
+from ..parallel import data_shard_info
+
 from ..ckpt import extract_model_files
 from ..eval import (
     classification_p1,
@@ -43,7 +45,7 @@ class LATrainer(Trainer):
         from ..data import build_audio_text_dataloader, build_image_text_dataloader
 
         cfg, run = self.cfg, self.cfg.running
-        pid, np_ = jax.process_index(), jax.process_count()
+        pid, np_ = data_shard_info(self.mesh)  # data-shard-group coords (mesh.py)
         which = str(run.get("dataloader", "al"))
         build = (
             build_image_text_dataloader if which == "lv" else build_audio_text_dataloader
@@ -270,7 +272,7 @@ class VALTrainer(Trainer):
         from ..data import build_audioset_dataloader, build_audioset_label_map
 
         cfg, run = self.cfg, self.cfg.running
-        pid, np_ = jax.process_index(), jax.process_count()
+        pid, np_ = data_shard_info(self.mesh)  # data-shard-group coords (mesh.py)
         self.label_map = build_audioset_label_map(run) if run.get("label_map") else None
         kw = dict(label_map=self.label_map)
         self.loader = (
@@ -369,7 +371,7 @@ class VASTrainer(Trainer):
         from ..data import build_image_audio_dataloader
 
         cfg, run = self.cfg, self.cfg.running
-        pid, np_ = jax.process_index(), jax.process_count()
+        pid, np_ = data_shard_info(self.mesh)  # data-shard-group coords (mesh.py)
         self.loader = (
             build_image_audio_dataloader(cfg, str(run.data_name), True, pid, np_)
             if not self.eval_mode and run.get("data_name")
@@ -445,7 +447,7 @@ class ASTrainer(Trainer):
         from ..data import build_audioset_dataloader, build_audioset_label_map
 
         cfg, run = self.cfg, self.cfg.running
-        pid, np_ = jax.process_index(), jax.process_count()
+        pid, np_ = data_shard_info(self.mesh)  # data-shard-group coords (mesh.py)
         self.label_map = build_audioset_label_map(run)
         self.output_dim = len(self.label_map)
         kw = dict(label_map=self.label_map)

@@ -146,7 +146,9 @@ class Trainer:
         on multi-host topologies."""
         from ..parallel import shard_batch as _shard
 
-        ndata = self.mesh.shape["data"] // max(jax.process_count(), 1) or 1
+        from ..parallel import data_shard_info
+
+        ndata = self.mesh.shape["data"] // data_shard_info(self.mesh)[1]
         arrays = {}
         for k in self.batch_keys:
             v = batch.get(k)
@@ -163,9 +165,13 @@ class Trainer:
 
     def build_data(self):
         from ..data import build_image_audio_dataloader
+        from ..parallel import data_shard_info
 
         run = self.cfg.running
-        pid, np_ = jax.process_index(), jax.process_count()
+        # data-shard-GROUP coordinates, not raw process id: processes whose
+        # devices replicate the data axis (model/pipe spanning hosts) must
+        # load identical batches (parallel.mesh.data_shard_info)
+        pid, np_ = data_shard_info(self.mesh)
         self.loader = (
             build_image_audio_dataloader(
                 self.cfg, str(run.data_name), True, pid, np_,
@@ -870,9 +876,10 @@ class Trainer:
         batch: `/root/reference/cvap/monitor/cvap.py:252-254`)."""
         from .step import make_eval_step
 
-        eval_step = self.memo(
-            "eval_step", lambda: make_eval_step(self.model, ties=self.ties)
-        )
+        # ties=(): eval_variables() below already restores tied params —
+        # restoring again inside the jitted step would be redundant work
+        # and a second place tie handling must stay consistent
+        eval_step = self.memo("eval_step", lambda: make_eval_step(self.model))
         feats: Dict[str, List[np.ndarray]] = {}
         names: List[str] = []
         variables = self.eval_variables()
@@ -880,9 +887,9 @@ class Trainer:
             for batch in loader:
                 if samples is not None and len(names) >= samples:
                     break
-                args = tuple(batch[k] for k in self.batch_keys)
-                if self.needs_device_frontend:
-                    args = self.device_frontend(args, None, train=False)
+                # jitted memoized frontend — NOT eager device_frontend
+                # (dozens of per-op dispatches per eval batch)
+                args = self.eval_frontend_args(batch)
                 out = eval_step(variables, *args)
                 n_items = len(batch["name"])
                 n_true = int(batch.get("_count", n_items))
