@@ -164,7 +164,15 @@ def load_checkpoint(path: str, abstract_state) -> Any:
     Legacy qkv layout: checkpoints saved before the TP-shardable [C, 3, C]
     qkv layout (nn.layers._QKVParams) stored flat [C, 3C] kernels / [3C]
     biases. Those restore through a reshape shim — the flat layout is the
-    same values row-major (the 3-D layout is literally its reshape)."""
+    same values row-major (the 3-D layout is literally its reshape).
+
+    Legacy LM head: checkpoints saved before LMLossHead grew its learnable
+    ``logit_scale`` (nn/losses.py) hold an EMPTY ``lm_loss`` subtree; those
+    restore through a fill shim that keeps the fresh-init scale (log 1/0.07
+    = temperature-1 behavior, exactly what the old head computed) and
+    zero optimizer moments from the caller's state. The two shims are
+    independent retries — a checkpoint old enough to need both predates
+    the captioning head entirely."""
 
     wait_for_saves()  # never read past an in-flight async save
 
@@ -180,6 +188,10 @@ def load_checkpoint(path: str, abstract_state) -> Any:
         return ckptr.restore(state_path, template)
     except Exception:
         restored = _restore_legacy_qkv(ckptr, state_path, template)
+        if restored is None:
+            restored = _restore_missing_lm_scale(
+                ckptr, state_path, template, abstract_state
+            )
         if restored is None:
             raise
         return restored
@@ -241,6 +253,75 @@ def _restore_legacy_qkv(ckptr, state_path: str, template) -> Optional[Any]:
         return arr
 
     return jax.tree_util.tree_map_with_path(back, raw, template)
+
+
+def _restore_missing_lm_scale(ckptr, state_path: str, template, fresh_state):
+    """Retry a failed template restore against a checkpoint whose LMLossHead
+    predates the learnable ``logit_scale``: every ``lm_loss`` node that is
+    exactly ``{"logit_scale": leaf}`` in the template (the param AND its
+    optimizer-moment mirrors) is an empty dict on disk. Restore with those
+    nodes emptied, then fill the scale leaves from ``fresh_state`` — the
+    caller's freshly-initialized state, whose values are the correct
+    defaults (init log 1/0.07 for the param, zeros for Adam moments).
+    Returns None when the template has no such node or the emptied-template
+    restore also fails (the original error should propagate)."""
+
+    def keystr(kp) -> str:
+        return "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in kp)
+
+    def is_new_lm(kp, x) -> bool:
+        return (
+            isinstance(x, dict)
+            and set(x.keys()) == {"logit_scale"}
+            and keystr(kp).split("/")[-1] == "lm_loss"
+        )
+
+    dropped_prefixes = []
+
+    def drop(kp, x):
+        if is_new_lm(kp, x):
+            dropped_prefixes.append(keystr(kp) + "/")
+            return {}
+        return x
+
+    legacy_template = jax.tree_util.tree_map_with_path(
+        drop, template, is_leaf=lambda x: isinstance(x, dict)
+        and set(x.keys()) == {"logit_scale"}
+    )
+    if not dropped_prefixes:
+        return None
+    try:
+        raw = ckptr.restore(state_path, legacy_template)
+    except Exception:
+        return None  # not the legacy layout either — surface the original
+
+    # stitch the restored leaves back into the FULL template structure,
+    # taking the dropped scale leaves from the fresh state
+    raw_leaves = {
+        keystr(kp): v for kp, v in jax.tree_util.tree_flatten_with_path(raw)[0]
+    }
+
+    def fill(kp, fresh_leaf):
+        ks = keystr(kp)
+        if any(ks.startswith(p) for p in dropped_prefixes):
+            if isinstance(fresh_leaf, jax.Array):
+                return fresh_leaf  # fresh init value, already placed
+            # abstract caller (ShapeDtypeStruct): synthesize the default
+            from ..nn.losses import LOGIT_SCALE_INIT
+
+            val = np.asarray(
+                LOGIT_SCALE_INIT if "params" in ks else 0.0,
+                getattr(fresh_leaf, "dtype", np.float32),
+            )
+            shard = getattr(fresh_leaf, "sharding", None)
+            if shard is not None:
+                return jax.make_array_from_callback(
+                    fresh_leaf.shape, shard, lambda idx, a=val: a[idx]
+                )
+            return val
+        return raw_leaves[ks]
+
+    return jax.tree_util.tree_map_with_path(fill, fresh_state)
 
 
 def load_checkpoint_config(path: str) -> Optional[Config]:

@@ -392,8 +392,12 @@ def build_audioset_dataloader(
 
         ds = AudiosetDatasetPak(run, data_name, train, label_map)
         if filter_set:
-            # same ytid filter the src path applies in AudiosetSrc.__init__
-            ds.records = [r for r in ds.records if ds.names[r] in filter_set]
+            # same ytid filter the src path applies in AudiosetSrc.__init__.
+            # Filter over ALL packed rows, then re-apply the eval cap: the
+            # src path filters at init and caps at iteration, so capping
+            # first would evaluate a smaller, different subset
+            kept = [r for r in range(ds.meta["n"]) if ds.names[r] in filter_set]
+            ds.records = kept[: ds.eval_limit]
         ds.records = shard_for_host(ds.records, process_id, num_processes)
         weights = None
         if train and bool(run.get("weighted_sampling", False)):

@@ -97,8 +97,11 @@ class DataLoader:
         # tuning is process-global, so eval-only loaders skip it — a tiny
         # eval loader must not raise retained RSS for the whole process.
         # VIPANT_TUNE_MALLOC=1/0 overrides in either direction.
+        # shuffle=True OR weighted sampling: both are training loaders
+        # (weighted AudioSet training passes shuffle=False + sample_weights)
         tune_env = os.environ.get("VIPANT_TUNE_MALLOC")
-        if tune_env == "1" or (shuffle and tune_env != "0"):
+        is_training = shuffle or sample_weights is not None
+        if tune_env == "1" or (is_training and tune_env != "0"):
             from ..utils.hostmem import tune_host_allocator
 
             tune_host_allocator()

@@ -430,8 +430,12 @@ class _PakAudioBase:
         self._pad_val = (
             np.float32((0.0 - n[0]) / n[1]) if n is not None else np.float32(0.0)
         )
-        limit = None if train else int(cfg.get("eval_samples", 0)) or None
-        self.records = list(range(self.meta["n"]))[:limit]
+        # eval cap retained on the instance so builders that FILTER records
+        # (audioset filter_set) can re-apply it after filtering — filter
+        # must precede the cap to match the src path's filter-at-init /
+        # cap-at-iteration order
+        self.eval_limit = None if train else int(cfg.get("eval_samples", 0)) or None
+        self.records = list(range(self.meta["n"]))[: self.eval_limit]
 
     def _open_arrays(self) -> None:
         self._audio_u16 = np.load(os.path.join(self._dir, "audio.npy"), mmap_mode="r")

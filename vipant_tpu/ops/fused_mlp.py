@@ -373,10 +373,16 @@ def fused_mlp_applicable(T: int, C: int, expansion: int, int8: bool = False) -> 
 
         import jax as _jax
 
+        from ..parallel.spmd import is_manual
+
         mesh = _jax.sharding.get_abstract_mesh()
         if (
             mesh is not None
             and not getattr(mesh, "empty", True)
+            # inside a shard_map body (is_manual) _mesh_info runs the plain
+            # per-device kernel on the caller's already-local shapes — the
+            # model-axis split/estimate below must not apply there
+            and not is_manual(mesh)
             and "model" in mesh.axis_names
             and mesh.shape["model"] > 1
         ):

@@ -11,6 +11,7 @@ from .pipeline import (
     unstack_in_tree,
 )
 from .mesh import (
+    attn_heads_map,
     batch_sharding,
     data_shard_info,
     distributed_init,
@@ -25,6 +26,7 @@ from .zero import constrain_to, state_placement, zero_shard_opt_state
 
 __all__ = [
     "adapt_trunk_layout",
+    "attn_heads_map",
     "batch_sharding",
     "constrain_to",
     "data_shard_info",

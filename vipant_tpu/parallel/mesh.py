@@ -13,6 +13,7 @@ rendezvous (`/root/reference/train.py:21-26`).
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import Any, Optional, Sequence
 
@@ -71,7 +72,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def data_shard_info(mesh: Mesh) -> tuple:
     """``(shard_id, num_shards)`` of this process's slice of the ``data``
-    axis — the host-side dataset sharding coordinates.
+    axis — the host-side dataset sharding coordinates. Memoized per mesh:
+    callers sit on per-batch hot paths (loader_device_put, shard_batch)
+    and the grid walk is O(#devices).
 
     Processes whose addressable devices own the SAME data-axis coordinates
     form one data-parallel group and must load IDENTICAL host batches (the
@@ -82,8 +85,12 @@ def data_shard_info(mesh: Mesh) -> tuple:
     mis-assemble the global batch."""
     if jax.process_count() == 1:
         return 0, 1
+    return _data_shard_info_cached(mesh, jax.process_index())
+
+
+@functools.lru_cache(maxsize=16)
+def _data_shard_info_cached(mesh: Mesh, pid: int) -> tuple:
     arr = mesh.devices  # [data, model, pipe, seq] device grid
-    pid = jax.process_index()
     owned = [
         i
         for i in range(arr.shape[0])
@@ -96,6 +103,25 @@ def data_shard_info(mesh: Mesh) -> tuple:
         range(owned[0], owned[0] + nlocal)
     ), f"irregular data-axis process layout: {owned}"
     return owned[0] // nlocal, data // nlocal
+
+
+def attn_heads_map(model_cfg) -> dict:
+    """Per-tower attention head counts for head-block weight sharding
+    (``param_shardings``'s ``attn_heads``): param-tree top-level keys are
+    the tower names. Shared by the trainer and the serving engine so the
+    tower-key convention cannot drift between the two."""
+    out: dict = {}
+    for k in ("image", "audio", "text"):
+        tower = model_cfg.get(k) if model_cfg is not None else None
+        if tower is None:
+            continue
+        try:  # values may be interpolations into absent groups
+            h = tower.get("heads")
+            if h is not None:
+                out[k] = int(h)
+        except Exception:  # noqa: BLE001
+            pass
+    return out
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

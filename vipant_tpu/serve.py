@@ -176,7 +176,7 @@ class InferenceEngine:
         self.variables = self._load(variables)
         self.mesh = None
         if dp_n > 1 or mp_n > 1:
-            from .parallel import make_mesh, replicate, shard_params
+            from .parallel import attn_heads_map, make_mesh, replicate, shard_params
 
             # data axis takes the devices the model axis leaves over (all
             # of them when model_parallel=1, exactly 1 when data_parallel
@@ -195,15 +195,7 @@ class InferenceEngine:
                 # Megatron weight placement (same rules as training,
                 # parallel.param_shardings); non-param collections
                 # (batch_stats) replicate
-                heads = {}
-                m = self.cfg.get("model")
-                for k in ("image", "audio", "text"):
-                    tower = m.get(k) if m is not None else None
-                    try:  # values may be interpolations into absent groups
-                        if tower is not None and tower.get("heads") is not None:
-                            heads[k] = int(tower.get("heads"))
-                    except Exception:  # noqa: BLE001
-                        pass
+                heads = attn_heads_map(self.cfg.get("model"))
                 self.variables = {
                     key: (
                         shard_params(val, self.mesh, attn_heads=heads)

@@ -285,22 +285,9 @@ class Trainer:
 
     # ------------------------------------------------------------- optimizer
     def _attn_heads_map(self) -> Dict[str, int]:
-        """Per-tower attention head counts for head-block weight sharding
-        (parallel.param_shardings ``attn_heads``): param tree top-level keys
-        are the tower names."""
-        out: Dict[str, int] = {}
-        m = self.cfg.get("model")
-        for k in ("image", "audio", "text"):
-            tower = m.get(k) if m is not None else None
-            if tower is None:
-                continue
-            try:
-                h = tower.get("heads")
-                if h is not None:
-                    out[k] = int(h)
-            except (TypeError, ValueError):
-                pass
-        return out
+        from ..parallel.mesh import attn_heads_map
+
+        return attn_heads_map(self.cfg.get("model"))
 
     def build_optimizer(self):
         cfg = self.cfg
