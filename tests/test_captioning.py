@@ -68,6 +68,52 @@ def test_clap_captioning_train_and_decode(tmp_path):
     assert all(isinstance(c, str) for c in captions)
 
 
+def test_decode_routes_device_frontend(tmp_path):
+    """Caption decoding under waveform shipping (running.audio.on_device):
+    eval batches carry raw rank-2 waveforms that decode_captions must route
+    through the device frontend — fed straight to decode() they hit the
+    precomputed-embedding passthrough (regression: ValueError unpack or
+    silent garbage memory)."""
+    make_synth_clotho(str(tmp_path), "clotho_dev", n=4, seconds=1.05)
+    cfg = compose([
+        "+running=clotho",
+        *TINY_MODEL,
+        "+model/text=transformer_decoder",
+        "+model/loss=ce_lm",
+        "worker=CLAP",
+        "monitor=LAMonitor",
+        "model.text.width=32",
+        "model.text.heads=4",
+        "model.text.layers=2",
+        "model.text.mem_width=64",
+        "model.text.max_len_dec=8",
+        "model.text.embed_dim=32",
+        "running.audio.on_device=True",
+        f"running.data_root={tmp_path}",
+        "running.data_name=clotho_dev",
+        "running.eval_name=clotho_dev",
+        "running.test_name=",
+        "running.retrieval=False",
+        "running.batch_size=4",
+        "running.epochs=1",
+        "running.peep_rate=1",
+        "running.save_rate=1000000",
+        "running.save_epoch=False",
+        "running.eval_samples=4",
+        f"alias_root={tmp_path}/run",
+        f"model_root={tmp_path}/run",
+        "model_file=",
+        "eval=False",
+    ])
+    mon = build_monitor(cfg)
+    assert mon.on_device_audio
+    captions = mon.decode_captions(mon.evalloader, max_batches=2)
+    assert len(captions) == 4
+    assert all(isinstance(c, str) for c in captions)
+    report = mon.caption_report(mon.evalloader, samples=4)
+    assert "BLEU-1" in report
+
+
 def test_kv_cache_decode_matches_full_reforward(tmp_path):
     """greedy_decode_kv must produce the same ids as the O(L^2) re-forward
     decode."""

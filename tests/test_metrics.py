@@ -69,6 +69,18 @@ def test_multilabel_report_perfect():
     assert m["Mic-AP"] == pytest.approx(100.0)
 
 
+def test_multilabel_report_class_without_positives():
+    """A class with no positive example in the (possibly eval_samples-capped)
+    subset: modern sklearn returns nan from roc_auc_score instead of raising,
+    which must not poison the mAUC mean (regression: mAUC = nan on every
+    capped AudioSet report)."""
+    labels = np.array([[1, 0, 0], [0, 1, 0], [1, 0, 0], [0, 1, 0]])  # class 2 empty
+    scores = np.random.default_rng(0).random((4, 3))
+    m = multilabel_report(scores, labels)
+    assert np.isfinite(m["mAUC"])
+    assert np.isfinite(m["mAP"]) if "mAP" in m else True
+
+
 def test_porter_stemmer_known_values():
     from vipant_tpu.eval.metrics import _porter_stem
 

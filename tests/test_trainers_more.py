@@ -218,6 +218,12 @@ def test_val_trainer_label_map_zero_shot(tmp_path, on_device):
     mon.learn()
     report = mon.infer(mon.evalloader)
     assert "A->T: p1 =" in report
+    # infer reuses collect_features' audio embeddings (x2) for zero-shot;
+    # the reuse path must match a fresh encode pass exactly
+    data = mon.collect_features(mon.evalloader, samples=8)
+    zs_reuse = mon.zero_shot(mon.evalloader, samples=8, audio_embs=data["x2"])
+    zs_fresh = mon.zero_shot(mon.evalloader, samples=8)
+    assert zs_reuse == zs_fresh
 
 
 def test_la_mid_train_eval_gate():

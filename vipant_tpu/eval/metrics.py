@@ -15,10 +15,16 @@ Semantics parity with the reference's loss-head ``report`` methods:
 
 from __future__ import annotations
 
-from collections import defaultdict
+from collections import Counter, defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def _ngrams(tokens, n) -> Counter:
+    """n-gram multiset of a token list — shared by BLEU and CIDEr-D so a
+    tokenization tweak cannot drift the two caption metrics apart."""
+    return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
@@ -181,6 +187,10 @@ def multilabel_report(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float
             ap = 0.0
         try:
             auc = skm.roc_auc_score(y, s)
+            # modern sklearn returns nan (no exception) for a class with
+            # no positives — e.g. rare AudioSet classes absent from a
+            # capped eval subset; nan would poison the mAUC mean
+            auc = 0.0 if np.isnan(auc) else auc
         except Exception:
             auc = 0.0
         try:
@@ -219,11 +229,7 @@ def corpus_bleu(
     uniform n-gram weights) — the caption-metric core of the reference's
     COCO evaluation (`/root/reference/cvap/module/decoder/loss_more.py:328-371`),
     reimplemented dependency-free in NumPy/stdlib."""
-    from collections import Counter
-
-    def ngrams(tokens, n):
-        return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
-
+    ngrams = _ngrams
     assert len(candidates) == len(references)
     matches = np.zeros(max_n)
     totals = np.zeros(max_n)
@@ -306,11 +312,7 @@ def cider_d(
     (`/root/reference/cvap/module/decoder/loss_more.py:328-371`),
     reimplemented dependency-free. The document frequency is computed over
     this corpus's reference sets (standard corpus-level CIDEr)."""
-    from collections import Counter, defaultdict
-
-    def ngrams(tokens, n):
-        return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
-
+    ngrams = _ngrams
     assert len(candidates) == len(references)
     # document frequency per n-gram over reference sets
     dfs = [defaultdict(float) for _ in range(max_n)]

@@ -16,8 +16,6 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-from ..parallel import data_shard_info
-
 from ..ckpt import extract_model_files
 from ..eval import (
     classification_p1,
@@ -26,12 +24,9 @@ from ..eval import (
     symmetric_retrieval,
     zero_shot_classification,
 )
-from ..parallel import shard_batch
+from ..eval.metrics import _normalize as _l2
+from ..parallel import data_shard_info, shard_batch
 from .trainer import Trainer, register_monitor
-
-
-def _l2(x: np.ndarray) -> np.ndarray:
-    return x / np.linalg.norm(x, axis=-1, keepdims=True)
 
 
 @register_monitor("LAMonitor")
@@ -196,7 +191,7 @@ class LATrainer(Trainer):
         return out_root
 
     @staticmethod
-    def _detok_row(tk, row) -> str:
+    def _detok_row(row) -> str:
         from ..tokenizer import detokenize_ids
 
         return detokenize_ids(row)
@@ -211,20 +206,21 @@ class LATrainer(Trainer):
         )
 
     def decode_captions(self, loader, max_batches: int = 10) -> List[str]:
-        """Greedy caption decoding through the SeqGenerationHead (KV-cached)."""
-        from ..tokenizer import get_tokenizer
-
-        tk = get_tokenizer()
+        """Greedy caption decoding through the SeqGenerationHead (KV-cached).
+        Audio routes through the eval device frontend like every other eval
+        path — raw shipped waveforms/int16 fbanks fed straight to decode()
+        would hit the precomputed-embedding passthrough."""
         variables = self.eval_variables()
         dec = self._decode_step()
+        aidx = self.batch_keys.index("audio")
         out = []
         for bi, batch in enumerate(loader):
             if bi >= max_batches:
                 break
-            ids, _ = dec(variables, jax.numpy.asarray(batch["audio"]))
+            ids, _ = dec(variables, self.eval_frontend_args(batch)[aidx])
             n = int(batch.get("_count", len(batch["name"])))
             for row in np.asarray(ids)[:n]:
-                out.append(self._detok_row(tk, row[1:]))
+                out.append(self._detok_row(row[1:]))
         return out
 
     def caption_report(self, loader, samples=None) -> str:
@@ -233,11 +229,10 @@ class LATrainer(Trainer):
         (parity: `/root/reference/cvap/module/decoder/loss_more.py:328-371`,
         the dependency-free core of the COCO-caption suite)."""
         from ..eval.metrics import cider_d, corpus_bleu, meteor, rouge_l
-        from ..tokenizer import get_tokenizer
 
-        tk = get_tokenizer()
         variables = self.eval_variables()
         dec = self._decode_step()
+        aidx = self.batch_keys.index("audio")
         cands, refs = [], []
         for batch in loader:
             if samples is not None and len(cands) >= samples:
@@ -245,12 +240,12 @@ class LATrainer(Trainer):
             B = batch["audio"].shape[0]
             n = int(batch.get("_count", B))
             k = batch["text"].shape[0] // B
-            ids, _ = dec(variables, jax.numpy.asarray(batch["audio"]))
+            ids, _ = dec(variables, self.eval_frontend_args(batch)[aidx])
             text = np.asarray(batch["text"])
             for i, row in enumerate(np.asarray(ids)[:n]):
-                cands.append(self._detok_row(tk, row[1:]))
+                cands.append(self._detok_row(row[1:]))
                 refs.append(
-                    [self._detok_row(tk, text[i * k + j]) for j in range(k)]
+                    [self._detok_row(text[i * k + j]) for j in range(k)]
                 )
         scores = corpus_bleu(cands, refs)
         scores["ROUGE-L"] = rouge_l(cands, refs)
@@ -309,11 +304,15 @@ class VALTrainer(Trainer):
             parts.append(f"AL: A->L t1 {sym['12']['t1']:2.2f} L->A t1 {sym['21']['t1']:2.2f}")
         if self.label_map is not None and bool(self.cfg.running.get("zero_shot", False)):
             # same sample budget as the retrieval pass — an unbudgeted
-            # zero-shot would scan the full split at every save
-            parts.append(self.zero_shot(loader, samples=samples))
+            # zero-shot would scan the full split at every save. The audio
+            # embeddings are reused from collect_features (x2): re-encoding
+            # the same clips would double eval wall-clock per checkpoint
+            parts.append(
+                self.zero_shot(loader, samples=samples, audio_embs=data.get("x2"))
+            )
         return " | ".join(parts) + f" @ {data['x1'].shape[0]}"
 
-    def zero_shot(self, loader, samples=None) -> str:
+    def zero_shot(self, loader, samples=None, audio_embs=None) -> str:
         """Audio -> label-prompt P@1 over the label-map space
         (parity: `/root/reference/cvap/monitor/cvalp.py:273-300` through the
         VALCE report's ``label_map`` kwarg,
@@ -335,6 +334,16 @@ class VALTrainer(Trainer):
         n_got = 0
         aidx = self.batch_keys.index("audio")
         for batch in loader:
+            if audio_embs is not None:
+                # embeddings precomputed (collect_features x2, identical
+                # encode_audio outputs in the same deterministic loader
+                # order) — walk the loader only to gather aligned labels
+                if n_got >= audio_embs.shape[0]:
+                    break
+                n = int(batch.get("_count", batch["audio"].shape[0]))
+                n_got += n
+                labels.append(np.asarray(batch["label"])[:n])
+                continue
             if samples is not None and n_got >= samples:
                 break
             n = int(batch.get("_count", batch["audio"].shape[0]))
@@ -343,7 +352,12 @@ class VALTrainer(Trainer):
             a = enc_a(variables, jax.numpy.asarray(audio))
             embs.append(np.asarray(a)[:n])
             labels.append(np.asarray(batch["label"])[:n])
-        audio, labels = np.concatenate(embs), np.concatenate(labels)
+        if audio_embs is not None:
+            labels = np.concatenate(labels)
+            m = min(audio_embs.shape[0], labels.shape[0])
+            audio, labels = np.asarray(audio_embs)[:m], labels[:m]
+        else:
+            audio, labels = np.concatenate(embs), np.concatenate(labels)
         keep = labels >= 0
         p1 = zero_shot_classification(audio[keep], text, labels[keep])
         return f"A->T: p1 = {p1:2.2f}"
