@@ -77,10 +77,15 @@ def test_va_trainer_on_device_end_to_end(tmp_path):
     assert "I->A" in report
 
 
-def test_wav_int16_path_matches_f32(tmp_path):
-    """int16 waveform shipping (half H2D): dataset emits int16, the device
-    frontend rescales + zero-means, and features match the f32 path."""
-    make_synth_va_index(str(tmp_path), "train", n=4, seconds=1.1)
+@pytest.mark.parametrize("seconds", [1.1, 0.6])
+def test_wav_int16_path_matches_f32(tmp_path, seconds):
+    """int16 waveform shipping (half H2D): the dataset zero-means over the
+    TRUE clip length on the host BEFORE padding/quantization (like the f32
+    branch); the device rescales and removes only the sub-LSB quantization
+    DC. seconds=0.6 pads the clip — without the host-side zero-mean the
+    device's padded-length mean would mis-scale the DC correction and
+    leave a nonzero pad tail (regression)."""
+    make_synth_va_index(str(tmp_path), "train", n=4, seconds=seconds)
     base = [
         "+running=bimodal",
         *TINY_MODEL,
@@ -100,11 +105,15 @@ def test_wav_int16_path_matches_f32(tmp_path):
     assert b32["audio"].dtype == np.float32
 
     wav = b16["audio"].astype(np.float32) / 32767.0
-    wav = wav - wav.mean(axis=-1, keepdims=True)
+    wav = wav - wav.mean(axis=-1, keepdims=True)  # device: sub-LSB DC only
     f_from16 = np.asarray(fbank_fixed_len(wav, FbankParams(), 100, norms=None))
     f_from32 = np.asarray(fbank_fixed_len(b32["audio"], FbankParams(), 100, norms=None))
-    # int16 quantization noise only
-    assert np.max(np.abs(f_from16 - f_from32)) < 2e-2
+    # int16 quantization noise only: measured directly (quantize a clean
+    # zero-meaned tone+noise clip), the log-mel diff is mean ~9e-4 with a
+    # max ~0.07 in near-floor frames where log() is steep — so the max
+    # bound is loose and the mean bound carries the regression power
+    d = np.abs(f_from16 - f_from32)
+    assert d.max() < 0.2 and d.mean() < 5e-3
 
 
 def test_va_trainer_int16_uint8_end_to_end(tmp_path):

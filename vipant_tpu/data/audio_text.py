@@ -13,13 +13,14 @@ context at tokenize time (SURVEY.md §7 hard-part 5).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Any, Dict, List, Optional
 
 import numpy as np
 
 from ..tokenizer import tokenize
 from .image_audio import ImageAudioDatasetSrc, fbank_params_from_cfg
-from .indexfile import load_csv, load_jsonl, shard_for_host
+from .indexfile import eval_sample_limit, load_csv, load_jsonl, shard_for_host
 from .loader import DataLoader
 from .transforms_audio import extract_fbank_features, make_transform
 
@@ -42,6 +43,20 @@ def build_clotho_list(cfg, data_name: str, prompt: str = "") -> List[Dict]:
                 "captions_bpe": tokenize(captions, as_list=True),
             }
         )
+    return _drop_captionless(records, data_name)
+
+
+def _drop_captionless(records: List[Dict], data_name: str) -> List[Dict]:
+    """Fail loud at list-build time instead of a mid-epoch worker crash:
+    a record whose caption cells are all empty would hit np.random.choice(0)
+    (train) or a modulo-by-zero (eval) deep inside __getitem__."""
+    bad = [r["id"] for r in records if not r["captions_bpe"]]
+    if bad:
+        warnings.warn(
+            f"{data_name}: dropping {len(bad)} record(s) without any caption "
+            f"(e.g. {bad[:3]})"
+        )
+        records = [r for r in records if r["captions_bpe"]]
     return records
 
 
@@ -51,7 +66,9 @@ def build_audiocaps_list(cfg, data_name: str, prompt: str = "") -> List[Dict]:
     rows = load_jsonl(os.path.join(cfg.data_root, f"{data_name}.jsonl"))
     records = []
     for row in rows:
-        caps = row.get("captions") or [row["caption"]]
+        # an explicitly-empty captions list stays empty (dropped loudly
+        # below) instead of KeyError-ing on the single-caption fallback
+        caps = row["captions"] if "captions" in row else [row["caption"]]
         captions = [f"{prompt} {c}".strip() for c in caps]
         records.append(
             {
@@ -62,7 +79,7 @@ def build_audiocaps_list(cfg, data_name: str, prompt: str = "") -> List[Dict]:
                 "captions_bpe": tokenize(captions, as_list=True),
             }
         )
-    return records
+    return _drop_captionless(records, data_name)
 
 
 class AudioTextDatasetSrc:
@@ -89,7 +106,12 @@ class AudioTextDatasetSrc:
 
     def _pad(self, toks: List[int]) -> np.ndarray:
         out = np.zeros((self.ctx_len,), np.int32)
-        toks = toks[: self.ctx_len]
+        if len(toks) > self.ctx_len:
+            # over-long caption: truncate but KEEP the final EOT — the text
+            # encoder pools at argmax(ids) (nn/stages.py), which relies on
+            # EOT (the max id) being present; dropping it would pool an
+            # arbitrary mid-caption position (CLIP's truncate does the same)
+            toks = toks[: self.ctx_len - 1] + [toks[-1]]
         out[: len(toks)] = toks
         return out
 
@@ -156,35 +178,23 @@ def build_audio_text_dataloader(
             f"pack ctx_len {ds.text.shape[-1]} != model.text.ctx_len {ctx} — repack"
         )
         ds.records = shard_for_host(ds.records, process_id, num_processes)
-        return DataLoader(
-            ds,
-            batch_size=int(run.batch_size) // max(num_processes, 1),
-            collate_fn=AudioTextCollator(train),
-            shuffle=train,
-            drop_last=train,
-            num_workers=int(cfg.get("num_proc", 4)),
-            backend=str(cfg.get("loader_backend", "thread")),
-            seed=int(cfg.get("seed", 0)),
-            device_put_fn=device_put_fn,
-            pad_last=not train,
-        )
-    prompt = str(run.get("prompt", "") or "")
-    if data_name.startswith("clotho"):
-        records = build_clotho_list(run, data_name, prompt)
     else:
-        records = build_audiocaps_list(run, data_name, prompt)
-    if bool(run.get("np_rnd", False)):
-        # random-caption baseline: captions permuted across clips
-        # (parity: `/root/reference/cvap/data/audiocaps.py:64,105-110`)
-        perm = np.random.permutation(len(records))
-        caps = [(records[i]["captions"], records[i]["captions_bpe"]) for i in perm]
-        for rec, (c, cb) in zip(records, caps):
-            rec["captions"], rec["captions_bpe"] = c, cb
-    if not train:
-        limit = int(run.get("eval_samples", 0)) or None
-        records = records[:limit]
-    records = shard_for_host(records, process_id, num_processes)
-    ds = AudioTextDatasetSrc(run, records, train, ctx_len=ctx)
+        prompt = str(run.get("prompt", "") or "")
+        if data_name.startswith("clotho"):
+            records = build_clotho_list(run, data_name, prompt)
+        else:
+            records = build_audiocaps_list(run, data_name, prompt)
+        if bool(run.get("np_rnd", False)):
+            # random-caption baseline: captions permuted across clips
+            # (parity: `/root/reference/cvap/data/audiocaps.py:64,105-110`)
+            perm = np.random.permutation(len(records))
+            caps = [(records[i]["captions"], records[i]["captions_bpe"]) for i in perm]
+            for rec, (c, cb) in zip(records, caps):
+                rec["captions"], rec["captions_bpe"] = c, cb
+        if not train:
+            records = records[: eval_sample_limit(run.get("eval_samples"))]
+        records = shard_for_host(records, process_id, num_processes)
+        ds = AudioTextDatasetSrc(run, records, train, ctx_len=ctx)
     return DataLoader(
         ds,
         batch_size=int(run.batch_size) // max(num_processes, 1),

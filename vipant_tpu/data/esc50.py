@@ -17,7 +17,7 @@ import numpy as np
 
 from ..tokenizer import tokenize
 from .image_audio import fbank_params_from_cfg
-from .indexfile import load_csv, load_jsonl
+from .indexfile import eval_sample_limit, load_csv, load_jsonl
 from .loader import DataLoader
 from .transforms_audio import extract_fbank_features, make_transform
 
@@ -381,7 +381,7 @@ def build_xfold_dataloader_list(
     # the reference's mreserve eval stops at cfg.eval_samples (`:136-137`)
     # — the per-item video segmentation is expensive; the plain ESC x-fold
     # protocol evaluates full folds
-    mres_limit = (int(run.get("eval_samples", 0)) or None) if mreserve else None
+    mres_limit = eval_sample_limit(run.get("eval_samples")) if mreserve else None
     for train_recs, eval_recs in folds:
         mk = lambda recs, train: (
             DataLoader(

@@ -19,7 +19,7 @@ import numpy as np
 from PIL import Image as PILImage
 
 from ..ops.fbank_np import FbankParams
-from .indexfile import load_jsonl, shard_for_host
+from .indexfile import eval_sample_limit, load_jsonl, shard_for_host
 from .loader import DataLoader
 from .transforms_audio import extract_fbank_features, make_transform
 from .transforms_image import SharedImageTransform, clip_preprocess
@@ -46,12 +46,16 @@ class ImageAudioDatasetSrc:
         self.cfg = cfg
         self.train = train
         index = os.path.join(cfg.data_root, f"{data_name}.jsonl")
-        limit = None if train else int(cfg.get("eval_samples", 0)) or None
+        limit = None if train else eval_sample_limit(cfg.get("eval_samples"))
         self.records = load_jsonl(index, limit=limit)
         if train and 0.0 < float(cfg.get("train_samples", 1.0)) < 1.0:
             k = int(len(self.records) * float(cfg.train_samples))
             order = np.random.permutation(len(self.records))[:k]
             self.records = [self.records[i] for i in order]
+        if not self.records:
+            raise ValueError(
+                f"no records in `{index}` (empty or fully-filtered index)"
+            )
         self.aclip_key = "clip" if "clip" in self.records[0] else "aclip"
         self.frame_key = cfg.get("frame_key", "frame")
         acfg = cfg.audio
@@ -99,22 +103,35 @@ class ImageAudioDatasetSrc:
                 frame_emb_file = f"{self.cfg.data_root}/{self.cfg.frame_emb}/{name}.{stem}.npz"
         return name, aclip_file, frame_file, frame_emb_file
 
-    def _image(self, fname: Optional[str]) -> np.ndarray:
+    def _open_image(self, fname: str):
+        """Fully-decoded PIL image with the corrupt-file → random-image
+        fallback (shared so the siamese path decodes each frame jpeg
+        exactly once; ``load()`` forces the decode — PIL ``open`` only
+        reads the header, so truncation errors would otherwise surface
+        later, outside this fallback)."""
+        res = int(self.cfg.get("resolution", 224))
+        try:
+            img = PILImage.open(fname)
+            img.load()
+            return img
+        except Exception as e:  # corrupt → random image, keep training
+            warnings.warn(f"use random image because `{e}` {fname}")
+            return PILImage.fromarray(
+                (np.random.rand(res, res, 3) * 256).astype(np.uint8)
+            )
+
+    def _image(self, fname: Optional[str], img=None) -> np.ndarray:
         from .transforms_image import clip_preprocess_uint8
 
         res = int(self.cfg.get("resolution", 224))
         pre = clip_preprocess_uint8 if self.image_uint8 else clip_preprocess
-        if fname is None:
+        if fname is None and img is None:
             return np.zeros(
                 (3, res, res), np.uint8 if self.image_uint8 else np.float32
             )
-        try:
-            img = PILImage.open(fname)
-            return pre(img, res)
-        except Exception as e:  # corrupt → random image, keep training
-            warnings.warn(f"use random image because `{e}` {fname}")
-            img = PILImage.fromarray((np.random.rand(res, res, 3) * 256).astype(np.uint8))
-            return pre(img, res)
+        if img is None:
+            img = self._open_image(fname)
+        return pre(img, res)
 
     def _image_emb(self, fname: str) -> np.ndarray:
         try:
@@ -143,8 +160,9 @@ class ImageAudioDatasetSrc:
         happens on device.
 
         With ``audio.wav_int16`` (and no waveform augmentations pending) the
-        clip ships as raw int16 — half the H2D bytes — and the device
-        frontend rescales + zero-means inside the jitted step."""
+        clip zero-means on the host (true length, before padding), ships as
+        raw int16 — half the H2D bytes — and the device frontend rescales
+        and removes the residual sub-LSB quantization DC."""
         from .transforms_audio import random_crop
         from .wav import read_wav
 
@@ -160,6 +178,12 @@ class ImageAudioDatasetSrc:
         # quantization, silently diverging from the f32 path
         augmented = self.train and bool(self.transform_audio)
         if bool(self.acfg.get("wav_int16", False)) and not augmented:
+            # zero-mean BEFORE padding/quantization, exactly like the f32
+            # branch below: a device-side mean over the zero-padded fixed
+            # length would scale the DC correction by n_true/desired and
+            # turn the pad tail into a nonzero constant
+            if bool(self.acfg.get("zero_mean_wf", True)):
+                wav = wav - wav.mean()
             out = np.zeros((desired,), np.int16)
             n = min(desired, wav.shape[-1])
             out[:n] = np.clip(np.round(wav[0, :n] * 32767.0), -32768, 32767).astype(np.int16)
@@ -271,14 +295,40 @@ class ImageAudioDatasetSiameseSrc(ImageAudioDatasetSrc):
         flags = loss_flags or {}
         self.use_vv = bool(flags.get("vv", True))
         self.use_aa = bool(flags.get("aa", False))
+        if self.on_device and self.norms is None:
+            # the host path's FbankViews hardcodes the reference's AudioSet
+            # norms; the device frontend normalizes only from cfg — unset
+            # norms would silently train the trunk on raw log-mels. The
+            # per-view mask asymmetry (32/200 vs 48/300) also collapses to
+            # the cfg-defined sizes under on_device.
+            import warnings
+
+            from .transforms_audio import AUDIOSET_FBANK_MEAN, AUDIOSET_FBANK_STD
+
+            warnings.warn(
+                "siamese on_device=True with running.audio.norms unset: the "
+                "host two-view path normalizes with the hardcoded AudioSet "
+                f"stats — set norms=[{AUDIOSET_FBANK_MEAN},{AUDIOSET_FBANK_STD}] "
+                "for parity",
+                UserWarning,
+            )
 
     def _audio_views(self, fname: str):
         if self.on_device:
             # waveform-shipping mode: masks/normalization run on device
             # (ops.specaugment); two independent crops stand in for the
-            # host two-view path
+            # host two-view path. The inactive second view ships the
+            # featurized VIEW_SENTINEL (rank-3, passes the device frontend
+            # untouched) — a truncated waveform slice would be treated as
+            # a raw waveform and crash the jitted fbank at eval
+            from .transforms_audio import VIEW_SENTINEL
+
             a1 = self._audio_waveform(fname)
-            a2 = self._audio_waveform(fname) if (self.train and self.use_aa) else a1[:1]
+            a2 = (
+                self._audio_waveform(fname)
+                if (self.train and self.use_aa)
+                else VIEW_SENTINEL
+            )
             return a1, a2
         fb = extract_fbank_features(
             fname,
@@ -295,16 +345,15 @@ class ImageAudioDatasetSiameseSrc(ImageAudioDatasetSrc):
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         name, aclip_file, frame_file, frame_emb_file = self._paths(index)
+        # decode the frame jpeg ONCE for pivot + two views (jpeg decode is
+        # the GIL-bound host item cost; a corrupt frame also falls back to
+        # the SAME random image for pivot and views)
+        img = self._open_image(frame_file)
         pivot = (
             self._image_emb(frame_emb_file)
             if frame_emb_file is not None
-            else self._image(frame_file)
+            else self._image(frame_file, img=img)
         )
-        try:
-            img = PILImage.open(frame_file)
-        except Exception:
-            res = int(self.cfg.get("resolution", 224))
-            img = PILImage.fromarray((np.random.rand(res, res, 3) * 256).astype(np.uint8))
         v1, v2 = self.two_view_image(img, both=self.use_vv, train=self.train)
         a1, a2 = self._audio_views(aclip_file)
         return {

@@ -47,9 +47,35 @@ def resolve_media_path(
 
 
 def shard_for_host(records: List, process_id: int, num_processes: int) -> List:
+    """Equal-length per-host shards (DistributedSampler-style wrap padding,
+    `/root/reference/cvap/data/image_audio.py:354-360`): a ragged split
+    would give hosts different batch counts — one host exits the epoch loop
+    while another blocks inside the SPMD step collective — and per-host
+    ``steps_per_epoch`` (warmup milestones, mid-epoch resume divmod) would
+    disagree. Eval shards share the standard DistributedSampler caveat: up
+    to ``num_processes - 1`` wrapped duplicates when N is not divisible."""
     if num_processes <= 1:
         return records
-    return records[process_id::num_processes]
+    if not records:
+        return []
+    need = -(-len(records) // num_processes) * num_processes  # ceil * n
+    padded = list(records)
+    while len(padded) < need:  # loop: N may be < num_processes
+        padded.extend(records[: need - len(padded)])
+    return padded[process_id::num_processes]
+
+
+def eval_sample_limit(value) -> Optional[int]:
+    """``running.eval_samples`` → record cap. unset/0/negative/inf mean
+    "evaluate everything" (Trainer._samples_cap blesses inf), so they map
+    to None instead of crashing ``int(float('inf'))``."""
+    try:
+        f = float(value if value is not None else 0)
+    except (TypeError, ValueError):
+        return None
+    if not np.isfinite(f) or f <= 0:
+        return None
+    return int(f)
 
 
 def epoch_permutation(n: int, epoch: int, seed: int) -> np.ndarray:

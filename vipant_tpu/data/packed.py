@@ -434,7 +434,9 @@ class _PakAudioBase:
         # (audioset filter_set) can re-apply it after filtering — filter
         # must precede the cap to match the src path's filter-at-init /
         # cap-at-iteration order
-        self.eval_limit = None if train else int(cfg.get("eval_samples", 0)) or None
+        from .indexfile import eval_sample_limit
+
+        self.eval_limit = None if train else eval_sample_limit(cfg.get("eval_samples"))
         self.records = list(range(self.meta["n"]))[: self.eval_limit]
 
     def _open_arrays(self) -> None:

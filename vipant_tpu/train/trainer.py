@@ -552,6 +552,11 @@ class Trainer:
             return wav
         params, max_len, norms, freq_p, time_p = self._frontend_settings()
         if wav.dtype == jnp.int16:  # raw PCM shipped to cut H2D in half
+            # the host zero-means over the TRUE clip length before
+            # padding/quantization (image_audio._audio_waveform) — the
+            # device-side mean over the padded length therefore only
+            # removes the sub-LSB quantization DC (a padded-length mean of
+            # a non-zero-meaned clip would mis-scale the DC correction)
             wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
             if bool(self.cfg.running.audio.get("zero_mean_wf", True)):
                 wav = wav - jnp.mean(wav, axis=-1, keepdims=True)
