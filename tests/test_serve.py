@@ -413,8 +413,26 @@ def test_http_server_routes(tmp_path, engine):
 
         code, out = post("/nope", b"{}")
         assert code == 404
+
+        # client errors map to 400 with actionable messages (regressions):
+        # explicitly-empty wavs_b64 used to surface as KeyError('wav_b64'),
+        # and over-long text as a 500 via the tokenizer's RuntimeError
+        code, out = post("/embed_audio", json.dumps({"wavs_b64": []}).encode())
+        assert code == 400 and "empty" in out["error"]
+        code, out = post(
+            "/embed_text", json.dumps({"texts": ["dog " * 200]}).encode()
+        )
+        assert code == 400 and "too long" in out["error"]
     finally:
         srv.shutdown()
+
+
+def test_zero_shot_rejects_empty_prompt_class(engine):
+    """A class with an empty prompt list must raise a clear error, not a
+    zero-size reduction crash."""
+    fb = np.zeros((1, 1, 100, 128), np.float32)
+    with pytest.raises(ValueError, match="no prompts"):
+        engine.zero_shot(fb, {"dog": ["a dog barking"], "rain": []})
 
 
 def test_http_embed_image_route(tmp_path):

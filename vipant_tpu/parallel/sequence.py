@@ -105,7 +105,14 @@ def ring_attention(
             bias.shape, (Tl, Tl * S),
         )
         bias = bias.astype(jnp.float32)
-        while bias.ndim < 4:  # broadcast to [B?, H?, Tl, T]
+        if bias.ndim == 3:
+            # left-padding would put dim0 in the HEAD slot — silently wrong
+            # when a caller meant a per-batch [B, Tl, T] mask
+            raise ValueError(
+                "ring_attention bias rank 3 is ambiguous ([B, Tl, T] vs "
+                "[H, Tl, T]) — pass [Tl, T] or an explicit [B, H, Tl, T]"
+            )
+        while bias.ndim < 4:  # [Tl, T] -> [1, 1, Tl, T]
             bias = bias[None]
 
     # running online-softmax statistics, fp32

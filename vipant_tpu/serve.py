@@ -127,12 +127,16 @@ class InferenceEngine:
         # doesn't, drop packing rather than crash at trace time (at
         # B/n items per device the packing win is marginal anyway).
         mp_n = max(1, int(model_parallel))
-        if jax.device_count() % mp_n:
+        # LOCAL devices only: the engine is a single-process deployment
+        # unit — under multi-process JAX each host serves independently on
+        # its own chips (a global-device mesh would span non-addressable
+        # devices and crash on the first batch)
+        if jax.local_device_count() % mp_n:
             raise ValueError(
                 f"model_parallel={mp_n} does not divide the "
-                f"{jax.device_count()} local devices"
+                f"{jax.local_device_count()} local devices"
             )
-        avail = jax.device_count() // mp_n
+        avail = jax.local_device_count() // mp_n
         dp_n = avail if data_parallel and avail > 1 else 1
         if token_pack > 1 and dp_n > 1 and (batch_size // token_pack) % dp_n:
             self.echo_note = (
@@ -181,16 +185,35 @@ class InferenceEngine:
             # data axis takes the devices the model axis leaves over (all
             # of them when model_parallel=1, exactly 1 when data_parallel
             # is off)
-            self.mesh = make_mesh(data=dp_n, model=mp_n)
+            self.mesh = make_mesh(
+                data=dp_n, model=mp_n, devices=jax.local_devices()
+            )
             n = int(self.mesh.shape["data"])
             if self.batch_size % n:
                 raise ValueError(
                     f"batch_size {self.batch_size} not divisible by the "
                     f"{n}-device data mesh"
                 )
-            # the packed batch divides the mesh by construction (see the
-            # token_pack fallback above)
-            assert (self.batch_size // self._token_pack) % n == 0
+            # the packed batch must divide the data mesh. The engine's own
+            # pack is guaranteed by the fallback above, but a token_pack
+            # already present in the CONFIG bypasses it — validate the
+            # effective pack instead of crashing opaquely at trace time
+            eff_pack = self._token_pack
+            m = self.cfg.get("model")
+            for key in ("image", "text"):
+                head = m.get(key) if m is not None else None
+                try:
+                    p = head.get("token_pack") if head is not None else None
+                    if p:
+                        eff_pack = max(eff_pack, int(p))
+                except Exception:  # noqa: BLE001 — interpolations
+                    pass
+            if (self.batch_size // eff_pack) % n:
+                raise ValueError(
+                    f"packed batch {self.batch_size}//{eff_pack} not "
+                    f"divisible by the {n}-device data mesh — lower "
+                    "model.*.token_pack or adjust batch_size/data_parallel"
+                )
             if mp_n > 1:
                 # Megatron weight placement (same rules as training,
                 # parallel.param_shardings); non-param collections
@@ -326,8 +349,10 @@ class InferenceEngine:
                 node[leaf] = value
             self.echo.info(f"loaded weight export {npz} ({len(data.files)} arrays)")
             return {**variables, "params": params}
+        # only reachable with model_file == "" (every non-empty model_file
+        # branch above returns or raises)
         clip_path = clip_weights_path(self.cfg)
-        if clip_path and not model_file:
+        if clip_path:
             from .ckpt import load_torch_file
             from .models import port_model_from_clip
 
@@ -552,6 +577,11 @@ class InferenceEngine:
         classes = list(class_prompts)
         flat, owner = [], []
         for ci, c in enumerate(classes):
+            if not class_prompts[c]:
+                raise ValueError(
+                    f"class {c!r} has no prompts — every class needs at "
+                    "least one prompt text"
+                )
             for p in class_prompts[c]:
                 flat.append(p)
                 owner.append(ci)
@@ -611,11 +641,19 @@ def make_server(engine: "InferenceEngine", port: int = 8080, host: str = "127.0.
 
     lock = threading.Lock()
 
-    def wavs_from_request(body: bytes, ctype: str) -> List[str]:
-        """Request → temp wav file paths (host fbank frontend reads files)."""
+    def wavs_from_request(body: bytes, ctype: str, payload=None) -> List[str]:
+        """Request → temp wav file paths (host fbank frontend reads files).
+        Pass ``payload`` when the caller already parsed the JSON body (the
+        /zero_shot route) to avoid decoding a large base64 body twice."""
         if ctype.startswith("application/json"):
-            payload = _json.loads(body)
-            blobs = payload.get("wavs_b64") or [payload["wav_b64"]]
+            if payload is None:
+                payload = _json.loads(body)
+            if "wavs_b64" in payload:
+                blobs = payload["wavs_b64"]
+                if not blobs:
+                    raise ValueError("wavs_b64 is empty — supply at least one clip")
+            else:
+                blobs = [payload["wav_b64"]]
             raws = [base64.b64decode(b) for b in blobs]
         else:
             raws = [body]
@@ -684,7 +722,7 @@ def make_server(engine: "InferenceEngine", port: int = 8080, host: str = "127.0.
                     self._send(200, {"captions": caps})
                 elif url.path == "/zero_shot":
                     payload = _json.loads(body)
-                    tmp = wavs_from_request(body, "application/json")
+                    tmp = wavs_from_request(body, "application/json", payload=payload)
                     labels = payload["labels"]
                     prompt = payload.get("prompt", "the sound of ")
                     fb = engine.fbank_files(tmp)
@@ -701,6 +739,14 @@ def make_server(engine: "InferenceEngine", port: int = 8080, host: str = "127.0.
                     self._send(404, {"error": f"no route {url.path}"})
             except (KeyError, ValueError, _json.JSONDecodeError) as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except RuntimeError as e:
+                # the tokenizer raises RuntimeError for over-long client
+                # text — a client error (400); any OTHER RuntimeError is a
+                # genuine server fault and must stay a 500
+                if "too long" in str(e):
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                else:
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # noqa: BLE001 - survive bad requests
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
