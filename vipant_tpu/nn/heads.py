@@ -44,7 +44,10 @@ TEXT_HEADS = Registry("TEXT_HEADS")
 
 
 def normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+    # eps: an all-zero row (zero-padded eval rows, a missing precomputed
+    # embedding) must yield zeros, not 0/0 = NaN that poisons the whole
+    # batch's contrastive gradients; real embeddings have norm >> eps
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-8)
 
 
 class VisionTower(nn.Module):
@@ -117,6 +120,11 @@ class VisionTower(nn.Module):
     ):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self.backbone == "resnet":
+            # these knobs are ViT-only paths below; silently ignoring them
+            # would run different training semantics than configured
+            for knob in ("patchout", "token_pack", "int8_frozen"):
+                if getattr(self, knob, None):
+                    raise ValueError(f"{knob} is not supported on the resnet backbone")
             h = ResNetPreEncoder(
                 width=self.width, in_channels=self.in_channels, name="pre", **kw
             )(x, train=train)
@@ -154,6 +162,16 @@ class VisionTower(nn.Module):
             **kw,
         )(x, pos, cls)
         if train and self.patchout > 0.0 and self.has_rng("patchout"):
+            if require_feature:
+                # the captioning decoder's memory (require_feature) is the
+                # FULL grid reshape (ViTPostEncoder); a post-patchout token
+                # set cannot fill it — fail loud instead of a trace-time
+                # reshape error deep inside the post stage
+                raise ValueError(
+                    "patchout is incompatible with require_feature "
+                    "(captioning decoder memory needs the full patch grid) — "
+                    "set model.audio.patchout=0 for captioning configs"
+                )
             n = h.shape[1] - 1  # patch tokens (cls excluded)
             keep = max(int(n * (1.0 - self.patchout)), 1)
             rng = self.make_rng("patchout")

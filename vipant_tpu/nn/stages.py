@@ -49,8 +49,11 @@ def vit_grid(
     """
     patch_hw = to_2tuple(patch_size)
     stride_hw = to_2tuple(stride) if stride is not None else patch_hw
-    if isinstance(resolution, int) and stride_hw == patch_hw:
-        # CLIP behavior: square input divides evenly (no overlap)
+    if isinstance(resolution, int) and stride_hw == patch_hw and patch_hw[0] == patch_hw[1]:
+        # CLIP behavior: square input divides evenly (no overlap). A
+        # non-square patch must fall through to the general formula — the
+        # square shortcut would size the pos-emb for an n x n grid while
+        # patchify produces n x m tokens
         n = resolution // patch_hw[0]
         return (n, n), patch_hw, stride_hw
     # overlapping-stride formula — also for square inputs with a custom

@@ -35,8 +35,11 @@ def warmup_cosine_lr(
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = base_lr * step / jnp.maximum(warmup_steps, 1)
-        s = jnp.clip(step - warmup_steps, 0, None)
         t = jnp.maximum(total_steps - warmup_steps, 1)
+        # clamp past the schedule end: without it cos(pi*s/t) passes pi and
+        # the LR climbs back up if training runs longer than total_steps
+        # (resume with a changed steps_per_epoch, extra fine-tune steps)
+        s = jnp.clip(step - warmup_steps, 0, t)
         q = 0.5 * (1.0 + jnp.cos(jnp.pi * s / t))
         end_lr = base_lr * end_lr_ratio
         cos = base_lr * q + end_lr * (1.0 - q)
